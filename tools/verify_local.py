@@ -1,0 +1,139 @@
+"""Local mirror of the driver's t2 correctness gate.
+
+Runs every registered demo query on Spark and its DuckDB oracle twin on the
+same parquet tables, then compares row count, column names, and an
+order-insensitive value comparison. Exact equality is required for
+ints/strings/timestamps; floats are compared exactly first and reported if
+they only match within 1e-9 relative tolerance (the driver may hash exact
+values — queries should be designed to be bit-equal).
+
+Usage:
+    python tools/verify_local.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+from datetime import date, datetime
+from decimal import Decimal
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from transit_efficiency_analysis_spark.sources.registry import TESTDATA_TABLES
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def _sortkey(row):
+    return tuple((x is None, str(x)) for x in row)
+
+
+def compare(spark_rows, spark_cols, duck_rows, duck_cols) -> tuple[bool, str]:
+    if sorted(spark_cols) != sorted(duck_cols):
+        return False, f"column mismatch: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+    if len(spark_rows) != len(duck_rows):
+        return False, f"row count mismatch: spark={len(spark_rows)} duck={len(duck_rows)}"
+    order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
+    dorder = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
+    s = sorted((tuple(_norm(r[i]) for i in order) for r in spark_rows), key=_sortkey)
+    d = sorted((tuple(_norm(r[i]) for i in dorder) for r in duck_rows), key=_sortkey)
+    worst = 0.0
+    for ri, (sr, dr) in enumerate(zip(s, d)):
+        for ci, (a, b) in enumerate(zip(sr, dr)):
+            if a == b:
+                continue
+            if isinstance(a, float) and isinstance(b, float):
+                if math.isnan(a) and math.isnan(b):
+                    continue
+                denom = max(abs(a), abs(b), 1e-300)
+                rel = abs(a - b) / denom
+                worst = max(worst, rel)
+                if rel < 1e-9:
+                    continue
+            col = sorted(spark_cols)[ci]
+            return False, (
+                f"value mismatch at sorted-row {ri} col {col!r}: spark={a!r} duck={b!r}"
+            )
+    note = f" (float worst-rel-dev {worst:.2e})" if worst else ""
+    return True, f"OK rows={len(s)}{note}"
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    from transit_efficiency_analysis_spark.demo import load_registry
+    from transit_efficiency_analysis_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    spark = get_spark("verify_local")
+    con = duck_connect(sf_dir)
+    registry = load_registry()
+
+    failures = []
+    for name, d in sorted(registry.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = d.fn(spark, sf_dir)
+            spark_rows = df.collect()
+            spark_cols = df.columns
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if d.sql is None:
+            print(f"pass {name}: rows-only ({len(spark_rows)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            res = con.execute(d.sql)
+            duck_cols = [c[0] for c in res.description]
+            duck_rows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        ok, msg = compare(spark_rows, spark_cols, duck_rows, duck_cols)
+        status = "pass" if ok else "FAIL"
+        if not ok:
+            failures.append(name)
+        print(f"{status} {name}: {msg} ({time.time()-t0:.1f}s)")
+
+    print(f"\n{len(registry) - len(failures)}/{len(registry)} demos pass")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,86 @@
+"""Flagship demo: the full delay-consolidation pipeline on testdata.
+
+``q_rebuild_full`` runs the reference's entire consolidation query
+(``scripts/diff_times.py:41-108`` semantics — see ``operators/delay.py``)
+over GTFS-shaped views of ``orders ⋈ lineitem``. This single query exercises
+the composite-key join with in-condition cast, every CASE family, the
+sentinel asymmetry, tz-local slicing columns, and the multi-column sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from transit_efficiency_analysis_spark.demo import demo
+from transit_efficiency_analysis_spark.operators.delay import compute_delays
+from transit_efficiency_analysis_spark.operators.testdata_adapter import (
+    GD_SQL,
+    TU_SQL,
+    gtfs_data_view,
+    trip_updates_view,
+)
+from transit_efficiency_analysis_spark.sources.registry import load_table
+
+DELAY_ORACLE_SQL = f"""
+WITH gd AS ({GD_SQL}), tu AS ({TU_SQL})
+SELECT
+    tu.trip_id,
+    tu.start_date,
+    tu.stop_sequence,
+    CAST(tu.stop_id AS BIGINT) AS stop_id,
+    gd.route_id,
+    gd.stop_name,
+    gd.route_long_name,
+    CASE WHEN epoch(tu.arrival_time) = 0 THEN NULL ELSE tu.arrival_time END
+        AS actual_arrival_time,
+    gd.arrival_time AS scheduled_arrival_time,
+    CASE WHEN epoch(tu.arrival_time) = 0 THEN 0.0
+         ELSE (epoch(tu.arrival_time) - epoch(gd.arrival_time)) / 60 END
+        AS arrival_time_diff_in_minutes,
+    CASE WHEN epoch(tu.departure_time) = 0 THEN NULL ELSE tu.departure_time END
+        AS actual_departure_time,
+    gd.departure_time AS scheduled_departure_time,
+    CASE WHEN epoch(tu.departure_time) = 0 THEN 0.0
+         ELSE (epoch(tu.departure_time) - epoch(gd.departure_time)) / 60 END
+        AS departure_time_diff_in_minutes,
+    CASE
+        WHEN epoch(tu.arrival_time) <> 0 AND epoch(tu.departure_time) <> 0 THEN
+            ((epoch(tu.arrival_time) - epoch(gd.arrival_time))
+             + (epoch(tu.departure_time) - epoch(gd.departure_time))) / 120
+        WHEN epoch(tu.arrival_time) = 0 AND epoch(tu.departure_time) <> 0 THEN
+            (epoch(tu.departure_time) - epoch(gd.departure_time)) / 60
+        WHEN epoch(tu.arrival_time) <> 0 AND epoch(tu.departure_time) = 0 THEN
+            (epoch(tu.arrival_time) - epoch(gd.arrival_time)) / 60
+        ELSE NULL
+    END AS average_diff_in_minutes,
+    tu.weather_group,
+    tu.weather_description,
+    tu.temperature,
+    dayname(timezone('America/Toronto', timezone('UTC', gd.arrival_time))) AS day_type,
+    CAST(hour(timezone('America/Toronto', timezone('UTC', gd.arrival_time))) AS INTEGER)
+        AS sudbury_hour_of_day,
+    gd.geo_coordinates,
+    tu.created_at,
+    tu.updated_at
+FROM tu
+JOIN gd
+  ON tu.trip_id = gd.trip_id
+ AND tu.start_date = gd.start_date
+ AND tu.stop_sequence = gd.stop_sequence
+ AND CAST(tu.stop_id AS BIGINT) = gd.stop_id
+WHERE NOT (
+    (epoch(tu.arrival_time) = 0 AND epoch(gd.arrival_time) <= 1000 * 60) AND
+    (epoch(tu.departure_time) = 0 AND epoch(gd.departure_time) <= 1000 * 60)
+)
+"""
+
+
+@demo("q_rebuild_full", sql=DELAY_ORACLE_SQL)
+def q_rebuild_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rebuild-full + join-diff + case-null/diff/avg + filter-sentinel +
+    ts-dow-name + ts-hour-local + sort-multi (SURVEY §2.2-2.6)."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    gd = gtfs_data_view(orders, lineitem)
+    tu = trip_updates_view(orders, lineitem)
+    return compute_delays(tu, gd)
