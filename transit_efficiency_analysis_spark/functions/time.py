@@ -78,10 +78,20 @@ def yyyymmdd_to_date(date_col: Column | str) -> Column:
     return F.to_date(_c(date_col), "yyyyMMdd")
 
 
+def epoch_seconds(ts_col: Column | str) -> Column:
+    """``EXTRACT(EPOCH FROM ts)`` as a double with fractional seconds.
+
+    ``cast('double')`` (not ``unix_timestamp``, which truncates to whole
+    seconds) — Postgres/DuckDB ``epoch()`` keep microseconds, and parity
+    matters for sub-second timestamps.
+    """
+    return _c(ts_col).cast("double")
+
+
 def is_epoch0(ts_col: Column | str) -> Column:
     """True when the timestamp is the epoch-0 'missing' sentinel
     (``EXTRACT(EPOCH FROM ts) = 0`` in reference ``diff_times.py:52`` etc.)."""
-    return F.unix_timestamp(_c(ts_col)) == 0
+    return epoch_seconds(ts_col) == 0
 
 
 def null_if_sentinel(ts_col: Column | str) -> Column:
@@ -93,7 +103,7 @@ def null_if_sentinel(ts_col: Column | str) -> Column:
 def epoch_minutes_diff(a: Column | str, b: Column | str) -> Column:
     """Timestamp difference in fractional minutes:
     ``EXTRACT(EPOCH FROM (a-b))/60`` (reference ``diff_times.py:58,67``)."""
-    return (F.unix_timestamp(_c(a)) - F.unix_timestamp(_c(b))) / F.lit(60.0)
+    return (epoch_seconds(a) - epoch_seconds(b)) / F.lit(60.0)
 
 
 def to_local(ts_col: Column | str, tz: str = DEFAULT_TZ) -> Column:

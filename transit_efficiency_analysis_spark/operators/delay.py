@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from transit_efficiency_analysis_spark.functions.time import (
     epoch_minutes_diff,
+    epoch_seconds,
     is_epoch0,
     local_day_name,
     local_hour,
@@ -45,7 +46,7 @@ SENTINEL_FILTER_EPOCH_CEILING = 1000 * 60
 
 
 def _epoch(c: Column) -> Column:
-    return F.unix_timestamp(c)
+    return epoch_seconds(c)
 
 
 def compute_delays(trip_updates: DataFrame, gtfs_data: DataFrame) -> DataFrame:

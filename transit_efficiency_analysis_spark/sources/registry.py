@@ -10,7 +10,10 @@ from __future__ import annotations
 
 import os
 
+import pyarrow as pa
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TESTDATA_TABLES = [
     "region",
@@ -29,8 +32,32 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table as a DataFrame."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read one testdata table as a DataFrame.
+
+    Parquet TIMESTAMP(NANOS) columns (e.g. ``events.ts``) are illegal for
+    Spark's vectorized reader; we read them as raw nanos longs
+    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to microsecond
+    timestamps — the same truncation DuckDB applies, so oracle comparisons
+    stay bit-equal.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    nanos_cols: list[str] = []
+    try:
+        for field in pq.read_schema(path):
+            if pa.types.is_timestamp(field.type) and field.type.unit == "ns":
+                nanos_cols.append(field.name)
+    except (OSError, pa.ArrowInvalid):
+        pass  # non-local path or unreadable footer: fall through to plain read
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # read naive parquet timestamps as UTC instants (TimestampType), not NTZ —
+    # matches DuckDB's naive interpretation under a UTC session and keeps
+    # epoch arithmetic (cast to double) legal
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    df = spark.read.parquet(path)
+    for c in nanos_cols:
+        df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
+    return df
 
 
 def load_tables(
