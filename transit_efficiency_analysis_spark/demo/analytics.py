@@ -1,1 +1,184 @@
-"""(placeholder — demos land incrementally)"""
+"""Analytics demos — the agg-dashboard family (SURVEY.md §2.6).
+
+The reference's dashboard aggregates (mean delay sliced by hour/day/weather/
+route/stop, ``README.md:193-209``) become first-class grouped aggregations,
+cube/rollup multi-dim slices, and an hour×day pivot. All double aggregates
+go through per-row DECIMAL casts so totals are order-independent and
+bit-equal to the DuckDB oracle; averages divide the exact decimal total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transit_efficiency_analysis_spark.demo import demo
+from transit_efficiency_analysis_spark.demo.delay import q_rebuild_full
+from transit_efficiency_analysis_spark.demo.delay import DELAY_ORACLE_SQL
+from transit_efficiency_analysis_spark.functions.time import local_day_name, local_hour
+from transit_efficiency_analysis_spark.sources.registry import load_table
+
+# exact average: sum DECIMAL(18,6) / count, emitted as DECIMAL to avoid
+# double-division ulp drift; scale 6 is far below the data's resolution
+_AVG_DELAY_SQL = (
+    "CAST(sum(CAST(average_diff_in_minutes AS DECIMAL(18,6))) / count(average_diff_in_minutes)"
+    " AS DECIMAL(18,6))"
+)
+
+
+def _avg_delay_col():
+    total = F.sum(F.col("average_diff_in_minutes").cast("decimal(18,6)"))
+    return (total / F.count("average_diff_in_minutes")).cast("decimal(18,6)")
+
+
+@demo(
+    "q_agg_dashboard",
+    sql=f"""
+    WITH diffs AS ({DELAY_ORACLE_SQL})
+    SELECT day_type, sudbury_hour_of_day,
+           count(*) AS n_rows,
+           {_AVG_DELAY_SQL} AS avg_delay_min,
+           min(average_diff_in_minutes) AS min_delay_min,
+           max(average_diff_in_minutes) AS max_delay_min
+    FROM diffs
+    GROUP BY day_type, sudbury_hour_of_day
+    """,
+)
+def q_agg_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg-dashboard: mean delay by (day, hour) — the Looker Studio heatmap
+    (``README.md:199-209``) as a native grouped aggregation over the
+    flagship pipeline's output."""
+    diffs = q_rebuild_full(spark, sf_dir)
+    return diffs.groupBy("day_type", "sudbury_hour_of_day").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        _avg_delay_col().alias("avg_delay_min"),
+        F.min("average_diff_in_minutes").alias("min_delay_min"),
+        F.max("average_diff_in_minutes").alias("max_delay_min"),
+    )
+
+
+@demo(
+    "q_agg_cube",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cube: all 2^n grouping-set slices in one pass (the multi-dim
+    dashboard slicing surface)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("sum_qty"),
+    )
+
+
+@demo(
+    "q_agg_rollup",
+    sql="""
+    SELECT o_orderpriority, o_orderstatus,
+           count(*) AS n_orders,
+           sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rollup: hierarchical subtotal slices."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("total_price"),
+    )
+
+
+_DAYS = ["Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday", "Sunday"]
+
+
+@demo(
+    "q_agg_pivot",
+    sql="""
+    SELECT event_type,
+           {cols}
+    FROM (
+        SELECT event_type,
+               dayname(timezone('America/Toronto', timezone('UTC', ts))) AS day_type,
+               value
+        FROM events
+    )
+    GROUP BY event_type
+    """.format(
+        cols=",\n           ".join(
+            f"sum(CAST(CASE WHEN day_type = '{d}' THEN value END AS DECIMAL(18,6))) AS {d}"
+            for d in _DAYS
+        )
+    ),
+)
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pivot: event_type × local-day-of-week value matrix (the hour×day
+    heatmap shape) — Spark ``pivot`` vs conditional aggregation in the oracle."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.withColumn("day_type", local_day_name("ts"))
+        .groupBy("event_type")
+        .pivot("day_type", _DAYS)
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")))
+    )
+
+
+@demo(
+    "q_agg_stats",
+    sql="""
+    SELECT event_type,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users,
+           sum(CAST(value AS DECIMAL(18,6))) AS sum_value,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) / count(value) AS DECIMAL(18,6)) AS avg_value,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           round(stddev_samp(value), 6) AS stddev_value,
+           quantile_cont(value, 0.5) AS median_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg statistics surface: count/distinct/sum/avg/min/max/stddev/median.
+    Median is the exact interpolated percentile on both engines; stddev is
+    rounded to 6 decimals (order-dependent in the last ulps)."""
+    e = load_table(spark, sf_dir, "events")
+    sum_dec = F.sum(F.col("value").cast("decimal(18,6)"))
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        sum_dec.alias("sum_value"),
+        (sum_dec / F.count("value")).cast("decimal(18,6)").alias("avg_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.round(F.stddev_samp("value"), 6).alias("stddev_value"),
+        F.percentile("value", F.lit(0.5)).alias("median_value"),
+    )
+
+
+@demo(
+    "q_agg_dashboard_weather",
+    sql=f"""
+    WITH diffs AS ({DELAY_ORACLE_SQL})
+    SELECT weather_group, route_id,
+           count(*) AS n_rows,
+           {_AVG_DELAY_SQL} AS avg_delay_min
+    FROM diffs
+    GROUP BY weather_group, route_id
+    """,
+)
+def q_agg_dashboard_weather(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg-dashboard (weather × route slice) — the second dashboard family."""
+    diffs = q_rebuild_full(spark, sf_dir)
+    return diffs.groupBy("weather_group", "route_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        _avg_delay_col().alias("avg_delay_min"),
+    )

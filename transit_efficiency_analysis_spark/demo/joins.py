@@ -1,1 +1,132 @@
-"""(placeholder — demos land incrementally)"""
+"""Join demos (SURVEY.md §2.4) — star-schema denormalization and the
+composite-key join, plus the semi/anti/outer variants the engine supports
+beyond the reference.
+
+Aggregates over doubles are summed in DECIMAL (per-row cast first) so the
+total is order-independent and bit-equal across engines; derived doubles are
+computed from those exact totals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transit_efficiency_analysis_spark.demo import demo
+from transit_efficiency_analysis_spark.sources.registry import load_table
+
+
+@demo(
+    "q_join_star",
+    sql="""
+    SELECT r_name AS region_name, n_name AS nation_name,
+           count(*) AS n_lineitems,
+           sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join-star: multi-step equi-join chain denormalizing a star schema
+    (``historical_extractor.py:63-67``). Dimensions are broadcast — no
+    shuffle of the fact table for the join itself; the only shuffle is the
+    final aggregation on (region, nation), which is tiny after map-side
+    partial aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+            ).alias("revenue"),
+        )
+    )
+
+
+@demo(
+    "q_join_diff",
+    sql="""
+    SELECT o_orderkey, l_linenumber, o_orderpriority, l_quantity,
+           (epoch(l_shipdate) - epoch(o_orderdate)) / 86400 AS ship_lag_days
+    FROM lineitem
+    JOIN orders ON CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT) = o_orderkey
+                AND l_linenumber >= 1
+    """,
+)
+def q_join_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join-diff: equi-join with a cast inside the join condition
+    (``diff_times.py:95-101`` — ``tu.stop_id::bigint = gd.stop_id``)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (li.l_orderkey.cast("string").cast("long") == o.o_orderkey) & (
+        li.l_linenumber >= 1
+    )
+    lag_days = (F.col("l_shipdate").cast("double") - F.col("o_orderdate").cast("double")) / 86400
+    return li.join(o, cond, "inner").select(
+        "o_orderkey",
+        "l_linenumber",
+        "o_orderpriority",
+        "l_quantity",
+        lag_days.alias("ship_lag_days"),
+    )
+
+
+@demo(
+    "q_join_semi",
+    sql="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left-semi join (EXISTS): customers with at least one large order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 150000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@demo(
+    "q_join_anti",
+    sql="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 250000)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left-anti join (NOT EXISTS): customers with no quarter-million order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 250000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@demo(
+    "q_join_outer",
+    sql="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey AND o_totalprice > 300000
+    """,
+)
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left-outer join with a pushed non-key predicate in the ON clause."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_totalprice > 300000)
+    return c.join(o, cond, "left").select("c_custkey", "c_name", "o_orderkey", "o_totalprice")

@@ -1,1 +1,102 @@
-"""(placeholder — demos land incrementally)"""
+"""Set-operation / distinct / top-k demos (SURVEY.md §2.6 — capabilities the
+engine provides beyond the reference's fixed dataflows)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transit_efficiency_analysis_spark.demo import demo
+from transit_efficiency_analysis_spark.sources.registry import load_table
+
+
+@demo(
+    "q_set_union",
+    sql="""
+    SELECT key_id, src FROM (
+        SELECT DISTINCT o_custkey AS key_id, 'orders' AS src FROM orders
+        UNION ALL
+        SELECT DISTINCT user_id AS key_id, 'events' AS src FROM events
+    )
+    """,
+)
+def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union-all of two deduplicated projections with provenance tags."""
+    o = load_table(spark, sf_dir, "orders")
+    e = load_table(spark, sf_dir, "events")
+    a = o.select(F.col("o_custkey").alias("key_id")).distinct().withColumn("src", F.lit("orders"))
+    b = e.select(F.col("user_id").alias("key_id")).distinct().withColumn("src", F.lit("events"))
+    return a.unionByName(b)
+
+
+@demo(
+    "q_set_intersect",
+    sql="""
+    SELECT o_custkey AS key_id FROM orders
+    INTERSECT
+    SELECT user_id AS key_id FROM events
+    """,
+)
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersect (distinct semantics on both engines)."""
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key_id"))
+    e = load_table(spark, sf_dir, "events").select(F.col("user_id").alias("key_id"))
+    return o.intersect(e)
+
+
+@demo(
+    "q_set_except",
+    sql="""
+    SELECT c_custkey AS key_id FROM customer
+    EXCEPT
+    SELECT o_custkey AS key_id FROM orders WHERE o_totalprice > 200000
+    """,
+)
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """except/minus (distinct semantics)."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key_id"))
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 200000)
+        .select(F.col("o_custkey").alias("key_id"))
+    )
+    return c.subtract(o)
+
+
+@demo(
+    "q_distinct_agg",
+    sql="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(DISTINCT CAST(ts AS DATE)) AS n_days
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct aggregates (multiple per group)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.col("ts").cast("date")).alias("n_days"),
+    )
+
+
+@demo(
+    "q_limit_topk",
+    sql="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+)
+def q_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sort + limit → TakeOrderedAndProject (no global sort materialized);
+    deterministic via the unique-key tiebreaker."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )

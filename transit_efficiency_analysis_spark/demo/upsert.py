@@ -1,1 +1,100 @@
-"""(placeholder — demos land incrementally)"""
+"""Upsert/dedup demos (SURVEY.md §2.5) over the events stream table.
+
+``events`` plays the realtime feed: key = (user_id, event_type), observation
+order = (ts, event_id) with event_id as the unique tiebreaker. The oracles
+express the same window-dedup in ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from transit_efficiency_analysis_spark.demo import demo
+from transit_efficiency_analysis_spark.operators.upsert import (
+    upsert_ignore,
+    upsert_keep_newest,
+)
+from transit_efficiency_analysis_spark.sources.registry import load_table
+
+
+@demo(
+    "q_upsert_ignore",
+    sql="""
+    SELECT user_id, event_type, event_id, ts, value
+    FROM (
+        SELECT user_id, event_type, event_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts ASC, event_id ASC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_upsert_ignore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """upsert-ignore: first-writer-wins per key (``ON CONFLICT DO NOTHING``,
+    ``historical_extractor.py:85-87``) as a deterministic window dedup."""
+    e = load_table(spark, sf_dir, "events")
+    return upsert_ignore(e, keys=["user_id", "event_type"], order_by=["ts", "event_id"]).select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+
+
+@demo(
+    "q_upsert_cond",
+    sql="""
+    SELECT user_id, event_type, event_id, ts, value,
+           CASE WHEN changed THEN TIMESTAMP '2026-01-01 00:00:00' ELSE NULL END AS updated_at
+    FROM (
+        SELECT user_id, event_type, event_id, ts, value,
+               row_number() OVER w AS rn,
+               (lead(value) OVER w IS NOT NULL AND lead(value) OVER w <> value) AS changed
+        FROM events
+        WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC)
+    ) WHERE rn = 1
+    """,
+)
+def q_upsert_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """upsert-cond: keep-newest per key; ``updated_at`` only when the tracked
+    value changed vs the previous version (``realtime_extractor.py:205-230``)."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "__now", F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+    )
+    out = upsert_keep_newest(
+        e,
+        keys=["user_id", "event_type"],
+        order_by=["ts", "event_id"],
+        tracked=["value"],
+        now_col="__now",
+    )
+    return out.select("user_id", "event_type", "event_id", "ts", "value", "updated_at")
+
+
+@demo(
+    "q_dedup_window_latest",
+    sql="""
+    SELECT user_id, last_type, last_value, n_events
+    FROM (
+        SELECT user_id,
+               first_value(event_type) OVER w AS last_type,
+               first_value(value) OVER w AS last_value,
+               count(*) OVER (PARTITION BY user_id) AS n_events,
+               row_number() OVER w AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_window_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """latest-observation-per-key with per-key counts — the moral as-of
+    'current state' view of a changelog stream."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    wc = Window.partitionBy("user_id")
+    return (
+        e.withColumn("last_type", F.first("event_type").over(w))
+        .withColumn("last_value", F.first("value").over(w))
+        .withColumn("n_events", F.count(F.lit(1)).over(wc))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "last_type", "last_value", "n_events")
+    )

@@ -1,1 +1,86 @@
-"""(placeholder — demos land incrementally)"""
+"""Window-function demos (SURVEY.md §2.6 — the upsert kernel's substrate,
+plus the running/rank/lag analytics surface)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from transit_efficiency_analysis_spark.demo import demo
+from transit_efficiency_analysis_spark.sources.registry import load_table
+
+
+@demo(
+    "q_window_running",
+    sql="""
+    SELECT user_id, event_id, ts,
+           sum(CAST(value AS DECIMAL(18,6)))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER)
+               AS seq
+    FROM events
+    """,
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """running (prefix) aggregate per key in deterministic order."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("running_value"),
+        F.row_number().over(w).alias("seq"),
+    )
+
+
+@demo(
+    "q_window_rank",
+    sql="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(rank() OVER w AS INTEGER) AS price_rank,
+           CAST(dense_rank() OVER w AS INTEGER) AS price_dense_rank,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank family per key (largest orders per customer)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@demo(
+    "q_window_lag",
+    sql="""
+    SELECT user_id, event_id, ts,
+           (epoch(ts) - epoch(lag(ts) OVER w)) / 60 AS minutes_since_prev,
+           lead(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead: inter-event gaps per key in minutes."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")) / 60.0
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        gap.alias("minutes_since_prev"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
