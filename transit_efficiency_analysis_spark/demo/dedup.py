@@ -1,1 +1,182 @@
-"""(placeholder — demos land incrementally)"""
+"""Deduplication demos over ``documents`` / ``embeddings`` (north-star).
+
+Every demo has an exact DuckDB oracle: md5-based hash families, DECIMAL
+projections, and count-ratio Jaccards are bit-reproducible in ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transit_efficiency_analysis_spark.demo import demo
+from transit_efficiency_analysis_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_pairs,
+)
+from transit_efficiency_analysis_spark.operators.similarity import (
+    embedding_near_dup_pairs,
+)
+from transit_efficiency_analysis_spark.sources.registry import load_table
+
+_SHINGLES_SQL = """
+SELECT doc_id,
+       list_distinct([array_to_string(w[i:i+2], ' ')
+                      FOR i IN generate_series(1, greatest(len(w) - 2, 0))]) AS sh
+FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+"""
+
+
+@demo(
+    "q_dedup_exact",
+    sql="""
+    SELECT content_key, count(*) AS n_docs,
+           min(doc_id) AS canonical_doc_id, max(doc_id) AS max_doc_id
+    FROM (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+                   AS content_key
+        FROM documents
+    )
+    GROUP BY content_key
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact dedup: hash-groupBy on a normalized content key (order-
+    insensitive bag-of-words hash; plain md5(text) would also work but the
+    corpus has no byte-identical dups). Canonical = min doc_id
+    (first-writer-wins, same identity rule as upsert-ignore)."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(F.split(F.col("text"), r"\s+"))), " ")
+    )
+    return exact_dedup_groups(d, "doc_id", key)
+
+
+@demo(
+    "q_dedup_minhash_lsh",
+    sql=f"""
+    WITH shingled AS ({_SHINGLES_SQL}),
+    nonempty AS (SELECT doc_id, sh FROM shingled WHERE len(sh) > 0),
+    exploded AS (SELECT doc_id, unnest(sh) AS s FROM nonempty),
+    sig AS (
+        SELECT doc_id, b, min(md5(CAST(b AS VARCHAR) || '|' || s)) AS mh
+        FROM exploded CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS b)
+        GROUP BY doc_id, b
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        FROM sig a JOIN sig c ON a.b = c.b AND a.mh = c.mh AND a.doc_id < c.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard_sim
+    FROM cand
+    JOIN nonempty sa ON sa.doc_id = doc_a
+    JOIN nonempty sb ON sb.doc_id = doc_b
+    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+    """,
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: word-3-gram shingles → 6 band minhashes
+    (md5 family) → band-bucket candidate join → exact Jaccard >= 0.5."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "doc_id", "text", k=3, bands=6, threshold=0.5)
+
+
+_SIMHASH_SQL = """
+SELECT doc_id,
+       CAST(sum(CASE WHEN vote > 0 THEN CAST(power(2, j - 1) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS simhash
+FROM (
+    SELECT doc_id, j, sum(CASE WHEN substr(md5(t), j, 1) >= '8' THEN 1 ELSE -1 END) AS vote
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+    CROSS JOIN (SELECT unnest(generate_series(1, 32)) AS j)
+    GROUP BY doc_id, j
+)
+GROUP BY doc_id
+"""
+
+
+@demo("q_dedup_simhash", sql=f"SELECT doc_id, simhash FROM ({_SIMHASH_SQL})")
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: 32-bit fingerprint per document (md5-nibble bit draws,
+    ±1 votes per token, sign → bit)."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_fingerprints(d, "doc_id", "text")
+
+
+@demo(
+    "q_dedup_simhash_pairs",
+    sql=f"""
+    WITH fp AS ({_SIMHASH_SQL})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM fp a
+    JOIN fp b ON (a.simhash // 65536) = (b.simhash // 65536) AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: Hamming <= 6 within the top-16-bit block."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(d, "doc_id", "text", max_hamming=6)
+
+
+@demo(
+    "q_dedup_ngram_jaccard",
+    sql=f"""
+    WITH shingled AS (
+        SELECT s.doc_id, d.lang || '_' || CAST(len(string_split(d.text, ' ')) // 20 AS VARCHAR)
+                   AS blk,
+               s.sh
+        FROM ({_SHINGLES_SQL}) s JOIN documents d USING (doc_id)
+        WHERE len(s.sh) > 0
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard_sim
+    FROM shingled a
+    JOIN shingled b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard: exact all-pairs within (lang, length-bucket) blocks."""
+    d = load_table(spark, sf_dir, "documents")
+    block = F.concat_ws(
+        "_",
+        F.col("lang"),
+        F.floor(F.size(F.split(F.col("text"), r"\s+")) / 20).cast("string"),
+    )
+    return ngram_jaccard_pairs(d, "doc_id", "text", block, k=3, threshold=0.2)
+
+
+@demo(
+    "q_dedup_embedding",
+    sql="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+           / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+              * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+               AS cosine_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+          / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+             * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+              >= 0.3
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding-cosine near-dup: pairs with cosine >= 0.3 within a label
+    block (cluster id as the blocking key; the synthetic embeddings top out
+    near 0.47 so 0.3 marks the near-dup tail). Dot products are
+    bit-identical to the oracle (sequential fold on both engines)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, F.col("label"), threshold=0.3)

@@ -1,1 +1,155 @@
-"""(placeholder — demos land incrementally)"""
+"""Text-analysis demos over ``documents`` (north-star operators; SURVEY §2.7
+extension). Language-ID, quality scoring, token counting, fingerprinting —
+all JVM-side column expressions with exact DuckDB twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transit_efficiency_analysis_spark.demo import demo
+from transit_efficiency_analysis_spark.functions.text import (
+    LANG_STOPWORDS,
+    stopword_hits,
+    token_count_bpe_ish,
+    token_count_ws,
+    word_shingles,
+    words,
+)
+from transit_efficiency_analysis_spark.sources.registry import load_table
+
+_LANGS = sorted(LANG_STOPWORDS)  # deterministic tie-break order: de,en,es,fr,zh
+
+
+def _sql_hits(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return f"len(list_filter(w, x -> x IN ({lst})))"
+
+
+@demo(
+    "q_text_langid",
+    sql=f"""
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN g = 0 THEN 'und'
+                {" ".join(f"WHEN s_{lang} = g THEN '{lang}'" for lang in _LANGS)}
+           END AS predicted_lang,
+           CAST(g AS INTEGER) AS best_score
+    FROM (
+        SELECT doc_id, lang,
+               {", ".join(f"{_sql_hits(lang)} AS s_{lang}" for lang in _LANGS)},
+               greatest({", ".join(f"{_sql_hits(lang)}" for lang in _LANGS)}) AS g
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
+    )
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """language-ID: stopword-hit scoring per language, argmax with
+    lexicographic tie-break, 'und' when no list hits at all."""
+    d = load_table(spark, sf_dir, "documents")
+    w = words("text")
+    scores = {lang: stopword_hits(w, LANG_STOPWORDS[lang]) for lang in _LANGS}
+    g = F.greatest(*scores.values())
+    pred = F.when(g == 0, F.lit("und"))
+    for lang in _LANGS:
+        pred = pred.when(scores[lang] == g, F.lit(lang))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("predicted_lang"),
+        g.cast("int").alias("best_score"),
+    )
+
+
+@demo(
+    "q_text_quality",
+    sql="""
+    SELECT doc_id,
+           n_words,
+           n_chars,
+           CAST(len(replace(text, ' ', '')) AS DOUBLE) / n_words AS avg_word_len,
+           CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS DOUBLE) / n_words
+               AS stopword_ratio,
+           CAST(len(list_distinct(w)) AS DOUBLE) / n_words AS distinct_ratio,
+           (n_words BETWEEN 20 AND 90
+            AND CAST(len(list_distinct(w)) AS DOUBLE) / n_words > 0.2) AS passes_quality
+    FROM (
+        SELECT doc_id, text, n_chars, string_split(text, ' ') AS w,
+               len(string_split(text, ' ')) AS n_words
+        FROM documents
+    )
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality scoring: length, mean word length, stopword ratio,
+    lexical diversity, and a composite gate — the C4/Gopher-style filter
+    family as pure column math."""
+    d = load_table(spark, sf_dir, "documents")
+    w = words("text")
+    n_words = F.size(w)
+    avg_word_len = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
+        "double"
+    ) / n_words
+    stop_ratio = stopword_hits(w, ["the", "a"]).cast("double") / n_words
+    distinct_ratio = F.size(F.array_distinct(w)).cast("double") / n_words
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.col("n_chars"),
+        avg_word_len.alias("avg_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        (n_words.between(20, 90) & (distinct_ratio > 0.2)).alias("passes_quality"),
+    )
+
+
+@demo(
+    "q_text_tokens",
+    sql="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens_ws,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]')) AS INTEGER)
+               AS n_tokens_bpe_ish,
+           CAST(ceil(len(text) / 4.0) AS INTEGER) AS n_tokens_char_estimate
+    FROM documents
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token counting: whitespace, BPE-ish regex, and the chars/4 estimate."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_ws("text").alias("n_tokens_ws"),
+        F.regexp_count(F.col("text"), F.lit("[a-zA-Z0-9]+|[^a-zA-Z0-9 ]")).alias(
+            "n_tokens_bpe_ish"
+        ),
+        F.ceil(F.length("text") / 4.0).cast("int").alias("n_tokens_char_estimate"),
+    )
+
+
+@demo(
+    "q_text_fingerprint",
+    sql="""
+    SELECT doc_id,
+           md5(text) AS content_hash,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS bag_hash,
+           (SELECT min(md5(array_to_string(w[i:i+2], ' ')))
+            FROM unnest(generate_series(1, greatest(len(w) - 2, 0))) AS t(i))
+               AS min_shingle_hash
+    FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """document fingerprinting: exact content hash, order-insensitive
+    bag-of-words hash, and the min-shingle-hash (winnowing/MinHash-1)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = words("text")
+    bag = F.md5(F.array_join(F.array_sort(F.array_distinct(w)), " "))
+    min_shingle = F.array_min(F.transform(word_shingles(w, 3), F.md5))
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("content_hash"),
+        bag.alias("bag_hash"),
+        min_shingle.alias("min_shingle_hash"),
+    )

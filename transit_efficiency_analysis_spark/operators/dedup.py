@@ -1,0 +1,193 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+North-star capability (BASELINE.json): exact dedup, MinHash+LSH near-dup,
+SimHash fingerprints, n-gram Jaccard, and embedding-cosine near-dup. All
+Spark-native column algebra — the per-document signature work (shingling,
+hashing, vote-summing) happens inside higher-order array expressions on the
+JVM, so signature computation is a map-only stage with no shuffle and no
+Python. Only the candidate-pair join shuffles, and it shuffles *signatures*
+(doc_id + band hash), not documents.
+
+Scale design (100 TB corpus):
+- signatures are O(bands) per doc regardless of doc size → the LSH
+  bucket-join shuffle is tiny relative to the corpus;
+- bucket join degree is bounded by band-bucket size; band count trades
+  recall vs join fan-out; skewed buckets (boilerplate docs) are handled by
+  AQE skew-join or a bucket-size cap;
+- exact verification (Jaccard) joins shingle *sets* only for candidate
+  pairs — a secondary lookup join, broadcastable when candidates are few.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from transit_efficiency_analysis_spark.functions.text import (
+    minhash_band,
+    simhash32,
+    word_shingles,
+    words,
+)
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, key: Column) -> DataFrame:
+    """Exact dedup by a content key: one row per distinct key with group
+    stats (canonical = min id; first-writer-wins like upsert-ignore)."""
+    return (
+        df.select(F.col(id_col), key.alias("content_key"))
+        .groupBy("content_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("canonical_doc_id"),
+            F.max(id_col).alias("max_doc_id"),
+        )
+    )
+
+
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(id, distinct word-k-gram set) for documents with >= k tokens."""
+    sh = F.array_distinct(word_shingles(words(text_col), k))
+    return df.select(F.col(id_col).alias("doc_id"), sh.alias("shingles")).where(
+        F.size("shingles") > 0
+    )
+
+
+def minhash_signatures(shingled: DataFrame, bands: int) -> DataFrame:
+    """(doc_id, band, minhash) — one row per band, computed as pure array
+    algebra per document (no explode of the shingle set across the shuffle)."""
+    band_cols = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), minhash_band(F.col("shingles"), b).alias("mh"))
+            for b in range(bands)
+        ]
+    )
+    return shingled.select("doc_id", F.explode(band_cols).alias("bm")).select(
+        "doc_id", F.col("bm.band").alias("band"), F.col("bm.mh").alias("mh")
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Distinct-set Jaccard over two array columns."""
+    return F.size(F.array_intersect(a, b)).cast("double") / F.size(F.array_union(a, b))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    bands: int = 6,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs: shingle → per-band minhash →
+    band-bucket join → exact Jaccard verification >= ``threshold``.
+
+    Returns (doc_a, doc_b, jaccard_sim) with doc_a < doc_b.
+    """
+    shingled = shingle_sets(df, id_col, text_col, k)
+    sig = minhash_signatures(shingled, bands)
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.mh") == F.col("b.mh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"))
+        .where(F.col("jaccard_sim") >= threshold)
+    )
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, simhash) 32-bit fingerprints, computed set-based.
+
+    Same math as ``functions.text.simhash32`` (md5-nibble bit draws, ±1
+    votes, sign → bit) but expressed as explode → groupBy-sum → re-fold so
+    the hot path stays in whole-stage codegen instead of interpreted
+    higher-order lambdas — ~an order of magnitude faster, and the shape that
+    scales (token rows shuffle once on doc_id, partial aggregation applies).
+    """
+    tokens = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(words(text_col)).alias("t")
+    ).withColumn("h", F.md5("t"))
+    # one row per (doc, bit j): vote = Σ ±1 over tokens
+    votes = (
+        tokens.select(
+            "doc_id", F.posexplode(F.split(F.substring("h", 1, 32), "(?!^)")).alias("j", "d")
+        )
+        .withColumn("v", F.when(F.col("d") >= "8", F.lit(1)).otherwise(F.lit(-1)))
+        .groupBy("doc_id", "j")
+        .agg(F.sum("v").alias("vote"))
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.pow(F.lit(2.0), F.col("j")).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 6
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, blocked on the top-16-bit
+    prefix (near-identical docs share the prefix with high probability; at
+    scale this is the classic Charikar block-and-permute scheme — additional
+    bit-rotation blocks would raise recall)."""
+    fp = simhash_fingerprints(df, id_col, text_col).withColumn(
+        "block", F.shiftright(F.col("simhash"), 16)
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block: Column,
+    k: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard within a blocking key (e.g. language +
+    length bucket) — the exact-verification path without LSH, for when
+    blocks are small enough that |block|^2 is acceptable."""
+    sh = F.array_distinct(word_shingles(words(text_col), k))
+    base = df.select(F.col(id_col).alias("doc_id"), block.alias("blk"), sh.alias("sh")).where(
+        F.size("sh") > 0
+    )
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(
+            b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jaccard(F.col("a.sh"), F.col("b.sh")).alias("jaccard_sim"),
+        )
+        .where(F.col("jaccard_sim") >= threshold)
+    )

@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (north-star capability).
+
+- ``brute_force_topk``: exact cosine top-k — the correctness baseline.
+  One shuffle-free map over (query × corpus-partition) when the query set
+  is broadcast; per-pair math is JVM array algebra.
+- ``lsh_bucket_assignments`` + ``lsh_topk``: sign-LSH (random hyperplane)
+  bucketing as the scale path — at 100 TB the bucket join replaces the
+  full cross product with |bucket|-bounded joins, trading recall for a
+  ~2^planes fan-in reduction. Hyperplanes are deterministic (md5-derived
+  ±1 components) and projections are summed in DECIMAL, so bucket ids are
+  reproducible across engines and partitionings.
+
+No Python UDFs, no driver-side vector collection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from transit_efficiency_analysis_spark.functions.vectors import (
+    as_double,
+    cosine,
+    hyperplane_sign_bucket,
+)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, cosine_sim, rank). Self-matches are
+    excluded. The query side is broadcast (queries ≪ corpus).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    sim = cosine(F.col("qv"), F.col("cv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def lsh_bucket_assignments(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    dims: int = 64,
+) -> DataFrame:
+    """(vec_id, bucket) sign-LSH assignments."""
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        hyperplane_sign_bucket(F.col(vec_col), planes, dims).alias("bucket"),
+    )
+
+
+def lsh_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    dims: int = 64,
+    k: int = 3,
+) -> DataFrame:
+    """Approximate top-k: exact cosine ranking *within* each LSH bucket."""
+    base = df.select(
+        F.col(id_col).alias("vec_id"),
+        as_double(F.col(vec_col)).alias("v"),
+        hyperplane_sign_bucket(F.col(vec_col), planes, dims).alias("bucket"),
+    )
+    a = base.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    b = base.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "bucket"
+    )
+    sim = cosine(F.col("qv"), F.col("cv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        a.join(b, ["bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("bucket", "query_id", "neighbor_id", sim.alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "bucket",
+            "query_id",
+            "neighbor_id",
+            "cosine_sim",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    block: Column,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a blocking key."""
+    base = df.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v"), block.alias("blk")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    sim = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )
