@@ -20,7 +20,7 @@ Scale design (100 TB corpus):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from transit_efficiency_analysis_spark.functions.text import (
@@ -50,6 +50,30 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataF
     sh = F.array_distinct(word_shingles(words(text_col), k))
     return df.select(F.col(id_col).alias("doc_id"), sh.alias("shingles")).where(
         F.size("shingles") > 0
+    )
+
+
+def shingles_exploded(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(doc_id, s) — one row per distinct word-k-gram, built set-based.
+
+    Tokens are exploded with position and slid with ``lead`` windows, which
+    keeps shingle construction inside whole-stage codegen (the array-lambda
+    form in ``functions.text.word_shingles`` is interpreted and ~5x slower
+    on wide corpora). Costs one shuffle on doc_id; on a 100 TB corpus
+    prefer the map-only array form per partition or pre-bucketed storage —
+    both produce the identical shingle set.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(words(text_col)).alias("pos", "t")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("t")] + [F.lead("t", i).over(w) for i in range(1, k)]
+    shingle = F.concat_ws(" ", *parts)
+    return (
+        toks.select("doc_id", shingle.alias("s"), F.lead("t", k - 1).over(w).alias("__last"))
+        .where(F.col("__last").isNotNull())
+        .select("doc_id", "s")
+        .distinct()
     )
 
 
@@ -84,9 +108,20 @@ def minhash_lsh_pairs(
     band-bucket join → exact Jaccard verification >= ``threshold``.
 
     Returns (doc_a, doc_b, jaccard_sim) with doc_a < doc_b.
+
+    Fully set-based: exploded shingles feed both the signature min-agg and
+    the |A∩B| count join, so every stage is codegen'd scan/shuffle/agg with
+    no interpreted array lambdas. Jaccard = ∩ / (|A| + |B| - ∩) over
+    distinct shingle sets — identical to intersect/union over the sets.
     """
-    shingled = shingle_sets(df, id_col, text_col, k)
-    sig = minhash_signatures(shingled, bands)
+    exp = shingles_exploded(df, id_col, text_col, k)
+    # per-band minhash from the exploded form: one md5 per (shingle, band)
+    bands_df = exp.sparkSession.range(bands).select(F.col("id").cast("int").alias("band"))
+    sig = (
+        exp.crossJoin(F.broadcast(bands_df))
+        .groupBy("doc_id", "band")
+        .agg(F.min(F.md5(F.concat(F.col("band").cast("string"), F.lit("|"), F.col("s")))).alias("mh"))
+    )
     a, b = sig.alias("a"), sig.alias("b")
     cand = (
         a.join(
@@ -98,12 +133,22 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    sizes = exp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ea = exp.select(F.col("doc_id").alias("doc_a"), "s")
+    eb = exp.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        cand.join(ea, "doc_a")
+        .join(eb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"))
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard_sim"))
         .where(F.col("jaccard_sim") >= threshold)
     )
 
@@ -174,20 +219,31 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All-pairs n-gram Jaccard within a blocking key (e.g. language +
     length bucket) — the exact-verification path without LSH, for when
-    blocks are small enough that |block|^2 is acceptable."""
-    sh = F.array_distinct(word_shingles(words(text_col), k))
-    base = df.select(F.col(id_col).alias("doc_id"), block.alias("blk"), sh.alias("sh")).where(
-        F.size("sh") > 0
+    blocks are small enough that |block|^2 is acceptable.
+
+    Set-based like ``minhash_lsh_pairs``: intersections come from a
+    shingle-equality join (pairs sharing zero shingles have Jaccard 0 and
+    are below any positive threshold, so the inner join loses nothing).
+    """
+    assert threshold > 0, "count-join formulation requires a positive threshold"
+    exp = shingles_exploded(df, id_col, text_col, k)
+    blocks = df.select(F.col(id_col).alias("doc_id"), block.alias("blk"))
+    exp = exp.join(blocks, "doc_id")
+    sizes = exp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ea = exp.select(F.col("doc_id").alias("doc_a"), F.col("blk"), "s")
+    eb = exp.select(F.col("doc_id").alias("doc_b"), F.col("blk"), "s")
+    inter = (
+        ea.join(eb, ["blk", "s"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    a, b = base.alias("a"), base.alias("b")
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     return (
-        a.join(
-            b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id"))
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            jaccard(F.col("a.sh"), F.col("b.sh")).alias("jaccard_sim"),
-        )
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard_sim"))
         .where(F.col("jaccard_sim") >= threshold)
     )
