@@ -1,0 +1,132 @@
+"""Golden tests for the ingest layer (FIXTURES.md §1/§4/§5.5).
+
+Static: CSV → star join fan-out → GTFS time parsing → gtfs_data shape.
+Realtime: nested feed struct → explode → trip_updates rows with NULL /
+epoch-0 sentinel handling and weather enrichment.
+"""
+
+from __future__ import annotations
+
+from datetime import date, datetime
+
+import pytest
+
+from transit_efficiency_analysis_spark import schemas
+from transit_efficiency_analysis_spark.sources.gtfs_realtime import (
+    apply_epoch0_default,
+    decode_feed,
+    enrich_weather,
+)
+from transit_efficiency_analysis_spark.sources.gtfs_static import (
+    build_gtfs_data,
+    read_gtfs_static,
+)
+
+STOP_TIMES = """trip_id,arrival_time,departure_time,stop_id,stop_sequence
+T1,10:30:00,10:31:00,100,1
+T1,25:15:00,25:16:00,200,2
+T2,08:00:00,08:05:00,100,1
+"""
+TRIPS = """trip_id,service_id,route_id
+T1,S1,R1
+T2,S2,R1
+"""
+CALENDAR_DATES = """service_id,date
+S1,20230615
+S1,20230616
+S2,20230615
+"""
+STOPS = """stop_id,stop_name,stop_lat,stop_lon
+100,Downtown,46.49,-80.99
+200,Uptown,46.52,-81.01
+"""
+ROUTES = """route_id,route_long_name
+R1,Main Line
+"""
+
+
+@pytest.fixture(scope="module")
+def gtfs_data(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("gtfs")
+    for name, content in [
+        ("stop_times", STOP_TIMES),
+        ("trips", TRIPS),
+        ("calendar_dates", CALENDAR_DATES),
+        ("stops", STOPS),
+        ("routes", ROUTES),
+    ]:
+        (d / f"{name}.txt").write_text(content)
+    return build_gtfs_data(read_gtfs_static(spark, str(d)))
+
+
+def test_calendar_fanout_and_columns(gtfs_data):
+    rows = gtfs_data.collect()
+    # T1 has 2 service dates x 2 stops + T2 has 1 date x 1 stop = 5 rows
+    assert len(rows) == 5
+    assert gtfs_data.columns == [f.name for f in schemas.GTFS_DATA.fields]
+
+
+def test_time_parse_and_rollover(gtfs_data):
+    by_key = {(r["trip_id"], r["start_date"], r["stop_sequence"]): r for r in gtfs_data.collect()}
+    r = by_key[("T1", date(2023, 6, 15), 1)]
+    # 10:30 EDT on 2023-06-15 → 14:30 UTC
+    assert r["arrival_time"] == datetime(2023, 6, 15, 14, 30)
+    # >= 24h rollover lands on the service date + 1 but keeps start_date
+    r2 = by_key[("T1", date(2023, 6, 15), 2)]
+    assert r2["arrival_time"] == datetime(2023, 6, 16, 5, 15)
+    assert r2["start_date"] == date(2023, 6, 15)
+
+
+def test_geo_concat(gtfs_data):
+    r = next(r for r in gtfs_data.collect() if r["stop_id"] == 100)
+    assert r["geo_coordinates"] == "46.49, -80.99"
+
+
+@pytest.fixture(scope="module")
+def feed_df(spark):
+    rows = [
+        (
+            datetime(2026, 1, 1, 12, 0),
+            [
+                (
+                    "T1",
+                    "20260101",
+                    [
+                        (1, "100", 1767268800, 1767268860),  # both present
+                        (2, "200", None, 1767269400),  # arrival absent
+                        (3, "300", None, None),  # both absent
+                    ],
+                ),
+                ("T2", "20260101", None),  # no updates at all
+            ],
+        )
+    ]
+    return spark.createDataFrame(rows, schemas.REALTIME_FEED_RAW)
+
+
+def test_decode_feed_explodes_and_nulls(feed_df):
+    out = decode_feed(feed_df).collect()
+    assert len(out) == 3  # T2 (no stop updates) contributes nothing
+    by_seq = {r["stop_sequence"]: r for r in out}
+    assert by_seq[1]["arrival_time"] == datetime(2026, 1, 1, 12, 0)
+    assert by_seq[1]["stop_id"] == "100"  # stays string (cast only at join)
+    assert by_seq[2]["arrival_time"] is None
+    assert by_seq[3]["arrival_time"] is None and by_seq[3]["departure_time"] is None
+    assert by_seq[2]["start_date"] == date(2026, 1, 1)
+
+
+def test_epoch0_default(feed_df):
+    out = apply_epoch0_default(decode_feed(feed_df)).collect()
+    by_seq = {r["stop_sequence"]: r for r in out}
+    assert by_seq[2]["arrival_time"] == datetime(1970, 1, 1)  # NULL → sentinel
+    assert by_seq[1]["arrival_time"] == datetime(2026, 1, 1, 12, 0)  # untouched
+
+
+def test_weather_enrichment(feed_df):
+    decoded = decode_feed(feed_df)
+    out = enrich_weather(decoded, 501, "moderate rain", 283.15).collect()[0]
+    assert out["weather_group"] == "Rain"
+    assert out["weather_description"] == "moderate rain"
+    assert abs(out["temperature"] - 10.0) < 1e-9
+    none_out = enrich_weather(decoded, None, None, None).collect()[0]
+    assert none_out["weather_group"] is None and none_out["temperature"] is None

@@ -1,0 +1,54 @@
+"""Physical-plan assertions: the optimizations we rely on at 100 TB must be
+visible in the plan at any scale (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from transit_efficiency_analysis_spark.demo import load_registry
+from transit_efficiency_analysis_spark.plans import (
+    assert_broadcast_join,
+    assert_no_python_row_udf,
+    assert_pushed_filter,
+    assert_read_schema_only,
+    assert_whole_stage_codegen,
+    count_shuffles,
+)
+from transit_efficiency_analysis_spark.sources.registry import load_table
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.where(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    assert_pushed_filter(df, "l_quantity")
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.select("l_orderkey", "l_extendedprice")
+    assert_read_schema_only(df, "lineitem", {"l_orderkey", "l_extendedprice"})
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    q = load_registry()["q_join_star"]
+    df = q.fn(spark, sf_dir)
+    assert_broadcast_join(df, min_count=4)  # orders/customer/nation/region
+
+
+def test_flagship_no_python_and_codegen(spark, sf_dir):
+    q = load_registry()["q_rebuild_full"]
+    df = q.fn(spark, sf_dir)
+    assert_no_python_row_udf(df)
+    assert_whole_stage_codegen(df)
+
+
+def test_projection_demo_is_scan_only(spark, sf_dir):
+    q = load_registry()["q_proj_select"]
+    df = q.fn(spark, sf_dir)
+    assert count_shuffles(df) == 0  # pure projection must not shuffle
+
+
+def test_text_ops_no_python(spark, sf_dir):
+    for name in ["q_text_quality", "q_text_langid", "q_dedup_minhash_lsh"]:
+        df = load_registry()[name].fn(spark, sf_dir)
+        assert_no_python_row_udf(df)

@@ -40,6 +40,7 @@ _DEMO_MODULES = [
     "textops",
     "dedup",
     "similarity",
+    "multimodal",
 ]
 
 

@@ -1,0 +1,90 @@
+"""Streaming realtime ingest: micro-batch feed files → upserted state table.
+
+Replaces the reference's cron + inter-process lock + rate-limit state file
+runtime (``realtime_extractor.py:39-57,122-143``) with Structured Streaming:
+
+- source: a file stream of decoded feed rows (one parquet drop per poll —
+  the shape a ``.pb``-per-minute poller lands); checkpointing replaces the
+  lock file (exactly-once per file), the trigger interval replaces cron,
+  and ``Trigger.AvailableNow`` gives catch-up-then-stop semantics.
+- sink: ``foreachBatch`` applying the same ``merge_batch`` window-dedup
+  kernel as the batch path onto a parquet state table — so stream and batch
+  are *the same operator*, proven equal by the parity test
+  (tests/test_streaming.py).
+
+At scale the state table is Delta/Iceberg and ``merge_batch`` becomes
+``MERGE INTO`` over date-pruned partitions; watermarking bounds the dedup
+state if the window kernel is moved into the stream itself
+(``dropDuplicatesWithinWatermark``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from transit_efficiency_analysis_spark import schemas
+from transit_efficiency_analysis_spark.operators.upsert import merge_batch
+from transit_efficiency_analysis_spark.sources.gtfs_realtime import (
+    apply_epoch0_default,
+    decode_feed,
+)
+
+#: upsert identity (PK) + recency order for realtime observations
+REALTIME_KEYS = ["trip_id", "start_date", "stop_sequence", "stop_id"]
+REALTIME_ORDER = ["poll_ts"]
+
+
+def transform_feed(raw: DataFrame) -> DataFrame:
+    """Shared decode+default transformation (stream and batch identical)."""
+    return apply_epoch0_default(decode_feed(raw))
+
+
+def run_stream_available_now(
+    spark: SparkSession,
+    feed_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Process all pending feed files (one or more polls each) and stop.
+
+    ``foreachBatch`` merges each micro-batch into the parquet state table
+    with keep-newest-per-key semantics; writes are atomic overwrites of the
+    small state table (at scale: MERGE INTO a Delta table instead).
+    """
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        batch = transform_feed(batch_df)
+        if os.path.exists(state_path):
+            existing = batch_df.sparkSession.read.parquet(state_path)
+            merged = merge_batch(existing, batch, REALTIME_KEYS, REALTIME_ORDER)
+        else:
+            merged = merge_batch(
+                batch.limit(0), batch, REALTIME_KEYS, REALTIME_ORDER
+            )
+        # materialize before overwriting the path we may have just read
+        out = merged.collect()
+        batch_df.sparkSession.createDataFrame(out, merged.schema).write.mode(
+            "overwrite"
+        ).parquet(state_path)
+
+    raw = (
+        spark.readStream.schema(schemas.REALTIME_FEED_RAW)
+        .parquet(feed_dir)
+    )
+    q = (
+        raw.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def batch_equivalent(spark: SparkSession, feed_dir: str) -> DataFrame:
+    """The batch recompute the stream must equal: read every poll file at
+    once, transform, keep newest per key."""
+    raw = spark.read.schema(schemas.REALTIME_FEED_RAW).parquet(feed_dir)
+    batch = transform_feed(raw)
+    return merge_batch(batch.limit(0), batch, REALTIME_KEYS, REALTIME_ORDER)
