@@ -41,6 +41,7 @@ _DEMO_MODULES = [
     "dedup",
     "similarity",
     "multimodal",
+    "sinks",
 ]
 
 

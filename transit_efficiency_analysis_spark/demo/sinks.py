@@ -1,0 +1,72 @@
+"""Sink / null-cleaning demos (SURVEY §2.1 sinks, §2.2 null-clean).
+
+``q_sink_roundtrip`` proves the write path set-based (the reference's
+per-row INSERT sink, ``historical_extractor.py:84-88``, becomes one
+``df.write``): write parquet + CSV, read both back, verify identical
+content via the oracle (which reads the original table).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transit_efficiency_analysis_spark.demo import demo
+from transit_efficiency_analysis_spark.sources.registry import load_table
+
+
+@demo(
+    "q_null_clean",
+    sql="""
+    SELECT event_id,
+           coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS k_filled,
+           (props IS NOT NULL) AS has_props
+    FROM events
+    WHERE ts IS NOT NULL
+    """,
+)
+def q_null_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """null-clean: the NaT→None normalization of the reference
+    (``realtime_extractor.py:188-189``) generalizes to na.drop/fillna —
+    Spark nulls are uniform so this is coalesce + null predicates."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.na.drop(subset=["ts"])
+        .select(
+            "event_id",
+            F.coalesce(k, F.lit(-1)).alias("k_filled"),
+            F.col("props").isNotNull().alias("has_props"),
+        )
+    )
+
+
+@demo(
+    "q_sink_roundtrip",
+    sql="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem WHERE l_orderkey % 10 = 0
+    """,
+)
+def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sink-parquet + sink-csv: write a slice set-based, read it back —
+    the oracle reads the original table, so the round-trip must be
+    lossless (schema carried by parquet; CSV re-read with explicit schema)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 10 == 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    )
+    out_dir = os.path.join(tempfile.gettempdir(), "teas_sink_roundtrip")
+    pq_path = os.path.join(out_dir, "slice.parquet")
+    csv_path = os.path.join(out_dir, "slice.csv")
+    li.write.mode("overwrite").parquet(pq_path)
+    li.write.mode("overwrite").option("header", True).csv(csv_path)
+    pq = spark.read.parquet(pq_path)
+    csv = spark.read.schema(pq.schema).option("header", True).csv(csv_path)
+    if pq.exceptAll(csv).count() != 0 or csv.exceptAll(pq).count() != 0:
+        raise AssertionError("parquet and csv sink round-trips disagree")
+    return pq
