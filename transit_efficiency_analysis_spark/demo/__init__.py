@@ -42,6 +42,7 @@ _DEMO_MODULES = [
     "similarity",
     "multimodal",
     "sinks",
+    "sqlsurface",
 ]
 
 

@@ -21,7 +21,8 @@ from transit_efficiency_analysis_spark.sources.registry import load_table
     sql="""
     SELECT r_name AS region_name, n_name AS nation_name,
            count(*) AS n_lineitems,
-           sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue
+           sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)))
+               AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -49,8 +50,12 @@ def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
         .agg(
             F.count(F.lit(1)).alias("n_lineitems"),
+            # cast factors to decimal BEFORE multiplying: a double product cast
+            # afterwards can land on a .xxx5 shortest-repr boundary where Spark
+            # (HALF_UP on shortest repr) and DuckDB (round of true value) differ
             F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (1 - F.col("l_discount")).cast("decimal(4,2)")
             ).alias("revenue"),
         )
     )

@@ -1,0 +1,190 @@
+"""SQL-surface demos: subqueries, grouping sets, arrays, and the SQL API.
+
+The engine accepts Spark SQL directly (same Catalyst plans as the
+DataFrame API) — several demos here run through ``spark.sql`` over temp
+views to prove that surface. Average-comparisons are expressed as
+``value * n > decimal_total`` (algebraically identical to ``value > avg``)
+so the predicate is exact on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transit_efficiency_analysis_spark.demo import demo
+from transit_efficiency_analysis_spark.sources.registry import load_table
+
+
+@demo(
+    "q_subquery_scalar",
+    sql="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE CAST(o_totalprice AS DECIMAL(18,4)) * (SELECT count(*) FROM orders)
+          > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,4))) FROM orders)
+    """,
+)
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scalar subquery: orders above the global average price
+    (price·n > Σprice — exact decimal arithmetic, no float threshold)."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE CAST(o_totalprice AS DECIMAL(18,4)) * (SELECT count(*) FROM orders)
+              > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,4))) FROM orders)
+        """
+    )
+
+
+@demo(
+    "q_subquery_exists",
+    sql="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+)
+def q_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """correlated EXISTS / NOT EXISTS via the SQL API (plans to
+    semi/anti joins — same physical shape as q_join_semi/anti)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        """
+    )
+
+
+@demo(
+    "q_subquery_correlated_avg",
+    sql="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity
+    FROM lineitem l
+    JOIN (SELECT l_orderkey, count(*) AS n,
+                 sum(CAST(l_quantity AS DECIMAL(18,4))) AS total
+          FROM lineitem GROUP BY l_orderkey) g
+      ON l.l_orderkey = g.l_orderkey
+    WHERE CAST(l.l_quantity AS DECIMAL(18,4)) * g.n > g.total
+    """,
+)
+def q_subquery_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-group above-average filter (the correlated-subquery pattern,
+    decorrelated into a grouped join — what Catalyst does anyway)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("total"),
+    )
+    j = li.join(g, "l_orderkey")
+    return j.where(F.col("l_quantity").cast("decimal(18,4)") * F.col("n") > F.col("total")).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@demo(
+    "q_grouping_sets",
+    sql="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+           sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS total
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explicit GROUPING SETS via the SQL API (finer control than
+    cube/rollup)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+               sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS total
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@demo(
+    "q_sql_tpch_q1",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+           sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
+           sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS sum_disc_price,
+           sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))
+               * CAST(1 + l_tax AS DECIMAL(4,2))) AS sum_charge,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape through the SQL API — the canonical pricing-summary
+    aggregation with exact decimal totals."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+               sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
+               sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS sum_disc_price,
+               sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))
+                   * CAST(1 + l_tax AS DECIMAL(4,2))) AS sum_charge,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+@demo(
+    "q_array_agg",
+    sql="""
+    SELECT event_type,
+           list_sort(list(DISTINCT user_id)) AS user_ids,
+           CAST(len(list(DISTINCT user_id)) AS INTEGER) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array aggregation: per-group sorted distinct collection (sorted so
+    the multiset is deterministic regardless of accumulation order)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.array_sort(F.collect_set("user_id")).alias("user_ids"),
+        F.size(F.collect_set("user_id")).alias("n_users"),
+    )
+
+
+@demo(
+    "q_array_explode",
+    sql="""
+    SELECT event_type, unnest(ids) AS user_id
+    FROM (SELECT event_type, list_sort(list(DISTINCT user_id)) AS ids
+          FROM events GROUP BY event_type)
+    """,
+)
+def q_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode: array column back to rows (the UDTF shape used by the
+    realtime feed decode)."""
+    e = load_table(spark, sf_dir, "events")
+    grouped = e.groupBy("event_type").agg(
+        F.array_sort(F.collect_set("user_id")).alias("ids")
+    )
+    return grouped.select("event_type", F.explode("ids").alias("user_id"))
