@@ -23,12 +23,17 @@ from transit_efficiency_analysis_spark.session import get_spark
 HEADLINE = [
     "q_rebuild_full",
     "q_join_star",
+    "q_sql_tpch_q1",
     "q_agg_dashboard",
     "q_upsert_cond",
+    "q_window_session",
     "q_dedup_exact",
     "q_dedup_minhash_lsh",
+    "q_dedup_simhash_pairs",
     "q_sim_bruteforce_topk",
+    "q_sim_lsh_topk",
     "q_text_quality",
+    "q_apply_in_pandas",
 ]
 
 

@@ -43,6 +43,8 @@ _DEMO_MODULES = [
     "multimodal",
     "sinks",
     "sqlsurface",
+    "pandasudf",
+    "windowed",
 ]
 
 

@@ -1,0 +1,91 @@
+"""Pandas-UDF surface demos: Arrow-batched scalar UDF and applyInPandas
+group-map, both verified against SQL oracles.
+
+These prove the engine's slow-path contract: when Python is genuinely
+needed, it runs vectorized over Arrow batches — and the demos pin the
+Python results to engine-portable SQL semantics (order-insensitive math
+only: min/max ranges, sort-based medians — no float accumulation whose
+order could differ between pandas and SQL).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from transit_efficiency_analysis_spark.demo import demo
+from transit_efficiency_analysis_spark.sources.registry import load_table
+
+
+@F.pandas_udf(T.StringType())
+def _normalize_text(s: pd.Series) -> pd.Series:
+    """Vectorized text normalization (lower + squeeze whitespace + strip)."""
+    return s.str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
+
+
+@demo(
+    "q_pandas_udf_scalar",
+    sql="""
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text
+    FROM documents
+    """,
+)
+def q_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched scalar Pandas UDF (10-100x over row-at-a-time Python);
+    results must equal the pure-SQL normalization."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", _normalize_text("text").alias("norm_text"))
+
+
+_RANGE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("range_pos", T.DoubleType(), True),
+        T.StructField("group_median", T.DoubleType(), True),
+    ]
+)
+
+
+def _range_normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-group min-max position + exact median — order-insensitive math
+    only (min/max/sorted-middle), so any row arrival order gives identical
+    doubles."""
+    lo, hi = pdf["value"].min(), pdf["value"].max()
+    span = hi - lo
+    vals = sorted(pdf["value"])
+    n = len(vals)
+    # linear interpolation written exactly like quantile_cont: lo + (hi-lo)*f
+    # ((a+b)/2 is NOT the same floating-point expression)
+    med = vals[n // 2] if n % 2 else vals[n // 2 - 1] + (vals[n // 2] - vals[n // 2 - 1]) * 0.5
+    out = pdf[["user_id", "event_id", "value"]].copy()
+    out["range_pos"] = 0.5 if span == 0 else (pdf["value"] - lo) / span
+    out["group_median"] = med
+    return out
+
+
+@demo(
+    "q_apply_in_pandas",
+    sql="""
+    SELECT user_id, event_id, value,
+           CASE WHEN hi = lo THEN 0.5 ELSE (value - lo) / (hi - lo) END AS range_pos,
+           med AS group_median
+    FROM (
+        SELECT user_id, event_id, value,
+               min(value) OVER (PARTITION BY user_id) AS lo,
+               max(value) OVER (PARTITION BY user_id) AS hi,
+               quantile_cont(value, 0.5) OVER (PARTITION BY user_id) AS med
+        FROM events
+    )
+    """,
+)
+def q_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas group-map: per-user min-max normalization + exact
+    median, one pandas frame per group (the custom-operator escape hatch
+    when built-ins can't express the semantics)."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    return e.groupBy("user_id").applyInPandas(_range_normalize, schema=_RANGE_SCHEMA)
