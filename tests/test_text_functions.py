@@ -98,3 +98,18 @@ def test_dot_is_left_fold(spark):
     for v in vals:
         acc += v * 1.0
     assert got == acc  # exactly, not approx
+
+
+def test_lsh_bucket_impls_agree(spark):
+    from transit_efficiency_analysis_spark.functions.vectors import hyperplane_sign_bucket
+    from transit_efficiency_analysis_spark.operators.similarity import lsh_bucket_assignments
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    col_impl = {
+        r["vec_id"]: r["b"]
+        for r in e.select(
+            "vec_id", hyperplane_sign_bucket(F.col("embedding"), 8, 64).alias("b")
+        ).collect()
+    }
+    set_impl = {r["vec_id"]: r["bucket"] for r in lsh_bucket_assignments(e).collect()}
+    assert col_impl == set_impl
