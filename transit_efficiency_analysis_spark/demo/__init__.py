@@ -45,6 +45,7 @@ _DEMO_MODULES = [
     "sqlsurface",
     "pandasudf",
     "windowed",
+    "ingest",
 ]
 
 

@@ -41,6 +41,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     stay bit-equal.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # all semantics in this engine assume UTC session time (SURVEY §1.2);
+    # set it here so queries are correct under any caller's session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     nanos_cols: list[str] = []
     try:
         for field in pq.read_schema(path):
