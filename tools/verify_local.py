@@ -89,6 +89,45 @@ def compare(spark_rows, spark_cols, duck_rows, duck_cols) -> tuple[bool, str]:
     return True, f"OK rows={len(s)}{note}"
 
 
+_DUCK_CANON = {
+    "TINYINT": "i8", "SMALLINT": "i16", "INTEGER": "i32", "BIGINT": "i64",
+    "HUGEINT": "i128", "UTINYINT": "u8", "USMALLINT": "u16", "UINTEGER": "u32",
+    "UBIGINT": "u64", "FLOAT": "f32", "DOUBLE": "f64", "VARCHAR": "str",
+    "BOOLEAN": "bool", "DATE": "date", "TIMESTAMP": "ts",
+    "TIMESTAMP WITH TIME ZONE": "tstz", "BLOB": "bytes",
+}
+
+_SPARK_CANON = {
+    "tinyint": "i8", "smallint": "i16", "int": "i32", "bigint": "i64",
+    "float": "f32", "double": "f64", "string": "str", "boolean": "bool",
+    "date": "date", "timestamp": "ts", "timestamp_ntz": "ts", "binary": "bytes",
+}
+
+
+def _canon(t: str, spark: bool) -> str:
+    t = t.strip()
+    low = t.lower()
+    if low.startswith("decimal"):
+        return low.replace(" ", "")
+    if low.startswith("array<") and spark:
+        return f"list<{_canon(t[6:-1], True)}>"
+    if low.endswith("[]"):
+        return f"list<{_canon(t[:-2], False)}>"
+    return (_SPARK_CANON if spark else _DUCK_CANON).get(low if spark else t.upper(), low)
+
+
+def type_report(spark_df, duck_cols, duck_types) -> list[str]:
+    """Pairs of (col, spark_type, duck_type) that don't canonically match."""
+    stypes = {f.name: _canon(f.dataType.simpleString(), True) for f in spark_df.schema.fields}
+    out = []
+    for col, dtype in zip(duck_cols, duck_types):
+        d = _canon(str(dtype), False)
+        s = stypes.get(col)
+        if s is not None and s != d:
+            out.append(f"{col}: spark={s} duck={d}")
+    return out
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -118,13 +157,16 @@ def main() -> int:
             print(f"pass {name}: rows-only ({len(spark_rows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
-            res = con.execute(d.sql)
-            duck_cols = [c[0] for c in res.description]
-            duck_rows = res.fetchall()
+            rel = con.sql(d.sql)
+            duck_cols = list(rel.columns)
+            duck_types = list(rel.types)
+            duck_rows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
             continue
+        for tm in type_report(df, duck_cols, duck_types):
+            print(f"  TYPE {name}: {tm}")
         ok, msg = compare(spark_rows, spark_cols, duck_rows, duck_cols)
         status = "pass" if ok else "FAIL"
         if not ok:

@@ -73,7 +73,7 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("sum_qty"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("decimal(38,4)").alias("sum_qty"),
     )
 
 
@@ -92,7 +92,7 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.rollup("o_orderpriority", "o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("total_price"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("decimal(38,4)").alias("total_price"),
     )
 
 
@@ -126,7 +126,7 @@ def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.withColumn("day_type", local_day_name("ts"))
         .groupBy("event_type")
         .pivot("day_type", _DAYS)
-        .agg(F.sum(F.col("value").cast("decimal(18,6)")))
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)"))
     )
 
 
@@ -155,7 +155,7 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("user_id").alias("n_users"),
-        sum_dec.alias("sum_value"),
+        sum_dec.cast("decimal(38,6)").alias("sum_value"),
         (sum_dec / F.count("value")).cast("decimal(18,6)").alias("avg_value"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),

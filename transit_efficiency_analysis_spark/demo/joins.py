@@ -56,7 +56,7 @@ def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.col("l_extendedprice").cast("decimal(12,2)")
                 * (1 - F.col("l_discount")).cast("decimal(4,2)")
-            ).alias("revenue"),
+            ).cast("decimal(38,4)").alias("revenue"),
         )
     )
 

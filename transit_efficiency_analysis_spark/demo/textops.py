@@ -94,7 +94,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct_ratio = F.size(F.array_distinct(w)).cast("double") / n_words
     return d.select(
         "doc_id",
-        n_words.alias("n_words"),
+        n_words.cast("long").alias("n_words"),
         F.col("n_chars"),
         avg_word_len.alias("avg_word_len"),
         stop_ratio.alias("stopword_ratio"),

@@ -32,6 +32,7 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.sum(F.col("value").cast("decimal(18,6)"))
         .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("decimal(38,6)")
         .alias("running_value"),
         F.row_number().over(w).alias("seq"),
     )
