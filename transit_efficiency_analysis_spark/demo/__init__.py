@@ -46,6 +46,7 @@ _DEMO_MODULES = [
     "pandasudf",
     "windowed",
     "ingest",
+    "asof",
 ]
 
 
