@@ -1,0 +1,58 @@
+"""Property test: blocked n-gram Jaccard operator equals a brute-force
+Python reference on random word-bag corpora."""
+
+from __future__ import annotations
+
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from transit_efficiency_analysis_spark.operators.dedup import ngram_jaccard_pairs
+
+VOCAB = ["scan", "join", "sort", "merge", "hash", "row", "key", "batch"]
+
+
+def _py_shingles(text: str, k: int = 3) -> set[str]:
+    w = text.split(" ")
+    return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+
+def _py_pairs(docs, threshold):
+    out = {}
+    for i, (ida, ta) in enumerate(docs):
+        sa = _py_shingles(ta)
+        if not sa:
+            continue
+        for idb, tb in docs[i + 1 :]:
+            sb = _py_shingles(tb)
+            if not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= threshold:
+                a, b = min(ida, idb), max(ida, idb)
+                out[(a, b)] = j
+    return out
+
+
+corpus_strategy = st.lists(
+    st.lists(st.sampled_from(VOCAB), min_size=1, max_size=12).map(" ".join),
+    min_size=2,
+    max_size=10,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=corpus_strategy)
+def test_ngram_jaccard_matches_bruteforce(spark, texts):
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_sim"]
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", block=F.lit(1), k=3, threshold=0.3
+        ).collect()
+    }
+    want = _py_pairs(docs, 0.3)
+    assert set(got) == set(want)
+    for pair, j in want.items():
+        assert abs(got[pair] - j) < 1e-12

@@ -49,11 +49,19 @@ def _epoch(c: Column) -> Column:
     return epoch_seconds(c)
 
 
-def compute_delays(trip_updates: DataFrame, gtfs_data: DataFrame) -> DataFrame:
+def compute_delays(
+    trip_updates: DataFrame, gtfs_data: DataFrame, sort: bool = True
+) -> DataFrame:
     """``trip_updates ⋈ gtfs_data`` → ``trip_updates_with_diffs``.
 
     Inputs follow ``schemas.TRIP_UPDATES`` / ``schemas.GTFS_DATA``; output
     follows ``schemas.TRIP_UPDATES_WITH_DIFFS_COLUMNS`` (FIXTURES.md §6).
+
+    ``sort=True`` reproduces the reference's display ``ORDER BY``
+    (``diff_times.py:107``) — semantically immaterial, but it costs a
+    global range-exchange; pass ``sort=False`` in a 100 TB materialization
+    where storage order doesn't matter (the writer partitions by
+    ``start_date`` anyway).
     """
     tu = trip_updates.alias("tu")
     gd = gtfs_data.alias("gd")
@@ -92,7 +100,7 @@ def compute_delays(trip_updates: DataFrame, gtfs_data: DataFrame) -> DataFrame:
         .otherwise(F.lit(None).cast("double"))
     )
 
-    return (
+    out = (
         tu.join(gd, join_cond, "inner")
         .where(keep)
         .select(
@@ -119,6 +127,8 @@ def compute_delays(trip_updates: DataFrame, gtfs_data: DataFrame) -> DataFrame:
             F.col("tu.created_at").alias("created_at"),
             F.col("tu.updated_at").alias("updated_at"),
         )
-        # display-order only; storage order is immaterial (diff_times.py:107)
-        .orderBy("trip_id", "stop_sequence", "start_date")
     )
+    if sort:
+        # display-order only; storage order is immaterial (diff_times.py:107)
+        out = out.orderBy("trip_id", "stop_sequence", "start_date")
+    return out

@@ -18,11 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from transit_efficiency_analysis_spark.functions.vectors import (
-    as_double,
-    cosine,
-    hyperplane_sign_bucket,
-)
+from transit_efficiency_analysis_spark.functions.vectors import as_double, cosine
 
 
 def brute_force_topk(
