@@ -21,6 +21,7 @@ state if the window kernel is moved into the stream itself
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -63,11 +64,14 @@ def run_stream_available_now(
             merged = merge_batch(
                 batch.limit(0), batch, REALTIME_KEYS, REALTIME_ORDER
             )
-        # materialize before overwriting the path we may have just read
-        out = merged.collect()
-        batch_df.sparkSession.createDataFrame(out, merged.schema).write.mode(
-            "overwrite"
-        ).parquet(state_path)
+        # write to a temp path, then swap: Spark can't overwrite a path that
+        # feeds the same job, and this avoids driver-side materialization
+        # (at scale this whole body is a Delta MERGE instead)
+        tmp = state_path + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(state_path):
+            shutil.rmtree(state_path)
+        os.rename(tmp, state_path)
 
     raw = (
         spark.readStream.schema(schemas.REALTIME_FEED_RAW)
