@@ -47,6 +47,8 @@ _DEMO_MODULES = [
     "windowed",
     "ingest",
     "asof",
+    "tpch",
+    "sampling",
 ]
 
 

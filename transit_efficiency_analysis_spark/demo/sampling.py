@@ -1,0 +1,123 @@
+"""Deterministic sampling + histogram + edit-distance demos.
+
+Training-data pipelines need *reproducible* samples — ``df.sample()`` is
+seed-and-partitioning dependent, so these operators sample by content hash
+(md5), which is stable across engines, partitionings, and re-runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from transit_efficiency_analysis_spark.demo import demo
+from transit_efficiency_analysis_spark.sources.registry import load_table
+
+
+@demo(
+    "q_sample_hash",
+    sql="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE substr(md5('sample1|' || CAST(doc_id AS VARCHAR)), 1, 2) < '2a'
+    """,
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deterministic ~16% Bernoulli sample by keyed md5 (salt 'sample1') —
+    reproducible regardless of partitioning, unlike df.sample()."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.concat(F.lit("sample1|"), F.col("doc_id").cast("string"))), 1, 2)
+    return d.where(h < "2a").select("doc_id", "lang", "n_chars")
+
+
+@demo(
+    "q_sample_stratified",
+    sql="""
+    SELECT doc_id, lang
+    FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY md5('strat|' || CAST(doc_id AS VARCHAR))) AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM documents
+    )
+    WHERE rn * 5 <= n
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stratified 20% sample per language: rank rows by keyed hash within
+    each stratum, keep the first n/5 (exact integer predicate — no float
+    fraction comparisons)."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("strat|"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(h)
+    wc = Window.partitionBy("lang")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wc))
+        .where(F.col("rn") * 5 <= F.col("n"))
+        .select("doc_id", "lang")
+    )
+
+
+@demo(
+    "q_agg_histogram",
+    sql="""
+    SELECT CAST(least(floor(o_totalprice / 60000), 9) AS INTEGER) AS bucket,
+           count(*) AS n_orders,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY CAST(least(floor(o_totalprice / 60000), 9) AS INTEGER)
+    """,
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fixed-width histogram (10 buckets of 60k, top-clamped) — the
+    dashboard distribution shape."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 60000), F.lit(9)).cast("int")
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@demo(
+    "q_dedup_editdistance",
+    sql="""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS INTEGER)
+               AS edit_distance
+    FROM documents a
+    JOIN documents b
+      ON a.lang = b.lang AND a.n_chars // 50 = b.n_chars // 50 AND a.doc_id < b.doc_id
+    WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 20
+    """,
+)
+def q_dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """edit-distance near-dup: levenshtein over 40-char prefixes within
+    (lang, length-bucket) blocks — the character-level dedup flavor
+    (exact integer metric, identical on both engines)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / 50).alias("lb"),
+        F.substring("text", 1, 40).alias("prefix"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.lb") == F.col("b.lb"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.cast("int").alias("edit_distance"),
+        )
+        .where(F.col("edit_distance") <= 20)
+    )
