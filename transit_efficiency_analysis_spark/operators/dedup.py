@@ -115,13 +115,19 @@ def minhash_lsh_pairs(
     distinct shingle sets — identical to intersect/union over the sets.
     """
     exp = shingles_exploded(df, id_col, text_col, k)
-    # per-band minhash from the exploded form: one md5 per (shingle, band)
-    bands_df = exp.sparkSession.range(bands).select(F.col("id").cast("int").alias("band"))
-    sig = (
-        exp.crossJoin(F.broadcast(bands_df))
-        .groupBy("doc_id", "band")
-        .agg(F.min(F.md5(F.concat(F.col("band").cast("string"), F.lit("|"), F.col("s")))).alias("mh"))
+    # all band minima in ONE aggregation pass over the exploded shingles
+    # (a band×shingle cross join would multiply the shuffle rows by `bands`),
+    # then unpivot the band columns to (doc_id, band, mh) rows
+    band_mins = exp.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{b}|"), F.col("s")))).alias(f"mh_{b}")
+            for b in range(bands)
+        ]
     )
+    stack_expr = "stack({n}, {args}) as (band, mh)".format(
+        n=bands, args=", ".join(f"{b}, mh_{b}" for b in range(bands))
+    )
+    sig = band_mins.select("doc_id", F.expr(stack_expr))
     a, b = sig.alias("a"), sig.alias("b")
     cand = (
         a.join(
