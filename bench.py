@@ -43,8 +43,15 @@ def main() -> None:
     spark = get_spark("bench")
     registry = load_registry()
 
-    # warm the JVM/session on a trivial action so boot cost isn't in query times
+    # warm the JVM/session and the Python worker pool so boot cost isn't in
+    # query times (Arrow workers cold-start ~1-2s per executor thread)
     spark.range(1).count()
+    from pyspark.sql import functions as F
+
+    _warm = F.pandas_udf(lambda s: s, "long")
+    spark.range(1000).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).select(
+        _warm("id")
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from transit_efficiency_analysis_spark.functions.vectors import as_double, cosine
+from transit_efficiency_analysis_spark.functions.vectors import as_double, dot, norm
 
 
 def brute_force_topk(
@@ -33,13 +33,19 @@ def brute_force_topk(
     Returns (query_id, neighbor_id, cosine_sim, rank). Self-matches are
     excluded. The query side is broadcast (queries ≪ corpus).
     """
+    # norms are projected on each side BEFORE the join → one norm fold per
+    # row instead of one per pair (cosine(a,b) = dot/(|a||b|) exactly)
     q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qv"),
+        norm(as_double(F.col(vec_col))).alias("qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cv"),
+        norm(as_double(F.col(vec_col))).alias("cn"),
     )
-    sim = cosine(F.col("qv"), F.col("cv"))
+    sim = dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
@@ -105,15 +111,17 @@ def lsh_topk(
     """Approximate top-k: exact cosine ranking *within* each LSH bucket."""
     buckets = lsh_bucket_assignments(df, id_col, vec_col, planes, dims)
     base = df.select(
-        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
+        F.col(id_col).alias("vec_id"),
+        as_double(F.col(vec_col)).alias("v"),
+        norm(as_double(F.col(vec_col))).alias("vn"),
     ).join(buckets, "vec_id")
     a = base.select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("vn").alias("qn"), "bucket"
     )
     b = base.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "bucket"
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), F.col("vn").alias("cn"), "bucket"
     )
-    sim = cosine(F.col("qv"), F.col("cv"))
+    sim = dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
@@ -142,10 +150,13 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within a blocking key."""
     base = df.select(
-        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v"), block.alias("blk")
+        F.col(id_col).alias("vec_id"),
+        as_double(F.col(vec_col)).alias("v"),
+        norm(as_double(F.col(vec_col))).alias("vn"),
+        block.alias("blk"),
     )
     a, b = base.alias("a"), base.alias("b")
-    sim = cosine(F.col("a.v"), F.col("b.v"))
+    sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.vn") * F.col("b.vn"))
     return (
         a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(
