@@ -49,6 +49,7 @@ _DEMO_MODULES = [
     "asof",
     "tpch",
     "sampling",
+    "textprep",
 ]
 
 

@@ -1,0 +1,143 @@
+"""Training-data text preparation demos: chunking, redaction, repetition.
+
+The operators an LLM pre-training pipeline runs after dedup/quality:
+split documents into token-window chunks with overlap, scrub PII-shaped
+spans, and score boilerplate repetition (max-n-gram-frequency, the
+Gopher-style signal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transit_efficiency_analysis_spark.demo import demo
+from transit_efficiency_analysis_spark.functions.text import words
+from transit_efficiency_analysis_spark.operators.dedup import shingles_exploded
+from transit_efficiency_analysis_spark.sources.registry import load_table
+
+_CHUNK = 32  # tokens per chunk
+_STRIDE = 24  # tokens between chunk starts (8-token overlap)
+
+
+@demo(
+    "q_text_chunk",
+    sql=f"""
+    SELECT doc_id,
+           CAST(ci AS INTEGER) AS chunk_idx,
+           array_to_string(w[ci * {_STRIDE} + 1 : ci * {_STRIDE} + {_CHUNK}], ' ') AS chunk_text,
+           CAST(least(len(w) - ci * {_STRIDE}, {_CHUNK}) AS INTEGER) AS n_tokens
+    FROM (
+        SELECT doc_id, w,
+               unnest(generate_series(0, CAST(greatest(ceil((len(w) - {_CHUNK}) / {_STRIDE}.0), 0) AS BIGINT))) AS ci
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    )
+    """,
+)
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """document chunking: fixed token windows ({_chunk} tokens, stride
+    {_stride} → overlap) — one row per chunk, short final chunk kept."""
+    d = load_table(spark, sf_dir, "documents")
+    w = words("text")
+    n_chunks_minus1 = F.greatest(
+        F.ceil((F.size(w) - _CHUNK) / float(_STRIDE)), F.lit(0)
+    ).cast("long")
+    base = d.select("doc_id", w.alias("w"), F.sequence(F.lit(0), n_chunks_minus1).alias("cis"))
+    exploded = base.select("doc_id", "w", F.explode("cis").alias("ci"))
+    chunk_text = F.array_join(
+        F.slice(F.col("w"), F.col("ci") * _STRIDE + 1, F.lit(_CHUNK)), " "
+    )
+    n_tokens = F.least(F.size("w") - F.col("ci") * _STRIDE, F.lit(_CHUNK)).cast("int")
+    return exploded.select(
+        "doc_id",
+        F.col("ci").cast("int").alias("chunk_idx"),
+        chunk_text.alias("chunk_text"),
+        n_tokens.alias("n_tokens"),
+    )
+
+
+@demo(
+    "q_text_redact",
+    sql=r"""
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(synth, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+               '\d{3}-\d{4}', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(synth, '[a-z0-9.]+@[a-z0-9.]+')) AS INTEGER)
+               AS n_emails
+    FROM (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                   AS synth
+        FROM documents
+    )
+    """,
+)
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-shaped redaction: emails/phones replaced with typed placeholders
+    (synthetic PII appended deterministically so the corpus has spans to
+    scrub)."""
+    d = load_table(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        (1000 + F.col("doc_id") % 9000).cast("string"),
+    )
+    email_pat = "[a-z0-9.]+@[a-z0-9.]+"
+    phone_pat = r"\d{3}-\d{4}"
+    redacted = F.regexp_replace(
+        F.regexp_replace(synth, email_pat, "<EMAIL>"), phone_pat, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        F.regexp_count(synth, F.lit(email_pat)).alias("n_emails"),
+    )
+
+
+@demo(
+    "q_text_repetition",
+    sql="""
+    SELECT doc_id,
+           CAST(max(c) AS INTEGER) AS max_shingle_count,
+           CAST(max(c) AS DOUBLE) / sum(c) AS max_shingle_ratio,
+           (CAST(max(c) AS DOUBLE) / sum(c)) > 0.1 AS is_repetitive
+    FROM (
+        SELECT doc_id, s, count(*) AS c
+        FROM (
+            SELECT doc_id,
+                   array_to_string(w[i:i+2], ' ') AS s
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+                 unnest(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
+        )
+        GROUP BY doc_id, s
+    )
+    GROUP BY doc_id
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """repetition scoring: most-frequent word-3-gram count and its share of
+    all 3-grams (duplicated-n-gram boilerplate signal); docs shorter than
+    3 tokens are excluded (no shingles)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(words("text")).alias("pos", "t")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    shingle = F.concat_ws(" ", F.col("t"), F.lead("t", 1).over(w), F.lead("t", 2).over(w))
+    sh = (
+        toks.select("doc_id", shingle.alias("s"), F.lead("t", 2).over(w).alias("__last"))
+        .where(F.col("__last").isNotNull())
+        .groupBy("doc_id", "s")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return sh.groupBy("doc_id").agg(
+        F.max("c").cast("int").alias("max_shingle_count"),
+        (F.max("c").cast("double") / F.sum("c")).alias("max_shingle_ratio"),
+        ((F.max("c").cast("double") / F.sum("c")) > 0.1).alias("is_repetitive"),
+    )
