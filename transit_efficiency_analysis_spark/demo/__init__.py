@@ -50,6 +50,7 @@ _DEMO_MODULES = [
     "tpch",
     "sampling",
     "textprep",
+    "approx",
 ]
 
 
