@@ -51,6 +51,7 @@ _DEMO_MODULES = [
     "sampling",
     "textprep",
     "approx",
+    "semistructured",
 ]
 
 

@@ -1,0 +1,76 @@
+"""Semi-structured (JSON) and range-frame window demos.
+
+JSON props parse to typed structs (the nested-feed pattern in miniature);
+the range window computes trailing time-interval aggregates — the
+timeseries frame the reference's dashboard would need for rolling delay
+averages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from transit_efficiency_analysis_spark.demo import demo
+from transit_efficiency_analysis_spark.sources.registry import load_table
+
+
+@demo(
+    "q_json_parse",
+    sql="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS k_mod,
+           json_extract_string(props, '$.missing') IS NULL AS missing_is_null
+    FROM events
+    """,
+)
+def q_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON parsing: ``from_json`` to a typed struct, field access, absent
+    fields → NULL (the nested-document pattern of the realtime feed)."""
+    e = load_table(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.LongType(), True)])
+    parsed = F.from_json("props", schema)
+    return e.select(
+        "event_id",
+        parsed.getField("k").alias("k"),
+        (parsed.getField("k") % 7).alias("k_mod"),
+        F.get_json_object("props", "$.missing").isNull().alias("missing_is_null"),
+    )
+
+
+@demo(
+    "q_window_range",
+    sql="""
+    SELECT user_id, event_id, ts,
+           CAST(sum(CAST(value AS DECIMAL(18,6)))
+                    OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+                AS DECIMAL(38,6)) AS trailing_1h_sum,
+           count(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+               AS trailing_1h_events
+    FROM events
+    """,
+)
+def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """range-frame window: trailing 1-hour per-key aggregates ordered by
+    event time (RANGE frames bound by value, not row count — ties at the
+    same timestamp all enter the frame together, so the result is
+    deterministic without a tiebreaker)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("double"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("decimal(38,6)").alias(
+            "trailing_1h_sum"
+        ),
+        F.count(F.lit(1)).over(w).alias("trailing_1h_events"),
+    )
