@@ -1,0 +1,109 @@
+"""End-to-end pipeline API — what replaces the reference's three entry
+points (``historical_extractor.py`` / ``realtime_extractor.py`` +
+``get_realtime.py`` / ``main_runner.py`` → ``diff_times.py``).
+
+A user of the reference runs three cron'd scripts against two Postgres
+instances over SSH; a user of this engine calls three functions (or runs
+the streaming variant) against one storage layer:
+
+    ingest_schedule(spark, csv_dir, store)        # static GTFS → gtfs_data
+    ingest_realtime(spark, feed_df, store, ...)   # poll batch → trip_updates upsert
+    consolidate(spark, store)                     # join + diffs → trip_updates_with_diffs
+
+The 80 LoC of SSH/CSV transfer plumbing (``loader/get_realtime.py``) maps
+to nothing: there is one store. Locks, rate-limit files, and cron are the
+streaming runtime's checkpoint + trigger (``streaming/``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from transit_efficiency_analysis_spark import schemas
+from transit_efficiency_analysis_spark.operators.delay import compute_delays
+from transit_efficiency_analysis_spark.operators.upsert import merge_batch, upsert_ignore
+from transit_efficiency_analysis_spark.sources.gtfs_realtime import (
+    apply_epoch0_default,
+    decode_feed,
+    enrich_weather,
+)
+from transit_efficiency_analysis_spark.sources.gtfs_static import (
+    build_gtfs_data,
+    read_gtfs_static,
+)
+
+
+class Store:
+    """Parquet table locations (Delta/Iceberg at scale — same call sites)."""
+
+    def __init__(self, root: str):
+        self.gtfs_data = os.path.join(root, "gtfs_data")
+        self.trip_updates = os.path.join(root, "trip_updates")
+        self.diffs = os.path.join(root, "trip_updates_with_diffs")
+
+
+def ingest_schedule(
+    spark: SparkSession, csv_dir: str, store: Store, tz: str = "America/Toronto"
+) -> DataFrame:
+    """Static ingest: CSVs → star join → time parse → PK dedup → partitioned
+    parquet (replaces ``historical_extractor.py`` minus the HTTP fetch)."""
+    gtfs_data = build_gtfs_data(read_gtfs_static(spark, csv_dir), tz)
+    deduped = upsert_ignore(
+        gtfs_data, keys=list(schemas.PRIMARY_KEY), order_by=["route_id", "arrival_time"]
+    )
+    deduped.write.mode("overwrite").partitionBy("start_date").parquet(store.gtfs_data)
+    return spark.read.parquet(store.gtfs_data)
+
+
+def ingest_realtime(
+    spark: SparkSession,
+    feed: DataFrame,
+    store: Store,
+    weather: tuple[int, str, float] | None = None,
+) -> DataFrame:
+    """One realtime poll: decode the nested feed, apply the epoch-0 default,
+    denormalize the weather observation, upsert keep-newest into
+    trip_updates (replaces ``realtime_extractor.py``'s per-row upserts)."""
+    batch = apply_epoch0_default(decode_feed(feed))
+    batch = enrich_weather(batch, *(weather or (None, None, None)))
+    if os.path.exists(store.trip_updates):
+        existing = spark.read.parquet(store.trip_updates)
+        merged = merge_batch(
+            existing, batch, keys=list(schemas.PRIMARY_KEY), order_by=["poll_ts"]
+        )
+    else:
+        merged = merge_batch(
+            batch.limit(0), batch, keys=list(schemas.PRIMARY_KEY), order_by=["poll_ts"]
+        )
+    tmp = store.trip_updates + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    _swap(tmp, store.trip_updates)
+    return spark.read.parquet(store.trip_updates)
+
+
+def consolidate(spark: SparkSession, store: Store) -> DataFrame:
+    """The delay rebuild: trip_updates ⋈ gtfs_data → trip_updates_with_diffs,
+    full recompute + atomic overwrite (replaces ``diff_times.py``'s
+    DELETE + INSERT...SELECT). trip_updates carries the realtime shape
+    (weather columns + poll audit), gtfs_data the schedule shape."""
+    tu = spark.read.parquet(store.trip_updates)
+    # adapt audit columns: poll_ts doubles as created_at; updated_at NULL here
+    from pyspark.sql import functions as F
+
+    tu = tu.withColumn("created_at", F.col("poll_ts")).withColumn(
+        "updated_at", F.lit(None).cast("timestamp")
+    )
+    gd = spark.read.parquet(store.gtfs_data)
+    diffs = compute_delays(tu, gd, sort=False)
+    diffs.write.mode("overwrite").partitionBy("start_date").parquet(store.diffs)
+    return spark.read.parquet(store.diffs)
+
+
+def _swap(tmp: str, final: str) -> None:
+    import shutil
+
+    if os.path.exists(final):
+        shutil.rmtree(final)
+    os.rename(tmp, final)
