@@ -108,3 +108,23 @@ def test_updated_at_set_only_when_tracked_changed(spark):
     assert by_key[2]["updated_at"] is None
     assert by_key[3]["updated_at"] is None
     assert by_key[1]["value"] == 2.0 and by_key[2]["value"] == 5.0
+
+
+def test_updated_at_set_when_previous_value_null(spark):
+    rows = [
+        # previous version has NULL value; newest has a value → changed
+        (1, BASE, None, 0),
+        (1, BASE + timedelta(minutes=1), 3.0, 1),
+        # previous has a value; newest is NULL → also changed
+        (2, BASE, 5.0, 2),
+        (2, BASE + timedelta(minutes=1), None, 3),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA).withColumn(
+        "now_ts", F.to_timestamp(F.lit("2026-02-01 00:00:00"))
+    )
+    out = upsert_keep_newest(
+        df, keys=["key"], order_by=["ts", "seq"], tracked=["value"], now_col="now_ts"
+    ).collect()
+    by_key = {r["key"]: r for r in out}
+    assert by_key[1]["updated_at"] == datetime(2026, 2, 1)
+    assert by_key[2]["updated_at"] == datetime(2026, 2, 1)

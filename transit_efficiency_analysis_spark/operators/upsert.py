@@ -62,11 +62,15 @@ def upsert_keep_newest(
     if tracked is None:
         return ranked.where(F.col("__rn") == 1).drop("__rn")
 
-    changed: Column = F.lit(False)
+    # a lead over a constant distinguishes "no previous version" from
+    # "previous version whose tracked value is NULL" — a NULL→value change
+    # must still count as changed
+    prev_exists = F.lead(F.lit(1), 1).over(w).isNotNull()
+    any_diff: Column = F.lit(False)
     for t in tracked:
         prev = F.lead(t, 1).over(w)  # next row in desc order = previous version
-        changed = changed | (~F.col(t).eqNullSafe(prev) & prev.isNotNull())
-    ranked = ranked.withColumn("__changed", changed)
+        any_diff = any_diff | ~F.col(t).eqNullSafe(prev)
+    ranked = ranked.withColumn("__changed", prev_exists & any_diff)
     out = ranked.where(F.col("__rn") == 1)
     if now_col is not None:
         out = out.withColumn(
