@@ -35,8 +35,8 @@ _STRIDE = 24  # tokens between chunk starts (8-token overlap)
     """,
 )
 def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """document chunking: fixed token windows ({_chunk} tokens, stride
-    {_stride} → overlap) — one row per chunk, short final chunk kept."""
+    """document chunking: fixed token windows (32 tokens, stride 24 →
+    8-token overlap) — one row per chunk, short final chunk kept."""
     d = load_table(spark, sf_dir, "documents")
     w = words("text")
     n_chunks_minus1 = F.greatest(

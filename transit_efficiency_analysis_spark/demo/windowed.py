@@ -79,7 +79,7 @@ _SESSION_GAP_MIN = 30
     """,
 )
 def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """gap-based sessionization ({_gap} min inactivity → new session):
+    """gap-based sessionization (30 min inactivity → new session):
     lag-gap flags → running sum session ids → per-session aggregates.
     The batch twin of ``session_window``/``applyInPandasWithState``."""
     e = load_table(spark, sf_dir, "events")

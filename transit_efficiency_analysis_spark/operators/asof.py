@@ -32,6 +32,9 @@ def asof_join(
     """Backward as-of join. Returns every ``left`` row plus ``payload_cols``
     from the latest matching ``right`` row (NULLs when no right row is at
     or before the left timestamp)."""
+    overlap = set(left.columns) & set(payload_cols)
+    if overlap:
+        raise ValueError(f"payload columns collide with left columns: {sorted(overlap)}")
     lcols = [c for c in left.columns]
     l = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
     for c in payload_cols:
