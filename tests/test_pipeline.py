@@ -82,3 +82,54 @@ def test_full_pipeline(spark, tmp_path):
     assert abs(rows[1]["temperature"] - 20.0) < 1e-9
     assert rows[1]["day_type"] == "Thursday"
     assert rows[1]["sudbury_hour_of_day"] == 10
+
+
+@pytest.mark.slow
+def test_incremental_consolidation_equals_full(spark, tmp_path):
+    from datetime import date
+
+    from transit_efficiency_analysis_spark.pipeline import consolidate_incremental
+
+    csv_dir = tmp_path / "gtfs"
+    csv_dir.mkdir()
+    csvs = dict(CSVS)
+    # two service dates → two diffs partitions
+    csvs["calendar_dates"] = "service_id,date\nS1,20230615\nS1,20230616\n"
+    for name, content in csvs.items():
+        (csv_dir / f"{name}.txt").write_text(content)
+    store = Store(str(tmp_path / "store"))
+    ingest_schedule(spark, str(csv_dir), store)
+
+    arr1_d2 = ARR1 + 86400  # same local clock on the next service date
+    ingest_realtime(
+        spark,
+        _feed(spark, datetime(2023, 6, 15, 14, 0), [(1, "100", ARR1 + 60, None)]),
+        store,
+    )
+    ingest_realtime(
+        spark,
+        _feed_on(spark, datetime(2023, 6, 16, 14, 0), "20230616", [(1, "100", arr1_d2 + 300, None)]),
+        store,
+    )
+    full = consolidate(spark, store)
+    full_rows = sorted(map(str, full.collect()))
+
+    # a revision arrives for day 2 only → incremental rebuild of that date
+    ingest_realtime(
+        spark,
+        _feed_on(spark, datetime(2023, 6, 16, 14, 5), "20230616", [(1, "100", arr1_d2 + 600, None)]),
+        store,
+    )
+    inc = consolidate_incremental(spark, store, [date(2023, 6, 16)])
+    inc_rows = sorted(map(str, inc.collect()))
+
+    # ground truth: full rebuild over the updated store
+    truth = sorted(map(str, consolidate(spark, store).collect()))
+    assert inc_rows == truth
+    assert inc_rows != full_rows  # the day-2 revision actually changed things
+
+
+def _feed_on(spark, poll_ts, date_str, updates):
+    return spark.createDataFrame(
+        [(poll_ts, [("T1", date_str, updates)])], schemas.REALTIME_FEED_RAW
+    )
