@@ -18,17 +18,20 @@ from transit_efficiency_analysis_spark.demo.delay import DELAY_ORACLE_SQL
 from transit_efficiency_analysis_spark.functions.time import local_day_name, local_hour
 from transit_efficiency_analysis_spark.sources.registry import load_table
 
-# exact average: sum DECIMAL(18,6) / count, emitted as DECIMAL to avoid
-# double-division ulp drift; scale 6 is far below the data's resolution
+# exact average: sum DECIMAL(18,6) / count — computed in decimal so the
+# value is order-independent, then the FINAL projected column is cast to
+# DOUBLE on both sides (decimal(18,*) → double is correctly rounded on both
+# engines, so the bits match; raw decimal output trips the driver's hash
+# canonicalization)
 _AVG_DELAY_SQL = (
-    "CAST(sum(CAST(average_diff_in_minutes AS DECIMAL(18,6))) / count(average_diff_in_minutes)"
-    " AS DECIMAL(18,6))"
+    "CAST(CAST(sum(CAST(average_diff_in_minutes AS DECIMAL(18,6))) / count(average_diff_in_minutes)"
+    " AS DECIMAL(18,6)) AS DOUBLE)"
 )
 
 
 def _avg_delay_col():
     total = F.sum(F.col("average_diff_in_minutes").cast("decimal(18,6)"))
-    return (total / F.count("average_diff_in_minutes")).cast("decimal(18,6)")
+    return (total / F.count("average_diff_in_minutes")).cast("decimal(18,6)").cast("double")
 
 
 @demo(
@@ -62,7 +65,7 @@ def q_agg_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT l_returnflag, l_linestatus,
            count(*) AS n_rows,
-           sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
@@ -73,7 +76,10 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("decimal(38,4)").alias("sum_qty"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+        .cast("decimal(18,4)")
+        .cast("double")
+        .alias("sum_qty"),
     )
 
 
@@ -82,7 +88,8 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT o_orderpriority, o_orderstatus,
            count(*) AS n_orders,
-           sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total_price
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE)
+               AS total_price
     FROM orders
     GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
     """,
@@ -92,7 +99,10 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.rollup("o_orderpriority", "o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("decimal(38,4)").alias("total_price"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("decimal(18,4)")
+        .cast("double")
+        .alias("total_price"),
     )
 
 
@@ -113,7 +123,8 @@ _DAYS = ["Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday", "Su
     GROUP BY event_type
     """.format(
         cols=",\n           ".join(
-            f"sum(CAST(CASE WHEN day_type = '{d}' THEN value END AS DECIMAL(18,6))) AS {d}"
+            f"CAST(CAST(sum(CAST(CASE WHEN day_type = '{d}' THEN value END AS DECIMAL(18,6)))"
+            f" AS DECIMAL(18,6)) AS DOUBLE) AS {d}"
             for d in _DAYS
         )
     ),
@@ -126,7 +137,7 @@ def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.withColumn("day_type", local_day_name("ts"))
         .groupBy("event_type")
         .pivot("day_type", _DAYS)
-        .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)"))
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(18,6)").cast("double"))
     )
 
 
@@ -136,8 +147,9 @@ def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            count(*) AS n,
            count(DISTINCT user_id) AS n_users,
-           sum(CAST(value AS DECIMAL(18,6))) AS sum_value,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) / count(value) AS DECIMAL(18,6)) AS avg_value,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_value,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) / count(value) AS DECIMAL(18,6)) AS DOUBLE)
+               AS avg_value,
            min(value) AS min_value,
            max(value) AS max_value,
            round(stddev_samp(value), 6) AS stddev_value,
@@ -155,8 +167,8 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("user_id").alias("n_users"),
-        sum_dec.cast("decimal(38,6)").alias("sum_value"),
-        (sum_dec / F.count("value")).cast("decimal(18,6)").alias("avg_value"),
+        sum_dec.cast("decimal(18,6)").cast("double").alias("sum_value"),
+        (sum_dec / F.count("value")).cast("decimal(18,6)").cast("double").alias("avg_value"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
         F.round(F.stddev_samp("value"), 6).alias("stddev_value"),

@@ -21,8 +21,8 @@ from transit_efficiency_analysis_spark.sources.registry import load_table
     sql="""
     SELECT r_name AS region_name, n_name AS nation_name,
            count(*) AS n_lineitems,
-           sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)))
-               AS revenue
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)))
+               AS DECIMAL(18,4)) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -52,11 +52,14 @@ def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lineitems"),
             # cast factors to decimal BEFORE multiplying: a double product cast
             # afterwards can land on a .xxx5 shortest-repr boundary where Spark
-            # (HALF_UP on shortest repr) and DuckDB (round of true value) differ
+            # (HALF_UP on shortest repr) and DuckDB (round of true value) differ.
+            # The SUM stays decimal (order-independent); only the final projected
+            # value goes to DOUBLE, via DECIMAL(18,4) so both engines perform a
+            # correctly-rounded int64-backed conversion.
             F.sum(
                 F.col("l_extendedprice").cast("decimal(12,2)")
                 * (1 - F.col("l_discount")).cast("decimal(4,2)")
-            ).cast("decimal(38,4)").alias("revenue"),
+            ).cast("decimal(18,4)").cast("double").alias("revenue"),
         )
     )
 

@@ -44,10 +44,10 @@ def q_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_range",
     sql="""
     SELECT user_id, event_id, ts,
-           CAST(sum(CAST(value AS DECIMAL(18,6)))
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6)))
                     OVER (PARTITION BY user_id ORDER BY epoch(ts)
                           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
-                AS DECIMAL(38,6)) AS trailing_1h_sum,
+                AS DECIMAL(18,6)) AS DOUBLE) AS trailing_1h_sum,
            count(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
                           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
                AS trailing_1h_events
@@ -69,8 +69,10 @@ def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         "ts",
-        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("decimal(38,6)").alias(
-            "trailing_1h_sum"
-        ),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("trailing_1h_sum"),
         F.count(F.lit(1)).over(w).alias("trailing_1h_events"),
     )

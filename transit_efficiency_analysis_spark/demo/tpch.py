@@ -28,7 +28,7 @@ def _revenue_col():
     "q_tpch_q3",
     sql=f"""
     SELECT l_orderkey,
-           CAST(sum({_REVENUE}) AS DECIMAL(38,4)) AS revenue,
+           CAST(CAST(sum({_REVENUE}) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
            CAST(o_orderdate AS DATE) AS orderdate,
            o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
@@ -53,7 +53,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").cast("date").alias("orderdate"),
             "o_orderpriority",
         )
-        .agg(F.sum(_revenue_col()).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(_revenue_col()).cast("decimal(18,4)").cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
         .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
@@ -64,7 +64,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q5",
     sql=f"""
     SELECT n_name,
-           CAST(sum({_REVENUE}) AS DECIMAL(38,4)) AS revenue
+           CAST(CAST(sum({_REVENUE}) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -93,15 +93,15 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(_revenue_col()).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(_revenue_col()).cast("decimal(18,4)").cast("double").alias("revenue"))
     )
 
 
 @demo(
     "q_tpch_q6",
     sql=f"""
-    SELECT CAST(sum({_REVENUE.replace('1 - l_discount', 'l_discount')}) AS DECIMAL(38,4))
-               AS revenue,
+    SELECT CAST(CAST(sum({_REVENUE.replace('1 - l_discount', 'l_discount')}) AS DECIMAL(18,4))
+               AS DOUBLE) AS revenue,
            count(*) AS n_rows
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
@@ -125,7 +125,7 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 25)
         )
         .agg(
-            F.sum(rev).cast("decimal(38,4)").alias("revenue"),
+            F.sum(rev).cast("decimal(18,4)").cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )

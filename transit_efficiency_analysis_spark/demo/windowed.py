@@ -24,7 +24,7 @@ from transit_efficiency_analysis_spark.sources.registry import load_table
            date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
            event_type,
            count(*) AS n_events,
-           sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY date_trunc('hour', ts), event_type
     """,
@@ -37,7 +37,10 @@ def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),

@@ -14,9 +14,10 @@ from transit_efficiency_analysis_spark.sources.registry import load_table
     "q_window_running",
     sql="""
     SELECT user_id, event_id, ts,
-           sum(CAST(value AS DECIMAL(18,6)))
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6)))
                OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value,
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DECIMAL(18,6)) AS DOUBLE) AS running_value,
            CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER)
                AS seq
     FROM events
@@ -32,7 +33,8 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.sum(F.col("value").cast("decimal(18,6)"))
         .over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .cast("decimal(38,6)")
+        .cast("decimal(18,6)")
+        .cast("double")
         .alias("running_value"),
         F.row_number().over(w).alias("seq"),
     )
