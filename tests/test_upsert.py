@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from transit_efficiency_analysis_spark.operators.upsert import (
     merge_batch,
+    replay_conflict_update,
     upsert_ignore,
     upsert_keep_newest,
 )
@@ -108,6 +109,119 @@ def test_updated_at_set_only_when_tracked_changed(spark):
     assert by_key[2]["updated_at"] is None
     assert by_key[3]["updated_at"] is None
     assert by_key[1]["value"] == 2.0 and by_key[2]["value"] == 5.0
+
+
+def _expected_replay(rows):
+    """Python fold of the reference's ON CONFLICT DO UPDATE ... WHERE changed:
+    per key in (ts, seq) order, state advances only when value differs."""
+    state = {}
+    for k, ts, v, seq in sorted(rows, key=lambda r: (r[0], r[1], r[3])):
+        if k not in state:
+            state[k] = {"ts": ts, "value": v, "seq": seq, "created": ts, "updated": None}
+        elif state[k]["value"] != v:
+            state[k].update(ts=ts, value=v, seq=seq, updated=ts)
+    return state
+
+
+def _replay_result_by_key(out):
+    return {
+        r["key"]: {
+            "ts": r["ts"],
+            "value": r["value"],
+            "seq": r["seq"],
+            "created": r["created_at"],
+            "updated": r["updated_at"],
+        }
+        for r in out
+    }
+
+
+@settings(max_examples=12, deadline=None)
+@given(raw=rows_strategy, split=st.integers(min_value=0, max_value=25))
+def test_replay_conflict_update_matches_sequential_fold(spark, raw, split):
+    """replay_conflict_update == the row-at-a-time ON CONFLICT fold, and
+    merging in two micro-batches (split on observation order) gives the
+    same state as one replay — batching invariance."""
+    rows = _mk_rows(raw)
+    # de-dup identical (key, ts, seq is unique already); replay order is (ts, seq)
+    ordered = sorted(rows, key=lambda r: (r[1], r[3]))
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = replay_conflict_update(
+        df, keys=["key"], order_by=["ts", "seq"], tracked=["value"], ts_col="ts"
+    ).collect()
+    assert _replay_result_by_key(out) == _expected_replay(rows)
+
+    split = min(split, len(ordered))
+    b1 = spark.createDataFrame(ordered[:split] or [], SCHEMA)
+    b2 = spark.createDataFrame(ordered[split:] or [], SCHEMA)
+    state1 = merge_batch(
+        b1.limit(0), b1, keys=["key"], order_by=["ts", "seq"], tracked=["value"], ts_col="ts"
+    )
+    state2 = merge_batch(
+        state1, b2, keys=["key"], order_by=["ts", "seq"], tracked=["value"], ts_col="ts"
+    ).collect()
+    assert _replay_result_by_key(state2) == _expected_replay(rows)
+
+
+def test_unchanged_redelivery_keeps_stored_payload(spark):
+    """The ADVICE scenario: a poll with unchanged tracked times but new
+    weather must keep the stored row entirely — old weather, old
+    updated_at — exactly like the reference's suppressed update."""
+    schema = "key long, ts timestamp, value double, weather string, seq long"
+    t0, t1, t2 = BASE, BASE + timedelta(minutes=1), BASE + timedelta(minutes=2)
+    rows = [
+        (1, t0, 1.0, "clear", 0),   # insert
+        (1, t1, 2.0, "rain", 1),    # tracked changed → update fires, weather=rain
+        (1, t2, 2.0, "snow", 2),    # tracked unchanged → suppressed entirely
+    ]
+    df = spark.createDataFrame(rows, schema)
+    out = replay_conflict_update(
+        df, keys=["key"], order_by=["ts", "seq"], tracked=["value"], ts_col="ts"
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["value"] == 2.0
+    assert r["weather"] == "rain"       # NOT snow: unchanged poll was suppressed
+    assert r["updated_at"] == t1        # last real change, not last poll
+    assert r["created_at"] == t0        # first observation
+    assert r["seq"] == 1
+
+
+def test_replay_null_transitions_count_as_changes(spark):
+    schema = "key long, ts timestamp, value double, seq long"
+    t = [BASE + timedelta(minutes=i) for i in range(4)]
+    rows = [
+        (1, t[0], None, 0),   # insert with NULL tracked
+        (1, t[1], None, 1),   # NULL → NULL: unchanged, suppressed
+        (1, t[2], 3.0, 2),    # NULL → value: changed
+        (1, t[3], None, 3),   # value → NULL: changed
+    ]
+    df = spark.createDataFrame(rows, schema)
+    r = replay_conflict_update(
+        df, keys=["key"], order_by=["ts", "seq"], tracked=["value"], ts_col="ts"
+    ).collect()[0]
+    assert r["seq"] == 3 and r["value"] is None
+    assert r["updated_at"] == t[3] and r["created_at"] == t[0]
+
+
+def test_merge_batch_carries_existing_audit_columns(spark):
+    """Pre-existing state (with created_at/updated_at) + a batch that does
+    not change tracked values → output keeps the carried audit columns."""
+    schema = "key long, ts timestamp, value double, seq long"
+    audit_schema = (
+        "key long, ts timestamp, value double, seq long,"
+        " created_at timestamp, updated_at timestamp"
+    )
+    t0, t1, t2 = BASE, BASE + timedelta(minutes=5), BASE + timedelta(minutes=9)
+    existing = spark.createDataFrame([(1, t1, 4.0, 7, t0, t1)], audit_schema)
+    incoming = spark.createDataFrame([(1, t2, 4.0, 8)], schema)
+    r = merge_batch(
+        existing, incoming, keys=["key"], order_by=["ts", "seq"],
+        tracked=["value"], ts_col="ts",
+    ).collect()[0]
+    assert r["seq"] == 7                 # stored row survived the no-op poll
+    assert r["created_at"] == t0         # first-insert stamp preserved
+    assert r["updated_at"] == t1         # last-change stamp preserved
 
 
 def test_updated_at_set_when_previous_value_null(spark):

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from transit_efficiency_analysis_spark.demo import demo
 from transit_efficiency_analysis_spark.operators.upsert import (
+    replay_conflict_update,
     upsert_ignore,
     upsert_keep_newest,
 )
@@ -67,6 +68,48 @@ def q_upsert_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
         now_col="__now",
     )
     return out.select("user_id", "event_type", "event_id", "ts", "value", "updated_at")
+
+
+@demo(
+    "q_upsert_replay",
+    sql="""
+    SELECT user_id, event_type, event_id, ts, value, created_at, updated_at
+    FROM (
+        SELECT user_id, event_type, event_id, ts, value,
+               first_ts AS created_at,
+               CASE WHEN has_prev THEN ts END AS updated_at,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM (
+            SELECT user_id, event_type, event_id, ts, value,
+                   lag(ts) OVER w IS NOT NULL AS has_prev,
+                   (lag(ts) OVER w IS NULL
+                    OR value IS DISTINCT FROM lag(value) OVER w) AS is_cp,
+                   first_value(ts) OVER w AS first_ts
+            FROM events
+            WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC)
+        )
+        WHERE is_cp
+    ) WHERE rn = 1
+    """,
+)
+def q_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """upsert-replay: the full ``ON CONFLICT DO UPDATE ... WHERE changed``
+    replay (``realtime_extractor.py:205-230``) — the surviving row is the
+    newest *change-point* (an unchanged re-delivery keeps the stored row),
+    ``created_at`` = first observation, ``updated_at`` = last real change.
+    The oracle expresses the identical change-point window construction."""
+    e = load_table(spark, sf_dir, "events")
+    out = replay_conflict_update(
+        e,
+        keys=["user_id", "event_type"],
+        order_by=["ts", "event_id"],
+        tracked=["value"],
+        ts_col="ts",
+    )
+    return out.select(
+        "user_id", "event_type", "event_id", "ts", "value", "created_at", "updated_at"
+    )
 
 
 @demo(

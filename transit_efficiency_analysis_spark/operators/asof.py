@@ -13,12 +13,20 @@ over the ordered window — one shuffle on the key, no quadratic candidate
 pairs, no per-key driver loops. Right rows at the exact same timestamp as
 a left row sort first (side tag 0) so ties are inclusive (matching
 DuckDB's ``ASOF JOIN`` >= semantics).
+
+All payload columns travel inside ONE struct with a non-null marker
+field, and ``last(ignorenulls)`` carries the struct. That keeps row
+semantics: every output payload comes from the *same* right row, and a
+right row whose payload value is NULL still wins over an older non-NULL
+one (NULL fields inside a non-null struct propagate) — matching
+DuckDB/pandas ASOF row semantics.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -36,41 +44,38 @@ def asof_join(
     if overlap:
         raise ValueError(f"payload columns collide with left columns: {sorted(overlap)}")
     lcols = [c for c in left.columns]
-    l = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
-    for c in payload_cols:
-        l = l.withColumn(f"__p_{c}", F.lit(None).cast(right.schema[c].dataType))
+    payload_type = T.StructType(
+        [T.StructField("__m", T.BooleanType(), False)]
+        + [T.StructField(c, right.schema[c].dataType, True) for c in payload_cols]
+    )
+    l = (
+        left.withColumn("__ts", F.col(left_ts))
+        .withColumn("__side", F.lit(1))
+        .withColumn("__p", F.lit(None).cast(payload_type))
+    )
     r = right.select(
         F.col(key),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
+        F.struct(
+            F.lit(True).alias("__m"), *[F.col(c).alias(c) for c in payload_cols]
+        ).cast(payload_type).alias("__p"),
     )
     for c in lcols:
         if c not in {key}:
             r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-    unioned = l.select(
-        key, "__ts", "__side", *[f"__p_{c}" for c in payload_cols],
-        *[c for c in lcols if c != key],
-    ).unionByName(
-        r.select(
-            key, "__ts", "__side", *[f"__p_{c}" for c in payload_cols],
-            *[c for c in lcols if c != key],
-        )
-    )
+    cols = [key, "__ts", "__side", "__p", *[c for c in lcols if c != key]]
+    unioned = l.select(*cols).unionByName(r.select(*cols))
     w = (
         Window.partitionBy(key)
         .orderBy("__ts", "__side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.select(
-        "*",
-        *[
-            F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
-            for c in payload_cols
-        ],
+        "*", F.last("__p", ignorenulls=True).over(w).alias("__c")
     )
     out = carried.where(F.col("__side") == 1).select(
         *[F.col(c) for c in lcols],
-        *[F.col(f"__c_{c}").alias(c) for c in payload_cols],
+        *[F.col("__c").getField(c).alias(c) for c in payload_cols],
     )
     return out

@@ -34,7 +34,16 @@ def salted_join(
     ``left_unique_col`` seeds the deterministic salt (defaults to the key
     itself plus a monotonic id — prefer a real unique column so the salt is
     stable across runs and plans).
+
+    Only ``inner`` and ``left`` joins are supported: the right side is
+    replicated once per salt bucket, so a right/full outer join would emit
+    each unmatched right row ``salt_buckets`` times instead of once.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' only, got {how!r} "
+            "(right/full would duplicate unmatched right rows per salt bucket)"
+        )
     if left_unique_col is None:
         left = left.withColumn("__uniq", F.monotonically_increasing_id())
         left_unique_col = "__uniq"

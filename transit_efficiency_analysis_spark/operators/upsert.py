@@ -82,14 +82,105 @@ def upsert_keep_newest(
     return out.drop("__rn", "__changed")
 
 
+def replay_conflict_update(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[str],
+    tracked: list[str],
+    ts_col: str,
+    created_col: str = "created_at",
+    updated_col: str = "updated_at",
+) -> DataFrame:
+    """Set-based replay of ``INSERT ... ON CONFLICT DO UPDATE ... WHERE
+    <tracked changed>`` (``realtime_extractor.py:205-230``) over an
+    observation log.
+
+    Per key (observations ordered by ``order_by`` ascending) the stored row
+    advances only when a ``tracked`` value differs from the stored row's;
+    an unchanged re-delivery keeps the stored row ENTIRELY — non-tracked
+    payload (weather...), ``updated_col``, everything — exactly like the
+    reference's suppressed update.
+
+    Why one window pass suffices: every suppressed observation's tracked
+    values equal the stored row's (that is why it was suppressed), so
+    "differs from stored" ≡ "differs from the immediately preceding
+    observation". The survivor is therefore the newest *change-point* row
+    (first observation, or tracked differs from its predecessor) — no
+    sequential fold needed, one shuffle on the keys.
+
+    Output per key — the change-point row's full payload, plus:
+
+    - ``created_col`` = the first observation's ``created_col`` if set
+      (pre-existing state carries its original first-insert stamp), else
+      that observation's ``ts_col`` (fresh insert).
+    - ``updated_col`` = the survivor's ``ts_col`` when it fired an update
+      (i.e. it has a predecessor), else the survivor's own carried
+      ``updated_col`` (NULL for a fresh never-updated insert).
+
+    Missing audit columns are added as NULL timestamps.
+    """
+    for c in (created_col, updated_col):
+        if c not in df.columns:
+            df = df.withColumn(c, F.lit(None).cast("timestamp"))
+    w = Window.partitionBy(*keys).orderBy(*_ordering(order_by, descending=False))
+    has_prev = F.lag(F.lit(1), 1).over(w).isNotNull()
+    any_diff: Column = F.lit(False)
+    for t in tracked:
+        any_diff = any_diff | ~F.col(t).eqNullSafe(F.lag(t, 1).over(w))
+    first_created = F.first(F.coalesce(F.col(created_col), F.col(ts_col))).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    annotated = (
+        df.withColumn("__has_prev", has_prev)
+        .withColumn("__is_cp", ~has_prev | any_diff)
+        .withColumn("__first_created", first_created)
+    )
+    w_desc = Window.partitionBy(*keys).orderBy(*_ordering(order_by, descending=True))
+    survivor = (
+        annotated.where(F.col("__is_cp"))
+        .withColumn("__rn", F.row_number().over(w_desc))
+        .where(F.col("__rn") == 1)
+    )
+    return (
+        survivor.withColumn(created_col, F.col("__first_created"))
+        .withColumn(
+            updated_col,
+            F.when(F.col("__has_prev"), F.col(ts_col)).otherwise(F.col(updated_col)),
+        )
+        .drop("__has_prev", "__is_cp", "__first_created", "__rn")
+    )
+
+
 def merge_batch(
     existing: DataFrame,
     incoming: DataFrame,
     keys: list[str],
     order_by: list[str],
+    tracked: list[str] | None = None,
+    ts_col: str | None = None,
 ) -> DataFrame:
-    """Apply a micro-batch of ``incoming`` rows onto ``existing`` state:
-    union + keep-newest per key. Equivalent to replaying every row through
-    ``ON CONFLICT DO UPDATE`` regardless of arrival order (property-tested
-    in tests/test_upsert.py)."""
-    return upsert_keep_newest(existing.unionByName(incoming), keys, order_by)
+    """Apply a micro-batch of ``incoming`` rows onto ``existing`` state.
+
+    Without ``tracked``: union + keep-newest per key (pure last-writer-wins
+    — note this is NOT the reference's conditional upsert: an unchanged
+    re-delivery still replaces the stored row, overwriting non-tracked
+    payload).
+
+    With ``tracked`` (+ ``ts_col``): full ``ON CONFLICT DO UPDATE ...
+    WHERE changed`` replay semantics via :func:`replay_conflict_update` —
+    unchanged re-deliveries keep the stored row (weather, ``updated_at``)
+    intact, and audit columns are maintained (``created_at`` = first
+    observation, ``updated_at`` = last real change). Batching-invariant:
+    any split of the same observation stream into micro-batches yields the
+    same state (property-tested in tests/test_upsert.py)."""
+    if tracked is None:
+        return upsert_keep_newest(existing.unionByName(incoming), keys, order_by)
+    if ts_col is None:
+        raise ValueError("ts_col is required when tracked is given")
+    def _with_audit(df: DataFrame) -> DataFrame:
+        for c in ("created_at", "updated_at"):
+            if c not in df.columns:
+                df = df.withColumn(c, F.lit(None).cast("timestamp"))
+        return df
+    unioned = _with_audit(existing).unionByName(_with_audit(incoming))
+    return replay_conflict_update(unioned, keys, order_by, tracked, ts_col)

@@ -64,19 +64,29 @@ def ingest_realtime(
     weather: tuple[int, str, float] | None = None,
 ) -> DataFrame:
     """One realtime poll: decode the nested feed, apply the epoch-0 default,
-    denormalize the weather observation, upsert keep-newest into
-    trip_updates (replaces ``realtime_extractor.py``'s per-row upserts)."""
+    denormalize the weather observation, then conditional-upsert into
+    trip_updates (replaces ``realtime_extractor.py``'s per-row upserts).
+
+    The merge replays ``ON CONFLICT DO UPDATE ... WHERE arrival/departure
+    changed``: an unchanged poll keeps the stored row entirely (weather
+    columns and ``updated_at`` included), ``created_at`` is stamped at
+    first observation and never touched again, ``updated_at`` at the last
+    real change (``realtime_extractor.py:205-230``)."""
     batch = apply_epoch0_default(decode_feed(feed))
     batch = enrich_weather(batch, *(weather or (None, None, None)))
-    if os.path.exists(store.trip_updates):
-        existing = spark.read.parquet(store.trip_updates)
-        merged = merge_batch(
-            existing, batch, keys=list(schemas.PRIMARY_KEY), order_by=["poll_ts"]
-        )
-    else:
-        merged = merge_batch(
-            batch.limit(0), batch, keys=list(schemas.PRIMARY_KEY), order_by=["poll_ts"]
-        )
+    existing = (
+        spark.read.parquet(store.trip_updates)
+        if os.path.exists(store.trip_updates)
+        else batch.limit(0)
+    )
+    merged = merge_batch(
+        existing,
+        batch,
+        keys=list(schemas.PRIMARY_KEY),
+        order_by=["poll_ts"],
+        tracked=["arrival_time", "departure_time"],
+        ts_col="poll_ts",
+    )
     tmp = store.trip_updates + ".tmp"
     merged.write.mode("overwrite").parquet(tmp)
     _swap(tmp, store.trip_updates)
@@ -88,13 +98,9 @@ def consolidate(spark: SparkSession, store: Store) -> DataFrame:
     full recompute + atomic overwrite (replaces ``diff_times.py``'s
     DELETE + INSERT...SELECT). trip_updates carries the realtime shape
     (weather columns + poll audit), gtfs_data the schedule shape."""
+    # trip_updates carries real audit columns maintained by the merge:
+    # created_at = first observation, updated_at = last real change
     tu = spark.read.parquet(store.trip_updates)
-    # adapt audit columns: poll_ts doubles as created_at; updated_at NULL here
-    from pyspark.sql import functions as F
-
-    tu = tu.withColumn("created_at", F.col("poll_ts")).withColumn(
-        "updated_at", F.lit(None).cast("timestamp")
-    )
     gd = spark.read.parquet(store.gtfs_data)
     diffs = compute_delays(tu, gd, sort=False)
     diffs.write.mode("overwrite").partitionBy("start_date").parquet(store.diffs)
@@ -121,13 +127,13 @@ def consolidate_incremental(
     tu = spark.read.parquet(store.trip_updates).where(
         F.col("start_date").isin(changed_dates)
     )
-    tu = tu.withColumn("created_at", F.col("poll_ts")).withColumn(
-        "updated_at", F.lit(None).cast("timestamp")
-    )
     gd = spark.read.parquet(store.gtfs_data).where(F.col("start_date").isin(changed_dates))
     diffs = compute_delays(tu, gd, sort=False)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    diffs.write.mode("overwrite").partitionBy("start_date").parquet(store.diffs)
+    # per-write option, NOT a session conf mutation: a later full consolidate()
+    # must keep static overwrite semantics (replace the whole table)
+    diffs.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("start_date").parquet(store.diffs)
     return spark.read.parquet(store.diffs)
 
 
