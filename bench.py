@@ -33,7 +33,9 @@ HEADLINE = [
     "q_sim_bruteforce_topk",
     "q_sim_lsh_topk",
     "q_text_quality",
-    "q_apply_in_pandas",
+    # native-window form of the group-map normalization (the scale path);
+    # q_apply_in_pandas stays as the Python-surface demo outside the headline
+    "q_range_normalize",
 ]
 
 

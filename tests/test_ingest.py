@@ -130,3 +130,114 @@ def test_weather_enrichment(feed_df):
     assert abs(out["temperature"] - 10.0) < 1e-9
     none_out = enrich_weather(decoded, None, None, None).collect()[0]
     assert none_out["weather_group"] is None and none_out["temperature"] is None
+
+
+# --- raw .pb wire decode (sources/gtfs_rt_wire.py) -------------------------
+# Tiny proto2 wire ENCODER, test-only: varint + length-delimited framing per
+# the public protobuf encoding spec; field numbers per public gtfs-realtime
+# spec. Lets us synthesize byte-exact .pb payloads without any proto runtime.
+
+
+def _varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        out.append(b | (0x80 if v else 0))
+        if not v:
+            return bytes(out)
+
+
+def _field(num: int, wire: int, payload: bytes) -> bytes:
+    return _varint((num << 3) | wire) + payload
+
+
+def _msg(num: int, body: bytes) -> bytes:
+    return _field(num, 2, _varint(len(body)) + body)
+
+
+def _string(num: int, s: str) -> bytes:
+    raw = s.encode()
+    return _field(num, 2, _varint(len(raw)) + raw)
+
+
+def _stop_time_event(t: int) -> bytes:
+    return _field(2, 0, _varint(t))  # StopTimeEvent.time = 2
+
+
+def _stop_time_update(seq: int, stop_id: str, arr: int | None, dep: int | None) -> bytes:
+    body = _field(1, 0, _varint(seq))  # stop_sequence = 1
+    if arr is not None:
+        body += _msg(2, _stop_time_event(arr))  # arrival = 2
+    if dep is not None:
+        body += _msg(3, _stop_time_event(dep))  # departure = 3
+    body += _string(4, stop_id)  # stop_id = 4
+    return body
+
+
+def _feed_bytes(header_ts: int, trips: list) -> bytes:
+    header = _string(1, "2.0") + _field(3, 0, _varint(header_ts))  # version, timestamp
+    out = _msg(1, header)
+    for trip_id, start_date, updates in trips:
+        trip = _string(1, trip_id) + _string(3, start_date)  # TripDescriptor 1/3
+        tu = _msg(1, trip)
+        for u in updates:
+            tu += _msg(2, _stop_time_update(*u))  # stop_time_update = 2
+        entity = _string(1, trip_id) + _msg(3, tu)  # FeedEntity.id, .trip_update
+        out += _msg(2, entity)
+    # a vehicle-position-only entity (field 4) must be skipped by the decoder
+    out += _msg(2, _string(1, "veh") + _msg(4, _string(8, "V1")))
+    return out
+
+
+POLL = datetime(2026, 1, 1, 12, 0)
+PB_TRIPS = [
+    ("T1", "20260101", [(1, "100", 1767268800, 1767268860), (2, "200", None, 1767269400)]),
+    ("T2", "20260101", []),
+]
+
+
+def test_wire_parse_feed_message():
+    from transit_efficiency_analysis_spark.sources.gtfs_rt_wire import parse_feed_message
+
+    header_ts, ents = parse_feed_message(_feed_bytes(1767268700, PB_TRIPS))
+    assert header_ts == 1767268700
+    assert [e["trip_id"] for e in ents] == ["T1", "T2"]  # vehicle entity skipped
+    u1, u2 = ents[0]["stop_time_update"]
+    assert u1 == {
+        "stop_sequence": 1, "stop_id": "100",
+        "arrival_unix": 1767268800, "departure_unix": 1767268860,
+    }
+    assert u2["arrival_unix"] is None and u2["departure_unix"] == 1767269400
+    # multi-byte varints: stop_sequence 300 and a large timestamp survive
+    _, big = parse_feed_message(
+        _feed_bytes(0, [("T3", "20260101", [(300, "5", 2**33, None)])])
+    )
+    assert big[0]["stop_time_update"][0]["stop_sequence"] == 300
+    assert big[0]["stop_time_update"][0]["arrival_unix"] == 2**33
+
+
+def test_decode_protobuf_payloads_end_to_end(spark):
+    """Raw .pb bytes → mapInPandas wire decode → decode_feed explode: the
+    fully ungated realtime ingest path (reference realtime_extractor.py:
+    97-118 parse_pb_data equivalent)."""
+    from transit_efficiency_analysis_spark.sources.gtfs_realtime import (
+        decode_protobuf_payloads,
+    )
+
+    payload = _feed_bytes(int(POLL.timestamp()), PB_TRIPS)
+    df = spark.createDataFrame(
+        [(POLL, bytearray(payload))], "poll_ts timestamp, payload binary"
+    )
+    flat = decode_feed(decode_protobuf_payloads(df)).collect()
+    assert len(flat) == 2
+    by_seq = {r["stop_sequence"]: r for r in flat}
+    assert by_seq[1]["trip_id"] == "T1" and by_seq[1]["stop_id"] == "100"
+    assert by_seq[1]["arrival_time"] == datetime(2026, 1, 1, 12, 0)
+    assert by_seq[2]["arrival_time"] is None  # absent arrival → NULL
+    assert by_seq[1]["poll_ts"] == POLL
+
+    # no poll_ts column → falls back to the feed header timestamp
+    df2 = spark.createDataFrame([(bytearray(payload),)], "payload binary")
+    rows = decode_protobuf_payloads(df2).select("poll_ts").collect()
+    assert rows[0]["poll_ts"] == datetime.utcfromtimestamp(int(POLL.timestamp()))

@@ -41,9 +41,21 @@ def _write_csvs(spark: SparkSession, sf_dir: str) -> str:
         tempfile.gettempdir(), f"teas_gtfs_demo_{os.path.basename(sf_dir.rstrip('/'))}"
     )
     os.makedirs(out, exist_ok=True)
-    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey").collect()
-    parts = load_table(spark, sf_dir, "part").select("p_partkey").limit(30).collect()
-    nations = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name").collect()
+    # fixture generation is driver-side by design (writing CSV *inputs*),
+    # so every collect is explicitly bounded + deterministically ordered:
+    # 500 trips x 4 stops is plenty for the demo at any SF
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey").orderBy("s_suppkey").limit(500).collect()
+    )
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .select("p_partkey").orderBy("p_partkey").limit(30).collect()
+    )
+    nations = (
+        load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name").orderBy("n_nationkey").collect()
+    )
 
     with open(os.path.join(out, "trips.txt"), "w") as f:
         f.write("trip_id,service_id,route_id\n")
@@ -76,7 +88,8 @@ def _write_csvs(spark: SparkSession, sf_dir: str) -> str:
 
 
 _GTFS_ORACLE = """
-WITH sup AS (SELECT s_suppkey AS k FROM supplier),
+WITH sup AS (SELECT s_suppkey AS k
+             FROM (SELECT s_suppkey FROM supplier ORDER BY s_suppkey LIMIT 500)),
 parts AS (SELECT p_partkey, row_number() OVER (ORDER BY p_partkey) - 1 AS idx
           FROM (SELECT p_partkey FROM part ORDER BY p_partkey LIMIT 30)),
 np AS (SELECT count(*) AS n FROM parts),

@@ -11,7 +11,7 @@ order could differ between pandas and SQL).
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -68,9 +68,7 @@ def _range_normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-@demo(
-    "q_apply_in_pandas",
-    sql="""
+_RANGE_NORMALIZE_SQL = """
     SELECT user_id, event_id, value,
            CASE WHEN hi = lo THEN 0.5 ELSE (value - lo) / (hi - lo) END AS range_pos,
            med AS group_median
@@ -81,11 +79,38 @@ def _range_normalize(pdf: pd.DataFrame) -> pd.DataFrame:
                quantile_cont(value, 0.5) OVER (PARTITION BY user_id) AS med
         FROM events
     )
-    """,
-)
+    """
+
+
+@demo("q_range_normalize", sql=_RANGE_NORMALIZE_SQL)
+def q_range_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user min-max normalization + exact median as NATIVE window
+    functions — the 100 TB scale path for the same semantics as
+    ``q_apply_in_pandas`` (no Python workers, no per-group pandas frame, so
+    a skewed hot user can't blow a worker's memory; stays inside
+    whole-stage codegen except the percentile window)."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    w = Window.partitionBy("user_id")
+    lo = F.min("value").over(w)
+    hi = F.max("value").over(w)
+    med = F.percentile("value", F.lit(0.5)).over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.when(hi == lo, F.lit(0.5)).otherwise((F.col("value") - lo) / (hi - lo)).alias(
+            "range_pos"
+        ),
+        med.alias("group_median"),
+    )
+
+
+@demo("q_apply_in_pandas", sql=_RANGE_NORMALIZE_SQL)
 def q_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandas group-map: per-user min-max normalization + exact
     median, one pandas frame per group (the custom-operator escape hatch
-    when built-ins can't express the semantics)."""
+    when built-ins can't express the semantics). ``q_range_normalize`` is
+    the native-window scale path with identical semantics — that one is
+    the bench headline; this one proves the Python surface."""
     e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
     return e.groupBy("user_id").applyInPandas(_range_normalize, schema=_RANGE_SCHEMA)
