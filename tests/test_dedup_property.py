@@ -56,3 +56,49 @@ def test_ngram_jaccard_matches_bruteforce(spark, texts):
     assert set(got) == set(want)
     for pair, j in want.items():
         assert abs(got[pair] - j) < 1e-12
+
+
+def test_simhash_rotation_blocks_raise_recall(spark):
+    """Charikar block-and-permute: the two-rotation candidate set is a
+    superset of the single-prefix-block set, and every pair with
+    hamming <= 1 (guaranteed: all diffs fall in one 16-bit half) is found."""
+    from itertools import combinations
+
+    from transit_efficiency_analysis_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_pairs,
+    )
+
+    # word-bag corpus with heavy overlap so fingerprints cluster
+    texts = [
+        " ".join(VOCAB[:6]),
+        " ".join(VOCAB[:6]) + " extra",
+        " ".join(VOCAB[:5]),
+        " ".join(VOCAB[2:8]),
+        " ".join(reversed(VOCAB)),
+        " ".join(VOCAB) + " tail tokens here",
+        " ".join(VOCAB[3:]) + " scan scan",
+        " ".join(VOCAB[1:7]),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    hmax = 16
+    single = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_pairs(df, "doc_id", "text", hmax, rotations=(0,)).collect()
+    }
+    double = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_pairs(df, "doc_id", "text", hmax, rotations=(0, 16)).collect()
+    }
+    assert double >= single
+
+    # ground truth from the fingerprints themselves
+    fps = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(df, "doc_id", "text").collect()}
+    truth_h1 = {
+        (a, b)
+        for a, b in combinations(sorted(fps), 2)
+        if bin(fps[a] ^ fps[b]).count("1") <= 1
+    }
+    assert truth_h1 <= double

@@ -85,6 +85,69 @@ def test_full_pipeline(spark, tmp_path):
 
 
 @pytest.mark.slow
+def test_audit_columns_from_injected_wallclock(spark, tmp_path):
+    """ts-now production path (reference realtime_extractor.py:185,234):
+    created_at/updated_at come from the processing wall clock — injected
+    here for determinism, ``current_timestamp()`` in production — with the
+    conditional-update suppression: an unchanged poll leaves the stored
+    row's weather AND updated_at untouched."""
+    csv_dir = tmp_path / "gtfs"
+    csv_dir.mkdir()
+    for name, content in CSVS.items():
+        (csv_dir / f"{name}.txt").write_text(content)
+    store = Store(str(tmp_path / "store"))
+    ingest_schedule(spark, str(csv_dir), store)
+
+    n1 = datetime(2023, 6, 15, 14, 0, 11)
+    n2 = datetime(2023, 6, 15, 14, 5, 22)
+    n3 = datetime(2023, 6, 15, 14, 10, 33)
+    upd = [(1, "100", ARR1 + 120, ARR1 + 180)]
+
+    # poll 1: insert → created_at = n1, updated_at NULL
+    tu = ingest_realtime(
+        spark,
+        _feed(spark, datetime(2023, 6, 15, 14, 0), upd),
+        store,
+        weather=(800, "clear sky", 290.15),
+        now=n1,
+    )
+    r = tu.collect()[0]
+    assert r["created_at"] == n1 and r["updated_at"] is None
+
+    # poll 2: identical times, NEW weather → suppressed: everything kept
+    tu = ingest_realtime(
+        spark,
+        _feed(spark, datetime(2023, 6, 15, 14, 5), upd),
+        store,
+        weather=(501, "moderate rain", 280.15),
+        now=n2,
+    )
+    r = tu.collect()[0]
+    assert r["weather_group"] == "Clear"        # old weather retained
+    assert r["created_at"] == n1 and r["updated_at"] is None
+
+    # poll 3: arrival revised → update fires: new weather, updated_at = n3
+    tu = ingest_realtime(
+        spark,
+        _feed(spark, datetime(2023, 6, 15, 14, 10), [(1, "100", ARR1 + 300, ARR1 + 360)]),
+        store,
+        weather=(600, "light snow", 270.15),
+        now=n3,
+    )
+    r = tu.collect()[0]
+    assert r["weather_group"] == "Snow"
+    assert r["created_at"] == n1                # first-insert stamp immutable
+    assert r["updated_at"] == n3                # last real change
+
+    # production default: current_timestamp() → a real, recent stamp
+    store2 = Store(str(tmp_path / "store2"))
+    ingest_schedule(spark, str(csv_dir), store2)
+    tu = ingest_realtime(spark, _feed(spark, datetime(2023, 6, 15, 14, 0), upd), store2)
+    r = tu.collect()[0]
+    assert r["created_at"] is not None and r["created_at"] > datetime(2026, 1, 1)
+
+
+@pytest.mark.slow
 def test_incremental_consolidation_equals_full(spark, tmp_path):
     from datetime import date
 

@@ -113,16 +113,26 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @demo(
     "q_dedup_simhash_pairs",
     sql=f"""
-    WITH fp AS ({_SIMHASH_SQL})
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-    FROM fp a
-    JOIN fp b ON (a.simhash // 65536) = (b.simhash // 65536) AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    WITH fp AS ({_SIMHASH_SQL}),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS ha, b.simhash AS hb
+        FROM fp a
+        JOIN fp b ON (a.simhash // 65536) = (b.simhash // 65536) AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+        FROM fp a
+        JOIN fp b ON (a.simhash % 65536) = (b.simhash % 65536) AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= 6
     """,
 )
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: Hamming <= 6 within the top-16-bit block."""
+    """SimHash near-dup pairs: Hamming <= 6, Charikar block-and-permute
+    candidates over two 16-bit rotation blocks (top half OR bottom half
+    matches — every hamming<=1 pair is guaranteed caught)."""
     d = load_table(spark, sf_dir, "documents")
     return simhash_pairs(d, "doc_id", "text", max_hamming=6)
 

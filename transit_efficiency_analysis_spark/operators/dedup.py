@@ -190,29 +190,55 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 6
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 6,
+    rotations: tuple[int, ...] = (0, 16),
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, blocked on the top-16-bit
-    prefix (near-identical docs share the prefix with high probability; at
-    scale this is the classic Charikar block-and-permute scheme — additional
-    bit-rotation blocks would raise recall)."""
-    fp = simhash_fingerprints(df, id_col, text_col).withColumn(
-        "block", F.shiftright(F.col("simhash"), 16)
-    )
-    a, b = fp.alias("a"), fp.alias("b")
+    """Near-dup pairs by SimHash Hamming distance — the Charikar/Manku
+    block-and-permute scheme: for each rotation ``r`` the 32-bit
+    fingerprint is rotated left by ``r`` bits and candidates are blocked
+    on the resulting top-16-bit prefix; the union of all rotations'
+    candidates is Hamming-filtered.
+
+    With the default ``(0, 16)`` rotations (top half + bottom half) any
+    pair whose bit differences all fall in one 16-bit half is guaranteed
+    found — in particular every pair with ``hamming <= 1`` — and recall
+    for small distances rises steeply vs a single prefix block (each
+    rotation is an independent chance for a clean block). Each rotation is
+    one bucketed self-join; candidates stay bounded by bucket sizes, never
+    |corpus|² — the same scale shape as MinHash LSH banding.
+    """
+    fp = simhash_fingerprints(df, id_col, text_col)
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
-        a.join(
-            b,
-            (F.col("a.block") == F.col("b.block")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    per_rotation = []
+    for r in rotations:
+        x = F.col("simhash")
+        rot = (
+            F.shiftleft(x, r).bitwiseAND(F.lit(0xFFFFFFFF)).bitwiseOR(F.shiftright(x, 32 - r))
+            if r
+            else x
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            ham.cast("int").alias("hamming"),
+        blocked = fp.withColumn("block", F.shiftright(rot, 16))
+        a, b = blocked.alias("a"), blocked.alias("b")
+        per_rotation.append(
+            a.join(
+                b,
+                (F.col("a.block") == F.col("b.block"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            ).select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                ham.cast("int").alias("hamming"),
+            )
         )
-        .where(F.col("hamming") <= max_hamming)
-    )
+    out = per_rotation[0]
+    for more in per_rotation[1:]:
+        out = out.unionByName(more)
+    # distinct: a pair can match in several rotations (hamming is a pure
+    # function of the pair, so deduping the triple dedupes the pair)
+    return out.distinct().where(F.col("hamming") <= max_hamming)
 
 
 def ngram_jaccard_pairs(

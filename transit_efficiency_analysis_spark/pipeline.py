@@ -62,6 +62,7 @@ def ingest_realtime(
     feed: DataFrame,
     store: Store,
     weather: tuple[int, str, float] | None = None,
+    now=None,
 ) -> DataFrame:
     """One realtime poll: decode the nested feed, apply the epoch-0 default,
     denormalize the weather observation, then conditional-upsert into
@@ -71,9 +72,24 @@ def ingest_realtime(
     changed``: an unchanged poll keeps the stored row entirely (weather
     columns and ``updated_at`` included), ``created_at`` is stamped at
     first observation and never touched again, ``updated_at`` at the last
-    real change (``realtime_extractor.py:205-230``)."""
+    real change (``realtime_extractor.py:205-230``).
+
+    Audit stamps use the processing wall clock, exactly like the
+    reference's ``datetime.now()`` (``realtime_extractor.py:185,234``):
+    ``now=None`` (production) stamps ``current_timestamp()``; tests inject
+    a fixed ``datetime`` for deterministic asserts. The stamp travels in
+    an ``audit_ts`` column (the processing time of the surviving version)
+    so replays across micro-batches keep exact reference semantics."""
+    from pyspark.sql import functions as F
+
     batch = apply_epoch0_default(decode_feed(feed))
     batch = enrich_weather(batch, *(weather or (None, None, None)))
+    audit = (
+        F.current_timestamp()
+        if now is None
+        else F.lit(now.isoformat(sep=" ")).cast("timestamp")
+    )
+    batch = batch.withColumn("audit_ts", audit)
     existing = (
         spark.read.parquet(store.trip_updates)
         if os.path.exists(store.trip_updates)
@@ -85,7 +101,7 @@ def ingest_realtime(
         keys=list(schemas.PRIMARY_KEY),
         order_by=["poll_ts"],
         tracked=["arrival_time", "departure_time"],
-        ts_col="poll_ts",
+        ts_col="audit_ts",
     )
     tmp = store.trip_updates + ".tmp"
     merged.write.mode("overwrite").parquet(tmp)
