@@ -52,6 +52,7 @@ _DEMO_MODULES = [
     "textprep",
     "approx",
     "semistructured",
+    "jdbc",
 ]
 
 
