@@ -1,0 +1,120 @@
+"""Scale-point validation for the three LSH pipelines (docs/SCALE.md §LSH).
+
+Synthesizes an Nx corpus from sf0.1 by unioning perturbed copies (new doc
+ids; per-copy token/offset so shingles, fingerprints, and bucket signs
+differ — realistic growth, not N identical clones) and times each pipeline
+at 1x and Nx. A bucketed pipeline should scale roughly linearly in rows +
+candidate pairs; quadratic blowup would mean the blocking is broken.
+
+Usage:
+    python tools/bench_scale.py [sf_dir] [copies]
+
+Prints one JSON line:
+    {"metric": "lsh_scale_check", "copies": N,
+     "pipelines": {name: {"t1": s, "tN": s, "ratio": r, "rows1": _, "rowsN": _}},
+     "max_ratio": worst}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _union_copies(df: DataFrame, id_col: str, n: int, perturb) -> DataFrame:
+    out = None
+    for i in range(n):
+        c = df.withColumn(id_col, F.col(id_col) + F.lit(i * 10_000_000))
+        c = perturb(c, i)
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+    from transit_efficiency_analysis_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+    from transit_efficiency_analysis_spark.operators.similarity import lsh_topk
+    from transit_efficiency_analysis_spark.session import get_spark
+    from transit_efficiency_analysis_spark.sources.registry import load_table
+
+    spark = get_spark("bench_scale")
+    spark.range(1).count()
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").cache()
+    embs = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").cache()
+    docs.count(), embs.count()
+
+    def perturb_text(df: DataFrame, i: int) -> DataFrame:
+        # per-copy vocabulary remap: prefix every word with the copy id.
+        # Copy i's shingle space is isomorphic to the original corpus
+        # (identical within-copy similarity structure) and disjoint from
+        # every other copy's — Nx data => ~Nx output pairs, the clean
+        # "corpus grew" experiment. (Tail-marker copies instead make every
+        # doc a near-dup of its clones => ~N^2 x pairs; gap-interleaved
+        # markers create corpus-wide shared shingles that collapse all
+        # minhash buckets => all-pairs blowup. Both tested, both wrong.)
+        return df.withColumn(
+            "text", F.regexp_replace(F.col("text"), r"(\S+)", f"c{i}$1")
+        )
+
+    def perturb_vec(df: DataFrame, i: int) -> DataFrame:
+        # constant offset rotates each vector a little: bucket signs differ
+        return df.withColumn(
+            "embedding",
+            F.transform("embedding", lambda x: x + F.lit(0.003 * i)),
+        )
+
+    # 1x baseline goes through the same perturbation (copy 0) so both scale
+    # points run byte-comparable text shapes
+    docs_1 = _union_copies(docs, "doc_id", 1, perturb_text)
+    embs_1 = _union_copies(embs, "vec_id", 1, perturb_vec)
+    docs_n = _union_copies(docs, "doc_id", copies, perturb_text)
+    embs_n = _union_copies(embs, "vec_id", copies, perturb_vec)
+
+    pipelines = {
+        "minhash_lsh": lambda d: minhash_lsh_pairs(d, "doc_id", "text", threshold=0.5),
+        "simhash": lambda d: simhash_pairs(d, "doc_id", "text", max_hamming=6),
+    }
+    results = {}
+    for name, fn in pipelines.items():
+        t0 = time.time(); r1 = fn(docs_1).count(); t1 = time.time() - t0
+        t0 = time.time(); rn = fn(docs_n).count(); tn = time.time() - t0
+        results[name] = {
+            "t1": round(t1, 2), "tN": round(tn, 2),
+            "ratio": round(tn / t1, 2), "rows1": r1, "rowsN": rn,
+        }
+        print(f"# {name}: 1x {t1:.1f}s ({r1} pairs) -> {copies}x {tn:.1f}s "
+              f"({rn} pairs), ratio {tn/t1:.1f}", file=sys.stderr)
+
+    t0 = time.time(); r1 = lsh_topk(embs_1).count(); t1 = time.time() - t0
+    t0 = time.time(); rn = lsh_topk(embs_n).count(); tn = time.time() - t0
+    results["sim_lsh_topk"] = {
+        "t1": round(t1, 2), "tN": round(tn, 2),
+        "ratio": round(tn / t1, 2), "rows1": r1, "rowsN": rn,
+    }
+    print(f"# sim_lsh_topk: 1x {t1:.1f}s ({r1} rows) -> {copies}x {tn:.1f}s "
+          f"({rn} rows), ratio {tn/t1:.1f}", file=sys.stderr)
+
+    worst = max(v["ratio"] for v in results.values())
+    print(json.dumps({
+        "metric": "lsh_scale_check", "copies": copies,
+        "pipelines": results, "max_ratio": worst,
+    }))
+    # sub-quadratic bar: 10x data must cost far less than 100x time
+    return 0 if worst < copies * 3 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
