@@ -184,3 +184,31 @@ def q_ts_tz_localize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.where(~F.hour("ts").between(5, 8)).select(
         "event_id", to_local("ts").alias("toronto_wall")
     )
+
+
+@demo("q_ts_now_audit", sql=None)
+def q_ts_now_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts-now: audit-column stamping from the live wall clock
+    (``current_timestamp()`` — reference ``realtime_extractor.py:185,234``
+    / ``diff_times.py:25``). Inherently non-deterministic, so this is a
+    rows-only demo; the deterministic replay semantics behind the same
+    columns are hash-verified in ``q_upsert_replay`` and the injected-clock
+    pipeline test. ``current_timestamp()`` is per-query constant in Spark
+    (one stamp per batch, exactly like the reference's single ``now()``
+    per poll), which the sanity columns prove."""
+    o = load_table(spark, sf_dir, "orders").limit(1000)
+    now = F.current_timestamp()
+    stamped = o.select(
+        "o_orderkey",
+        now.alias("created_at"),
+        F.lit(None).cast("timestamp").alias("updated_at"),
+    )
+    return stamped.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        # per-query constant: min == max across every row of the batch
+        (F.min("created_at") == F.max("created_at")).alias("single_stamp"),
+        F.max(F.col("created_at") > F.lit("2026-01-01").cast("timestamp")).alias(
+            "stamp_is_live"
+        ),
+        F.count("updated_at").alias("n_updated"),  # inserts carry NULL
+    )
