@@ -102,3 +102,21 @@ def test_simhash_rotation_blocks_raise_recall(spark):
         if bin(fps[a] ^ fps[b]).count("1") <= 1
     }
     assert truth_h1 <= double
+
+
+def test_dedup_clusters_chain_and_singletons(spark):
+    """Connected components: a 5-node chain (worst-case diameter, forces
+    multiple propagation rounds), a 2-clique, and singletons."""
+    from transit_efficiency_analysis_spark.operators.dedup import dedup_clusters
+
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    # chain 0-1-2-3-4 (edges given high-to-low so min must walk), clique 6-7
+    pairs = spark.createDataFrame(
+        [(3, 4), (2, 3), (1, 2), (0, 1), (6, 7)], "doc_a long, doc_b long"
+    )
+    out = {r["doc_id"]: (r["cluster_id"], r["is_canonical"]) for r in
+           dedup_clusters(nodes, pairs).collect()}
+    assert out == {
+        0: (0, True), 1: (0, False), 2: (0, False), 3: (0, False), 4: (0, False),
+        5: (5, True), 6: (6, True), 7: (6, False), 8: (8, True), 9: (9, True),
+    }

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from transit_efficiency_analysis_spark.demo import demo
 from transit_efficiency_analysis_spark.operators.dedup import (
+    dedup_clusters,
     exact_dedup_groups,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -86,6 +87,52 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (md5 family) → band-bucket candidate join → exact Jaccard >= 0.5."""
     d = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(d, "doc_id", "text", k=3, bands=6, threshold=0.5)
+
+
+@demo(
+    "q_dedup_clusters",
+    sql=f"""
+    WITH RECURSIVE shingled AS ({_SHINGLES_SQL}),
+    nonempty AS (SELECT doc_id, sh FROM shingled WHERE len(sh) > 0),
+    exploded AS (SELECT doc_id, unnest(sh) AS s FROM nonempty),
+    sig AS (
+        SELECT doc_id, b, min(md5(CAST(b AS VARCHAR) || '|' || s)) AS mh
+        FROM exploded CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS b)
+        GROUP BY doc_id, b
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        FROM sig a JOIN sig c ON a.b = c.b AND a.mh = c.mh AND a.doc_id < c.doc_id
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM cand
+        JOIN nonempty sa ON sa.doc_id = doc_a
+        JOIN nonempty sb ON sb.doc_id = doc_b
+        WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                  / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+    ),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+    )
+    SELECT src AS doc_id, min(dst) AS cluster_id,
+           (min(dst) = src) AS is_canonical
+    FROM reach GROUP BY src
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """near-dup cluster assignment: MinHash-LSH pairs → connected
+    components → cluster_id = min doc_id (the canonical survivor) for
+    every document, singletons included. The Spark side is iterative
+    min-label propagation; the oracle is the transitive closure as a
+    recursive CTE — different algorithms, identical fixpoint."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", k=3, bands=6, threshold=0.5)
+    return dedup_clusters(d, pairs, id_col="doc_id")
 
 
 _SIMHASH_SQL = """

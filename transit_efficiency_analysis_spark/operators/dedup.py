@@ -241,6 +241,60 @@ def simhash_pairs(
     return out.distinct().where(F.col("hamming") <= max_hamming)
 
 
+def dedup_clusters(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → cluster
+    assignment: every node gets ``cluster_id`` = the minimum ``id`` in its
+    component (the canonical survivor), the step that turns mined pairs
+    (``minhash_lsh_pairs``/``simhash_pairs``) into keep-one-per-cluster
+    decisions. ``pairs`` must expose ``doc_a``/``doc_b``.
+
+    Min-label propagation: each round joins labels across edges and takes
+    the per-node min — one shuffle join + one partial-agg per round,
+    converging in O(component diameter) rounds (near-dup components are
+    dense, so 2-4 rounds in practice). This is genuinely iterative — the
+    documented exception to "no driver loops": the loop runs O(diameter)
+    *actions*, not per-row work; ``localCheckpoint`` truncates lineage so
+    plans stay flat. Convergence is detected by the label-sum fixpoint
+    (labels only ever decrease). At extreme diameters switch to
+    large-star/small-star contraction — same join/agg primitives.
+    """
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    edges = fwd.unionByName(rev).localCheckpoint(eager=False)
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    prev_sum = None
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                F.col("id"),
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        F.col("id").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        (F.col("label") == F.col("id")).alias("is_canonical"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
