@@ -141,6 +141,95 @@ def lsh_topk(
     )
 
 
+def ivf_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+) -> DataFrame:
+    """Hash-seeded coarse centroids for IVF: the ``n_centroids`` vectors
+    with the smallest ``md5(id)`` (a deterministic, engine-portable
+    "random" draw). Returns (cell, cv, cn). ``orderBy().limit(n)`` plans
+    as a distributed take-ordered (per-partition top-n + merge), never a
+    global sort. At 100 TB, tighten cells with a few Lloyd rounds over the
+    same assignment primitive; the hash-seeded draw is the deterministic
+    k-means|| substitute that keeps the oracle SQL-expressible."""
+    seeds = (
+        df.select(F.col(id_col).alias("sid"), as_double(F.col(vec_col)).alias("cv"))
+        .orderBy(F.md5(F.col("sid").cast("string")), F.col("sid"))
+        .limit(n_centroids)
+    )
+    w = Window.orderBy(F.md5(F.col("sid").cast("string")), F.col("sid"))
+    return seeds.select(
+        (F.row_number().over(w) - 1).alias("cell"),
+        F.col("cv"),
+        norm(F.col("cv")).alias("cn"),
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """IVF-flat approximate top-k: coarse-quantize the corpus into
+    ``n_centroids`` cells (nearest centroid by cosine), then answer each
+    query exactly within its ``n_probe`` nearest cells.
+
+    The other classic ANN shape next to sign-LSH (``lsh_topk``): centroids
+    broadcast to every partition (map-only assignment), the only shuffle
+    keys are cell ids, and candidate counts are bounded by cell sizes ×
+    n_probe — |corpus|²/n_centroids-ish work instead of |corpus|².
+    Returns (query_id, neighbor_id, cosine_sim, rank).
+    """
+    cents = ivf_centroids(df, id_col, vec_col, n_centroids)
+    base = df.select(
+        F.col(id_col).alias("vec_id"),
+        as_double(F.col(vec_col)).alias("v"),
+        norm(as_double(F.col(vec_col))).alias("vn"),
+    )
+    cell_sim = dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn"))
+    ranked = (
+        base.join(F.broadcast(cents))
+        .select("vec_id", "v", "vn", "cell", cell_sim.alias("csim"))
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell"))
+            ),
+        )
+    )
+    data = ranked.where(F.col("crank") == 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv2"),
+        F.col("vn").alias("cn2"),
+        "cell",
+    )
+    probes = ranked.where(F.col("crank") <= n_probe).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("vn").alias("qn"),
+        "cell",
+    )
+    sim = dot(F.col("qv"), F.col("cv2")) / (F.col("qn") * F.col("cn2"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        probes.join(data, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cosine_sim", F.col("rank").cast("int").alias("rank")
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     block: Column,
