@@ -159,7 +159,11 @@ def ivf_centroids(
         .orderBy(F.md5(F.col("sid").cast("string")), F.col("sid"))
         .limit(n_centroids)
     )
-    w = Window.orderBy(F.md5(F.col("sid").cast("string")), F.col("sid"))
+    # constant partition key: the window runs over exactly n_centroids rows
+    # (post-limit), so the single-partition sort is by construction tiny
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.md5(F.col("sid").cast("string")), F.col("sid")
+    )
     return seeds.select(
         (F.row_number().over(w) - 1).alias("cell"),
         F.col("cv"),
@@ -201,6 +205,9 @@ def ivf_topk(
                 Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell"))
             ),
         )
+        # consumed twice (data cells + probe cells): checkpoint so the
+        # scan → broadcast-join → window pipeline runs once, not twice
+        .localCheckpoint(eager=False)
     )
     data = ranked.where(F.col("crank") == 1).select(
         F.col("vec_id").alias("neighbor_id"),
