@@ -237,3 +237,36 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical to the oracle (sequential fold on both engines)."""
     e = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(e, F.col("label"), threshold=0.3)
+
+
+@demo(
+    "q_text_contamination",
+    sql=f"""
+    WITH shingled AS ({_SHINGLES_SQL}),
+    ce AS (SELECT doc_id, unnest(sh) AS s FROM shingled
+           WHERE doc_id % 20 != 0 AND len(sh) > 0),
+    be AS (SELECT doc_id, unnest(sh) AS s FROM shingled
+           WHERE doc_id % 20 = 0 AND len(sh) > 0),
+    bs AS (SELECT doc_id AS bench_id, count(*) AS n_bench FROM be GROUP BY doc_id),
+    common AS (
+        SELECT ce.doc_id AS doc_id, be.doc_id AS bench_id, count(*) AS n_common
+        FROM ce JOIN be ON ce.s = be.s
+        GROUP BY ce.doc_id, be.doc_id
+    )
+    SELECT doc_id, bench_id, n_common,
+           CAST(n_common AS DOUBLE) / n_bench AS frac_of_bench
+    FROM common JOIN bs USING (bench_id)
+    WHERE CAST(n_common AS DOUBLE) / n_bench >= 0.2
+    """,
+)
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """benchmark-contamination check: corpus docs sharing >= 20% of a
+    held-out "benchmark" doc's word-3-grams (benchmark = every 20th doc).
+    The decontamination pass a training pipeline runs before an eval ships;
+    shingle-equality join, benchmark side broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 20 != 0)
+    bench = d.where(F.col("doc_id") % 20 == 0)
+    from transit_efficiency_analysis_spark.operators.dedup import cross_corpus_overlap
+
+    return cross_corpus_overlap(corpus, bench, "doc_id", "text", k=3, min_frac=0.2)

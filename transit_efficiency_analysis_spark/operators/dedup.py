@@ -241,6 +241,47 @@ def simhash_pairs(
     return out.distinct().where(F.col("hamming") <= max_hamming)
 
 
+def cross_corpus_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_frac: float = 0.0,
+) -> DataFrame:
+    """Benchmark-contamination check: for every (corpus doc, benchmark doc)
+    pair sharing at least one word-``k``-gram, the number of shared
+    distinct k-grams and the fraction of the *benchmark* doc's k-grams
+    they cover (the decontamination signal: high ``frac_of_bench`` means
+    the training doc leaks that eval item).
+
+    Set-based shingle-equality join — same scale shape as the MinHash
+    verify stage: cost is Σ_shingle |corpus matches|×|benchmark matches|,
+    bounded in practice because the benchmark side is small (and
+    broadcast). No |corpus|×|benchmark| cross product ever materializes.
+    """
+    ce = shingles_exploded(corpus, id_col, text_col, k)
+    be = shingles_exploded(benchmark, id_col, text_col, k)
+    bsizes = be.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_bench"))
+    common = (
+        ce.join(
+            F.broadcast(be.select(F.col("doc_id").alias("bench_id"), "s")), "s"
+        )
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = common.join(
+        F.broadcast(bsizes.select(F.col("doc_id").alias("bench_id"), "n_bench")),
+        "bench_id",
+    ).select(
+        "doc_id",
+        "bench_id",
+        "n_common",
+        (F.col("n_common").cast("double") / F.col("n_bench")).alias("frac_of_bench"),
+    )
+    return out.where(F.col("frac_of_bench") >= min_frac) if min_frac > 0 else out
+
+
 def dedup_clusters(
     nodes: DataFrame,
     pairs: DataFrame,
