@@ -241,3 +241,35 @@ def test_decode_protobuf_payloads_end_to_end(spark):
     df2 = spark.createDataFrame([(bytearray(payload),)], "payload binary")
     rows = decode_protobuf_payloads(df2).select("poll_ts").collect()
     assert rows[0]["poll_ts"] == datetime.utcfromtimestamp(int(POLL.timestamp()))
+
+
+def test_bmp_wav_decoders_roundtrip():
+    """Real container parsers: BMP (incl. top-down negative height) and
+    WAV (incl. an unknown chunk before fmt, odd-size word alignment)."""
+    import struct
+
+    from transit_efficiency_analysis_spark.operators.multimodal import (
+        decode_bmp,
+        decode_wav_header,
+        encode_bmp,
+        encode_wav,
+    )
+
+    assert decode_bmp(encode_bmp(17, 9)) == (17, 9, 3)
+    # top-down BMP: negative height normalizes
+    b = bytearray(encode_bmp(4, 6))
+    struct.pack_into("<i", b, 22, -6)
+    assert decode_bmp(bytes(b)) == (4, 6, 3)
+    try:
+        decode_bmp(b"nope")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+    assert decode_wav_header(encode_wav(2, 16000, 16, 12345)) == (2, 16000, 16, 12345)
+    # tolerate an unknown odd-sized chunk before fmt (word alignment)
+    wav = encode_wav(1, 8000, 16, 10)
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    patched = wav[:12] + junk + wav[12:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    assert decode_wav_header(patched) == (1, 8000, 16, 10)

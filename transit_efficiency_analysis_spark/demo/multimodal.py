@@ -10,12 +10,19 @@ identical to the SQL oracle (md5 / byte-length agree with DuckDB).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from transit_efficiency_analysis_spark.demo import demo
 from transit_efficiency_analysis_spark.operators.multimodal import (
     _fake_decode,
     attach_payload,
+    encode_bmp,
+    encode_wav,
+    extract_audio_meta,
     extract_image_meta,
     frame_sample_plan,
 )
@@ -57,3 +64,90 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     offsets (the video-frame-extraction shape) as pure column expressions."""
     d = load_table(spark, sf_dir, "documents")
     return frame_sample_plan(attach_payload(d), every_n_bytes=64)
+
+
+def _bmp_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize real BMP payloads with SQL-predictable dimensions
+    (width from text length, height from doc_id) in a mapInPandas encode
+    stage — the decode side then runs the bundled REAL parser."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.octet_length(F.encode("text", "utf-8")) % 64 + 1).alias("w"),
+        (F.col("doc_id") % 48 + 1).alias("h"),
+    )
+
+    def _encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_bmp(int(w), int(h)) for w, h in zip(pdf["w"], pdf["h"])
+                    ],
+                }
+            )
+
+    return d.mapInPandas(_encode, schema="doc_id long, payload binary")
+
+
+@demo(
+    "q_multimodal_bmp",
+    sql="""
+    SELECT doc_id,
+           CAST(54 + ((w * 3 + 3) // 4 * 4) * h AS INTEGER) AS n_bytes,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS n_channels
+    FROM (SELECT doc_id, octet_length(encode(text)) % 64 + 1 AS w,
+                 doc_id % 48 + 1 AS h
+          FROM documents)
+    """,
+)
+def q_multimodal_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode path: synthesized BMP payloads → bundled
+    BITMAPINFOHEADER parser via mapInPandas → typed metadata. The oracle
+    predicts every field (incl. the 4-byte-aligned file size) from the
+    public format's arithmetic."""
+    bmps = _bmp_corpus(spark, sf_dir)
+    return extract_image_meta(bmps).select(
+        "doc_id", "n_bytes", "width", "height", "n_channels"
+    )
+
+
+@demo(
+    "q_multimodal_wav",
+    sql="""
+    SELECT doc_id,
+           CAST(doc_id % 2 + 1 AS INTEGER) AS n_channels,
+           CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate_hz,
+           CAST(16 AS INTEGER) AS bits_per_sample,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_frames,
+           CAST(octet_length(encode(text)) AS DOUBLE)
+               / (8000 + (doc_id % 3) * 4000) AS duration_s
+    FROM documents
+    """,
+)
+def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode path: synthesized PCM WAV payloads → bundled
+    RIFF chunk-walker via mapInPandas → channels/rate/bits/frames/duration."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 2 + 1).alias("ch"),
+        (F.lit(8000) + (F.col("doc_id") % 3) * 4000).alias("rate"),
+        F.octet_length(F.encode("text", "utf-8")).alias("nf"),
+    )
+
+    def _encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_wav(int(c), int(r), 16, int(n))
+                        for c, r, n in zip(pdf["ch"], pdf["rate"], pdf["nf"])
+                    ],
+                }
+            )
+
+    wavs = d.mapInPandas(_encode, schema="doc_id long, payload binary")
+    return extract_audio_meta(wavs)

@@ -5,13 +5,12 @@ structs alongside. Decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` stages — one Python invocation per batch, not
 per row, with the binary payloads staying columnar end-to-end.
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT present in this
-environment, so the decode kernels are stubbed: ``decode_image_stub``
-raises ``NotImplementedError`` unless given the deterministic fake decoder
-used by the tests. Everything around the kernel — schema contracts,
-partition sizing, batch shape, null passthrough — is real and tested; a
-deployment swaps ``_fake_decode`` for the real codec without touching the
-plan.
+Decode kernels: two REAL dependency-free header parsers are bundled —
+``decode_bmp`` (BMP/BITMAPINFOHEADER) and ``decode_wav_header`` (RIFF/WAVE
+PCM), both trivial public formats — so the decode path runs ungated end to
+end. Rich codecs (JPEG/PNG via PIL, video via ffmpeg) are not in this
+container; inject one through the ``decoder`` argument in deployment —
+the plan shape does not change.
 
 Scale notes: binary payloads dominate I/O, so the scan must prune metadata
 queries to metadata columns (parquet column pruning gives this for free);
@@ -21,6 +20,7 @@ payloads fits executor memory; feature extraction is map-only (no shuffle).
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -55,9 +55,35 @@ def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     """Deterministic stand-in for an image decoder: derives (width, height,
-    channels) from payload bytes. Replace with PIL/libvips in deployment."""
+    channels) from payload bytes. Useful for plumbing tests whose payloads
+    are not real images."""
     n = len(payload)
     return (n % 640 + 1, n % 480 + 1, 3)
+
+
+def encode_bmp(width: int, height: int) -> bytes:
+    """Minimal 24-bit bottom-up BMP (public format): 14-byte file header +
+    40-byte BITMAPINFOHEADER + zeroed 4-byte-aligned pixel rows. Synthesis
+    side of ``decode_bmp`` for demos/tests (and a legitimate thumbnail
+    sink shape)."""
+    row = (width * 3 + 3) // 4 * 4
+    image_size = row * height
+    file_size = 54 + image_size
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, image_size, 2835, 2835, 0, 0)
+    return header + info + bytes(image_size)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, int]:
+    """REAL image metadata decode for the BMP container (public spec —
+    BITMAPINFOHEADER at offset 14: i32 width, i32 height, u16 bpp at 28).
+    Returns (width, height, channels); raises ``ValueError`` on non-BMP
+    payloads. Negative height (top-down BMP) is normalized."""
+    if len(payload) < 30 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    return (abs(width), abs(height), max(1, bpp // 8))
 
 
 def extract_image_meta(
@@ -67,20 +93,18 @@ def extract_image_meta(
 ) -> DataFrame:
     """Decode payloads → metadata rows via Arrow-batched ``mapInPandas``.
 
-    ``decoder`` maps payload bytes → (width, height, channels). Without an
-    injected decoder this raises ``NotImplementedError`` at execution time
-    (the real codec libraries are not bundled here); tests inject
-    ``_fake_decode``.
+    ``decoder`` maps payload bytes → (width, height, channels); the
+    default is the bundled real BMP parser (``decode_bmp``). Inject a
+    PIL/libvips-backed callable for JPEG/PNG in deployment — the plan
+    shape is identical.
     """
     import hashlib
 
+    if decoder is None:
+        decoder = decode_bmp
+
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if decoder is None:
-                raise NotImplementedError(
-                    "no image decoder available in this environment; "
-                    "inject one (e.g. PIL-based) via the decoder argument"
-                )
             dims = pdf[payload_col].map(lambda b: decoder(bytes(b)))
             yield pd.DataFrame(
                 {
@@ -96,6 +120,77 @@ def extract_image_meta(
             )
 
     return df.mapInPandas(_batches, schema=IMAGE_META_SCHEMA)
+
+
+#: metadata contract for a decoded audio payload
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("sample_rate_hz", T.IntegerType(), True),
+        T.StructField("bits_per_sample", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+    ]
+)
+
+
+def encode_wav(n_channels: int, sample_rate: int, bits: int, n_frames: int) -> bytes:
+    """Minimal PCM WAV (public RIFF/WAVE spec): fmt chunk + zeroed data
+    chunk. Synthesis side of ``decode_wav_header``."""
+    block_align = n_channels * bits // 8
+    data_size = n_frames * block_align
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, sample_rate * block_align, block_align, bits
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", data_size) + bytes(data_size)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_header(payload: bytes) -> tuple[int, int, int, int]:
+    """REAL audio metadata decode for PCM WAV (public RIFF spec): walks the
+    chunk list for ``fmt `` and ``data``. Returns (n_channels,
+    sample_rate_hz, bits_per_sample, n_frames)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i = 12
+    channels = rate = bits = None
+    data_size = None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        (size,) = struct.unpack_from("<I", payload, i + 4)
+        if cid == b"fmt ":
+            _, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", payload, i + 8)
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if channels is None or data_size is None:
+        raise ValueError("missing fmt/data chunk")
+    n_frames = data_size // (channels * bits // 8)
+    return (channels, rate, bits, n_frames)
+
+
+def extract_audio_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """WAV payloads → typed audio metadata via Arrow-batched
+    ``mapInPandas`` (map-only: decode parallelism is the scan's
+    partitioning). ``duration_s = n_frames / sample_rate`` exactly."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = pdf[payload_col].map(lambda b: decode_wav_header(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_channels": metas.map(lambda m: m[0]).astype("int32"),
+                    "sample_rate_hz": metas.map(lambda m: m[1]).astype("int32"),
+                    "bits_per_sample": metas.map(lambda m: m[2]).astype("int32"),
+                    "n_frames": metas.map(lambda m: m[3]).astype("int64"),
+                    "duration_s": metas.map(lambda m: m[3] / m[1]),
+                }
+            )
+
+    return df.mapInPandas(_batches, schema=AUDIO_META_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
