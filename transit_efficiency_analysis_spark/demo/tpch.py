@@ -129,3 +129,108 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+@demo(
+    "q_tpch_q10",
+    sql=f"""
+    SELECT c_custkey, c_name,
+           CAST(CAST(sum({_REVENUE}) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: top-20 returned-item revenue by customer (join + agg +
+    global top-k; the limit plans as TakeOrdered, not a full sort)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_revenue_col()).cast("decimal(18,4)").cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+@demo(
+    "q_tpch_q12",
+    sql="""
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate > o_orderdate
+    GROUP BY l_linestatus
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: late-shipment priority counts by line status (the
+    testdata schema has no receipt/commit dates or ship modes, so the
+    late predicate is shipdate > orderdate and the slice key is
+    l_linestatus — same conditional-aggregation plan shape; range
+    predicates push to the lineitem scan)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@demo(
+    "q_tpch_q14",
+    sql=f"""
+    SELECT CAST(CAST(
+               100.00 * sum(CASE WHEN p_type LIKE 'PROMO%' THEN {_REVENUE}
+                                 ELSE CAST(0 AS DECIMAL(16,4)) END)
+               / sum({_REVENUE}) AS DECIMAL(18,6)) AS DOUBLE) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: promo revenue share — ratio of two exact decimal sums,
+    emitted through DECIMAL(18,6) -> DOUBLE on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1995-09-01") & (F.col("l_shipdate") < "1995-10-01")
+    )
+    p = load_table(spark, sf_dir, "part")
+    promo = F.when(
+        F.col("p_type").like("PROMO%"), _revenue_col()
+    ).otherwise(F.lit(0).cast("decimal(16,4)"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (F.lit(100.00) * F.sum(promo) / F.sum(_revenue_col()))
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("promo_revenue")
+        )
+    )
