@@ -7,10 +7,11 @@ runtime (``realtime_extractor.py:39-57,122-143``) with Structured Streaming:
   the shape a ``.pb``-per-minute poller lands); checkpointing replaces the
   lock file (exactly-once per file), the trigger interval replaces cron,
   and ``Trigger.AvailableNow`` gives catch-up-then-stop semantics.
-- sink: ``foreachBatch`` applying the same ``merge_batch`` window-dedup
-  kernel as the batch path onto a parquet state table — so stream and batch
-  are *the same operator*, proven equal by the parity test
-  (tests/test_streaming.py).
+- sink: ``foreachBatch`` applying the same conditional-replay
+  ``merge_batch`` kernel as the batch pipeline (unchanged polls keep the
+  stored row; audit columns maintained) onto a parquet state table — so
+  stream and batch are *the same operator*, proven equal by the parity
+  test (tests/test_streaming.py).
 
 At scale the state table is Delta/Iceberg and ``merge_batch`` becomes
 ``MERGE INTO`` over date-pruned partitions; watermarking bounds the dedup
@@ -35,6 +36,9 @@ from transit_efficiency_analysis_spark.sources.gtfs_realtime import (
 #: upsert identity (PK) + recency order for realtime observations
 REALTIME_KEYS = ["trip_id", "start_date", "stop_sequence", "stop_id"]
 REALTIME_ORDER = ["poll_ts"]
+#: conditional-update columns (realtime_extractor.py:216-218): the stored
+#: row advances only when arrival/departure actually changed
+REALTIME_TRACKED = ["arrival_time", "departure_time"]
 
 
 def transform_feed(raw: DataFrame) -> DataFrame:
@@ -59,10 +63,14 @@ def run_stream_available_now(
         batch = transform_feed(batch_df)
         if os.path.exists(state_path):
             existing = batch_df.sparkSession.read.parquet(state_path)
-            merged = merge_batch(existing, batch, REALTIME_KEYS, REALTIME_ORDER)
+            merged = merge_batch(
+                existing, batch, REALTIME_KEYS, REALTIME_ORDER,
+                tracked=REALTIME_TRACKED, ts_col="poll_ts",
+            )
         else:
             merged = merge_batch(
-                batch.limit(0), batch, REALTIME_KEYS, REALTIME_ORDER
+                batch.limit(0), batch, REALTIME_KEYS, REALTIME_ORDER,
+                tracked=REALTIME_TRACKED, ts_col="poll_ts",
             )
         # write to a temp path, then swap: Spark can't overwrite a path that
         # feeds the same job, and this avoids driver-side materialization
@@ -91,4 +99,7 @@ def batch_equivalent(spark: SparkSession, feed_dir: str) -> DataFrame:
     once, transform, keep newest per key."""
     raw = spark.read.schema(schemas.REALTIME_FEED_RAW).parquet(feed_dir)
     batch = transform_feed(raw)
-    return merge_batch(batch.limit(0), batch, REALTIME_KEYS, REALTIME_ORDER)
+    return merge_batch(
+        batch.limit(0), batch, REALTIME_KEYS, REALTIME_ORDER,
+        tracked=REALTIME_TRACKED, ts_col="poll_ts",
+    )
