@@ -120,3 +120,31 @@ def test_dedup_clusters_chain_and_singletons(spark):
         0: (0, True), 1: (0, False), 2: (0, False), 3: (0, False), 4: (0, False),
         5: (5, True), 6: (6, True), 7: (6, False), 8: (8, True), 9: (9, True),
     }
+
+
+@settings(max_examples=6, deadline=None)
+@given(texts=corpus_strategy)
+def test_cross_corpus_overlap_matches_bruteforce(spark, texts):
+    """Contamination operator equals the per-pair shingle-set intersection
+    computed in Python (corpus = even ids, benchmark = odd ids)."""
+    from transit_efficiency_analysis_spark.operators.dedup import cross_corpus_overlap
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    corpus = [(i, t) for i, t in docs if i % 2 == 0]
+    bench = [(i, t) for i, t in docs if i % 2 == 1]
+    out = cross_corpus_overlap(
+        df.where(F.col("doc_id") % 2 == 0),
+        df.where(F.col("doc_id") % 2 == 1),
+        k=3,
+    ).collect()
+    got = {(r["doc_id"], r["bench_id"]): (r["n_common"], r["frac_of_bench"]) for r in out}
+    expected = {}
+    for ci, ct in corpus:
+        cs = _py_shingles(ct)
+        for bi, bt in bench:
+            bs = _py_shingles(bt)
+            inter = len(cs & bs)
+            if inter and bs:
+                expected[(ci, bi)] = (inter, inter / len(bs))
+    assert got == expected
