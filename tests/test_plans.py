@@ -52,3 +52,39 @@ def test_text_ops_no_python(spark, sf_dir):
     for name in ["q_text_quality", "q_text_langid", "q_dedup_minhash_lsh"]:
         df = load_registry()[name].fn(spark, sf_dir)
         assert_no_python_row_udf(df)
+
+
+def test_every_demo_plan_is_row_udf_free(spark, sf_dir):
+    """Sweep EVERY registered demo: no row-at-a-time Python (BatchEvalPython)
+    may appear in any physical plan — Arrow paths (mapInPandas /
+    ArrowEvalPython / FlatMapGroupsInPandas) are the only Python allowed.
+    Plan-only: nothing executes, so the sweep stays fast."""
+    skip = {
+        # these write real side outputs (CSV fixtures / Derby / parquet) at
+        # plan-construction time; their plans are covered by their own demos
+        "q_ingest_gtfs_static", "q_jdbc_roundtrip", "q_sink_roundtrip",
+        # iterative: runs actions during construction (covered by its test)
+        "q_dedup_clusters",
+    }
+    checked = 0
+    for name, d in sorted(load_registry().items()):
+        if name in skip:
+            continue
+        df = d.fn(spark, sf_dir)
+        assert_no_python_row_udf(df)
+        checked += 1
+    assert checked >= 90  # the sweep must actually cover the registry
+
+
+def test_new_ann_and_contamination_plans(spark, sf_dir):
+    """IVF assignment broadcasts centroids; contamination broadcasts the
+    benchmark side — neither may shuffle the big side for the join. IVF is
+    audited with checkpoint=False so the full lineage (normally truncated
+    by the reuse checkpoint) is visible."""
+    from transit_efficiency_analysis_spark.operators.similarity import ivf_topk
+
+    reg = load_registry()
+    e = load_table(spark, sf_dir, "embeddings")
+    assert_broadcast_join(ivf_topk(e, checkpoint=False), min_count=1)
+    assert_no_python_row_udf(ivf_topk(e, checkpoint=False))
+    assert_broadcast_join(reg["q_text_contamination"].fn(spark, sf_dir), min_count=1)

@@ -178,6 +178,7 @@ def ivf_topk(
     n_centroids: int = 8,
     n_probe: int = 2,
     k: int = 3,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """IVF-flat approximate top-k: coarse-quantize the corpus into
     ``n_centroids`` cells (nearest centroid by cosine), then answer each
@@ -205,10 +206,12 @@ def ivf_topk(
                 Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell"))
             ),
         )
+    )
+    if checkpoint:
         # consumed twice (data cells + probe cells): checkpoint so the
         # scan → broadcast-join → window pipeline runs once, not twice
-        .localCheckpoint(eager=False)
-    )
+        # (checkpoint=False keeps the full lineage visible for plan audits)
+        ranked = ranked.localCheckpoint(eager=False)
     data = ranked.where(F.col("crank") == 1).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("v").alias("cv2"),
