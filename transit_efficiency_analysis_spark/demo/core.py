@@ -268,3 +268,32 @@ def q_expr_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string").cast("long").alias("user_id_back"),
         F.floor("value").cast("long").alias("value_long"),
     )
+
+
+@demo(
+    "q_null_surface",
+    sql="""
+    SELECT event_id,
+           coalesce(props, '{}') AS props_or_empty,
+           nullif(event_type, 'click') AS type_unless_click,
+           CASE WHEN props IS NOT NULL THEN 'has_props' ELSE 'no_props' END AS props_flag,
+           (value IS NULL) AS value_missing,
+           ifnull(value, -1.0) AS value_or_default
+    FROM events
+    """,
+)
+def q_null_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling surface: coalesce / nullif / nvl2-style flag /
+    IS NULL / default substitution — the sentinel-and-null vocabulary the
+    reference leans on (epoch-0 defaults, NULL-suppressed updates)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.coalesce("props", F.lit("{}")).alias("props_or_empty"),
+        F.nullif("event_type", F.lit("click")).alias("type_unless_click"),
+        F.when(F.col("props").isNotNull(), "has_props")
+        .otherwise("no_props")
+        .alias("props_flag"),
+        F.col("value").isNull().alias("value_missing"),
+        F.ifnull("value", F.lit(-1.0)).alias("value_or_default"),
+    )

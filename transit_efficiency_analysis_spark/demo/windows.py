@@ -87,3 +87,36 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         gap.alias("minutes_since_prev"),
         F.lead("event_type").over(w).alias("next_type"),
     )
+
+
+@demo(
+    "q_window_pctrank",
+    sql="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cum_dist,
+           first_value(o_orderkey) OVER w AS cheapest_order,
+           last_value(o_orderkey)
+               OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS priciest_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_window_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank-statistics window family: percent_rank / cume_dist (exact
+    rational doubles — identical on both engines) + first/last value over
+    an unbounded frame."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+        F.first("o_orderkey").over(w).alias("cheapest_order"),
+        F.last("o_orderkey").over(w_full).alias("priciest_order"),
+    )
