@@ -63,3 +63,28 @@ def test_delay_sort_flag_same_content(spark, sf_dir):
     b = compute_delays(tu, gd, sort=False)
     assert a.columns == b.columns
     assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
+
+
+def test_asof_null_payload_from_latest_right_row(spark):
+    """A right row whose payload is NULL must WIN over an older non-NULL
+    one (latest matching right ROW semantics), and multiple payload
+    columns must all come from that same row — the struct-carry contract."""
+    left = spark.createDataFrame(
+        [(1, datetime(2026, 1, 1, 12, 0), "q")], "k long, ts timestamp, tag string"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, datetime(2026, 1, 1, 10, 0), 5.0, "old"),
+            (1, datetime(2026, 1, 1, 11, 0), None, "new"),  # latest: NULL payload
+        ],
+        "k long, rts timestamp, payload double, label string",
+    )
+    out = asof_join(
+        left, right, key="k", left_ts="ts", right_ts="rts",
+        payload_cols=["payload", "label"],
+    ).collect()
+    assert len(out) == 1
+    # both columns come from the 11:00 row: NULL payload, label 'new' —
+    # NOT stitched (5.0, 'new') or stale (5.0, 'old')
+    assert out[0]["payload"] is None
+    assert out[0]["label"] == "new"

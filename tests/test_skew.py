@@ -34,3 +34,15 @@ def test_salted_join_with_skewed_key(spark):
     salted = salted_join(left, right, key="k", salt_buckets=4, left_unique_col="uniq")
     cols = ["k", "uniq", "val"]
     assert _multiset(salted, cols) == _multiset(plain, cols)
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    """right/full outer would emit unmatched right rows once per salt
+    bucket — the operator must refuse instead of silently duplicating."""
+    import pytest
+
+    left = spark.createDataFrame([(1, 10)], "k long, uniq long")
+    right = spark.createDataFrame([(2, "v")], "k long, val string")
+    for how in ("right", "full", "full_outer"):
+        with pytest.raises(ValueError, match="inner.*left"):
+            salted_join(left, right, key="k", left_unique_col="uniq", how=how)
