@@ -103,6 +103,7 @@ def minhash_lsh_pairs(
     k: int = 3,
     bands: int = 6,
     threshold: float = 0.5,
+    reuse: bool = True,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs: shingle → per-band minhash →
     band-bucket join → exact Jaccard verification >= ``threshold``.
@@ -113,8 +114,19 @@ def minhash_lsh_pairs(
     the |A∩B| count join, so every stage is codegen'd scan/shuffle/agg with
     no interpreted array lambdas. Jaccard = ∩ / (|A| + |B| - ∩) over
     distinct shingle sets — identical to intersect/union over the sets.
+
+    ``reuse=True`` checkpoints the exploded-shingle relation so its
+    scan→shuffle→distinct chain runs once instead of four times (signature
+    agg, size agg, both sides of the intersect join). Set ``reuse=False``
+    when executor storage is tighter than recompute cost (the exploded set
+    is ~k× the corpus text) — results are identical either way.
     """
     exp = shingles_exploded(df, id_col, text_col, k)
+    if reuse:
+        # eager: materializes at call time (one extra job) — the lazy form
+        # races its SQL-metric accumulators when four consumers hit the
+        # uncomputed blocks in one job and spams ERROR logs
+        exp = exp.localCheckpoint(eager=True)
     # all band minima in ONE aggregation pass over the exploded shingles
     # (a band×shingle cross join would multiply the shuffle rows by `bands`),
     # then unpivot the band columns to (doc_id, band, mh) rows
@@ -163,30 +175,35 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     """(doc_id, simhash) 32-bit fingerprints, computed set-based.
 
     Same math as ``functions.text.simhash32`` (md5-nibble bit draws, ±1
-    votes, sign → bit) but expressed as explode → groupBy-sum → re-fold so
-    the hot path stays in whole-stage codegen instead of interpreted
-    higher-order lambdas — ~an order of magnitude faster, and the shape that
-    scales (token rows shuffle once on doc_id, partial aggregation applies).
+    votes, sign → bit) but expressed as explode → one groupBy pass with all
+    32 bit-votes as separate aggregate columns, so the hot path stays in
+    whole-stage codegen AND the shuffle carries one token row per token —
+    not the 32× (token, bit) rows a nibble-explode would (map-side partial
+    aggregation collapses each partition to one 32-column row per doc
+    before the exchange). The bit fold back to the fingerprint is pure
+    column arithmetic on the aggregated row.
     """
     tokens = df.select(
         F.col(id_col).alias("doc_id"), F.explode(words(text_col)).alias("t")
     ).withColumn("h", F.md5("t"))
-    # one row per (doc, bit j): vote = Σ ±1 over tokens
-    votes = (
-        tokens.select(
-            "doc_id", F.posexplode(F.split(F.substring("h", 1, 32), "(?!^)")).alias("j", "d")
-        )
-        .withColumn("v", F.when(F.col("d") >= "8", F.lit(1)).otherwise(F.lit(-1)))
-        .groupBy("doc_id", "j")
-        .agg(F.sum("v").alias("vote"))
+    # vote_j = Σ ±1 over tokens (nibble j of md5 >= '8' → +1), all 32 bits
+    # in ONE aggregation pass
+    votes = tokens.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.substring("h", j + 1, 1) >= "8", F.lit(1)).otherwise(F.lit(-1))
+            ).alias(f"v_{j}")
+            for j in range(32)
+        ]
     )
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("vote") > 0, F.pow(F.lit(2.0), F.col("j")).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
-    )
+    bits = [
+        F.when(F.col(f"v_{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+        for j in range(32)
+    ]
+    simhash = bits[0]
+    for b in bits[1:]:
+        simhash = simhash + b
+    return votes.select("doc_id", simhash.alias("simhash"))
 
 
 def simhash_pairs(
