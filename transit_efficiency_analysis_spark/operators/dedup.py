@@ -226,8 +226,13 @@ def simhash_pairs(
     rotation is an independent chance for a clean block). Each rotation is
     one bucketed self-join; candidates stay bounded by bucket sizes, never
     |corpus|² — the same scale shape as MinHash LSH banding.
+
+    Fingerprints are checkpointed before the joins: the relation is
+    consumed 2×rotations times (each rotation's two join sides) and is one
+    40-byte row per document — always cheaper to materialize than to
+    re-run the token aggregation per consumer.
     """
-    fp = simhash_fingerprints(df, id_col, text_col)
+    fp = simhash_fingerprints(df, id_col, text_col).localCheckpoint(eager=True)
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     per_rotation = []
     for r in rotations:
