@@ -28,16 +28,14 @@ class Demo:
 
 REGISTRY: dict[str, Demo] = {}
 
+# Module order sets registry order, which sets the driver's correctness
+# window (the driver oracle-checks the FIRST 50 registry entries only).
+# Rounds 1-2 earned green rows for the core/timefns/joins/upsert/delay/
+# analytics/windows/setops/textops families (CORRECTNESS_r02.json: 49 green
+# + 1 no-oracle-by-design); those modules now sit at the back so the 51
+# previously-unchecked demos (LLM-pipeline ops, TPC-H, ingest, JDBC, SQL
+# surface) occupy the first 50 slots and earn hard driver verdicts.
 _DEMO_MODULES = [
-    "core",
-    "timefns",
-    "joins",
-    "upsert",
-    "delay",
-    "analytics",
-    "windows",
-    "setops",
-    "textops",
     "dedup",
     "similarity",
     "multimodal",
@@ -50,9 +48,19 @@ _DEMO_MODULES = [
     "tpch",
     "sampling",
     "textprep",
-    "approx",
     "semistructured",
     "jdbc",
+    "approx",
+    # --- driver-green in r01/r02 (rows on record) ---
+    "core",
+    "timefns",
+    "joins",
+    "upsert",
+    "delay",
+    "analytics",
+    "windows",
+    "setops",
+    "textops",
 ]
 
 
