@@ -58,10 +58,12 @@ def test_ngram_jaccard_matches_bruteforce(spark, texts):
         assert abs(got[pair] - j) < 1e-12
 
 
-def test_simhash_rotation_blocks_raise_recall(spark):
-    """Charikar block-and-permute: the two-rotation candidate set is a
-    superset of the single-prefix-block set, and every pair with
-    hamming <= 1 (guaranteed: all diffs fall in one 16-bit half) is found."""
+def test_simhash_manku_blocks_recall_guarantees(spark):
+    """Manku block scheme over 64-bit fingerprints: choose-2 candidates
+    are guaranteed complete at hamming <= n_blocks - 2 = 2; choose-1
+    widens the guarantee to hamming <= 3, so its pair set must contain
+    every choose-2 pair in the hamming <= 3 band. Ground truth is the
+    brute-force XOR popcount over the fingerprints themselves."""
     from itertools import combinations
 
     from transit_efficiency_analysis_spark.operators.dedup import (
@@ -83,25 +85,38 @@ def test_simhash_rotation_blocks_raise_recall(spark):
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
-    hmax = 16
-    single = {
-        (r["doc_a"], r["doc_b"])
-        for r in simhash_pairs(df, "doc_id", "text", hmax, rotations=(0,)).collect()
+    hmax = 32
+    choose2 = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_pairs(df, "doc_id", "text", hmax, block_choose=2).collect()
     }
-    double = {
-        (r["doc_a"], r["doc_b"])
-        for r in simhash_pairs(df, "doc_id", "text", hmax, rotations=(0, 16)).collect()
+    choose1 = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_pairs(df, "doc_id", "text", hmax, block_choose=1).collect()
     }
-    assert double >= single
 
     # ground truth from the fingerprints themselves
-    fps = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(df, "doc_id", "text").collect()}
-    truth_h1 = {
-        (a, b)
-        for a, b in combinations(sorted(fps), 2)
-        if bin(fps[a] ^ fps[b]).count("1") <= 1
+    fps = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_fingerprints(df, "doc_id", "text").collect()
     }
-    assert truth_h1 <= double
+
+    def truth(hmax_):
+        return {
+            (a, b): bin((fps[a] ^ fps[b]) & (2**64 - 1)).count("1")
+            for a, b in combinations(sorted(fps), 2)
+            if bin((fps[a] ^ fps[b]) & (2**64 - 1)).count("1") <= hmax_
+        }
+
+    # pigeonhole guarantees (complete recall bands)
+    assert truth(2).keys() <= choose2.keys()
+    assert truth(3).keys() <= choose1.keys()
+    # choose-1's guarantee band covers everything choose-2 found there
+    assert {p for p, h in choose2.items() if h <= 3} <= choose1.keys()
+    # reported hamming is the true 64-bit popcount
+    full = truth(64)
+    for p, h in choose2.items():
+        assert full[p] == h
 
 
 def test_dedup_clusters_chain_and_singletons(spark):
@@ -119,6 +134,29 @@ def test_dedup_clusters_chain_and_singletons(spark):
     assert out == {
         0: (0, True), 1: (0, False), 2: (0, False), 3: (0, False), 4: (0, False),
         5: (5, True), 6: (6, True), 7: (6, False), 8: (8, True), 9: (9, True),
+    }
+
+
+def test_dedup_clusters_string_ids_deep_chain(spark):
+    """String doc ids (no numeric sum exists) through a diameter-4 chain:
+    convergence must be detected structurally, not via a label-sum
+    fixpoint — with string labels sum() is NULL every round and a
+    NULL==NULL fixpoint would stop after one propagation round, leaving
+    the far end of the chain mislabeled."""
+    from transit_efficiency_analysis_spark.operators.dedup import dedup_clusters
+
+    ids = [f"doc-{c}" for c in "abcdefg"]
+    nodes = spark.createDataFrame([(i,) for i in ids], "doc_id string")
+    # chain a-b-c-d-e given far-end first so min label must walk 4 hops
+    pairs = spark.createDataFrame(
+        [("doc-d", "doc-e"), ("doc-c", "doc-d"), ("doc-b", "doc-c"), ("doc-a", "doc-b")],
+        "doc_a string, doc_b string",
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(nodes, pairs).collect()}
+    assert out == {
+        "doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a",
+        "doc-d": "doc-a", "doc-e": "doc-a",
+        "doc-f": "doc-f", "doc-g": "doc-g",
     }
 
 

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from transit_efficiency_analysis_spark.functions.text import (
     simhash32,
+    simhash64,
     token_count_bpe_ish,
     token_count_ws,
     word_shingles,
@@ -55,13 +56,29 @@ def _py_simhash32(tokens: list[str]) -> int:
     return sum(1 << j for j in range(32) if votes[j] > 0)
 
 
+def _py_simhash64(tokens: list[str]) -> int:
+    """Signed-64 reference: bits 0-31 from md5(t), 32-63 from md5('~'+t);
+    bit 63 weighted -2^63 (two's complement, matches a JVM long)."""
+    votes = [0] * 64
+    for t in tokens:
+        h0 = hashlib.md5(t.encode()).hexdigest()
+        h1 = hashlib.md5(("~" + t).encode()).hexdigest()
+        for j in range(64):
+            nib = h0[j] if j < 32 else h1[j - 32]
+            votes[j] += 1 if nib >= "8" else -1
+    u = sum(1 << j for j in range(64) if votes[j] > 0)
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
 @pytest.mark.parametrize("text", ["the fast key", "a", "merge sort join merge sort"])
 def test_simhash_column_and_operator_match_reference_impl(spark, text):
     df = spark.createDataFrame([(7, text)], "doc_id long, text string")
-    expected = _py_simhash32(text.split(" "))
-    col_val = df.select(simhash32(words("text")).alias("s")).collect()[0]["s"]
+    col32 = df.select(simhash32(words("text")).alias("s")).collect()[0]["s"]
+    assert col32 == _py_simhash32(text.split(" "))
+    expected64 = _py_simhash64(text.split(" "))
+    col64 = df.select(simhash64(words("text")).alias("s")).collect()[0]["s"]
     op_val = simhash_fingerprints(df, "doc_id", "text").collect()[0]["simhash"]
-    assert col_val == expected == op_val
+    assert col64 == expected64 == op_val
 
 
 def test_token_counts(spark):

@@ -135,14 +135,23 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(d, pairs, id_col="doc_id")
 
 
+# 64-bit fingerprint: bits 0-31 from md5(t) nibbles, 32-63 from md5('~'||t);
+# bit 63 carries the sign weight -2^63 (two's complement — block extraction
+# and bit_count/xor verified bit-identical between DuckDB and the JVM).
+# DuckDB sums BIGINT into HUGEINT, so the outer CAST back to BIGINT is exact.
 _SIMHASH_SQL = """
 SELECT doc_id,
-       CAST(sum(CASE WHEN vote > 0 THEN CAST(power(2, j - 1) AS BIGINT) ELSE 0 END)
-            AS BIGINT) AS simhash
+       CAST(sum(CASE WHEN vote > 0 THEN
+                CASE WHEN j = 64 THEN -9223372036854775807 - 1
+                     ELSE CAST(power(2, j - 1) AS BIGINT) END
+            ELSE 0 END) AS BIGINT) AS simhash
 FROM (
-    SELECT doc_id, j, sum(CASE WHEN substr(md5(t), j, 1) >= '8' THEN 1 ELSE -1 END) AS vote
+    SELECT doc_id, j,
+           sum(CASE WHEN substr(CASE WHEN j <= 32 THEN md5(t) ELSE md5('~' || t) END,
+                          CASE WHEN j <= 32 THEN j ELSE j - 32 END, 1) >= '8'
+               THEN 1 ELSE -1 END) AS vote
     FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
-    CROSS JOIN (SELECT unnest(generate_series(1, 32)) AS j)
+    CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j)
     GROUP BY doc_id, j
 )
 GROUP BY doc_id
@@ -151,35 +160,45 @@ GROUP BY doc_id
 
 @demo("q_dedup_simhash", sql=f"SELECT doc_id, simhash FROM ({_SIMHASH_SQL})")
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash: 32-bit fingerprint per document (md5-nibble bit draws,
-    ±1 votes per token, sign → bit)."""
+    """SimHash: 64-bit fingerprint per document (two md5-nibble bit-draw
+    families, ±1 votes per token, sign → bit)."""
     d = load_table(spark, sf_dir, "documents")
     return simhash_fingerprints(d, "doc_id", "text")
 
 
-@demo(
-    "q_dedup_simhash_pairs",
-    sql=f"""
+def _simhash_pairs_sql(n_blocks: int = 4, choose: int = 2, max_hamming: int = 6) -> str:
+    from itertools import combinations
+
+    bits = 64 // n_blocks
+    blocks = ", ".join(
+        f"(simhash >> {bits * i}) & {2**bits - 1} AS b{i}" for i in range(n_blocks)
+    )
+    branches = "\n        UNION\n".join(
+        "        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS ha, b.simhash AS hb\n"
+        "        FROM fpb a JOIN fpb b ON "
+        + " AND ".join(f"a.b{i} = b.b{i}" for i in combo)
+        + " AND a.doc_id < b.doc_id"
+        for combo in combinations(range(n_blocks), choose)
+    )
+    return f"""
     WITH fp AS ({_SIMHASH_SQL}),
+    fpb AS (SELECT doc_id, simhash, {blocks} FROM fp),
     cand AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS ha, b.simhash AS hb
-        FROM fp a
-        JOIN fp b ON (a.simhash // 65536) = (b.simhash // 65536) AND a.doc_id < b.doc_id
-        UNION
-        SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
-        FROM fp a
-        JOIN fp b ON (a.simhash % 65536) = (b.simhash % 65536) AND a.doc_id < b.doc_id
+{branches}
     )
     SELECT doc_a, doc_b,
            CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
     FROM cand
-    WHERE bit_count(xor(ha, hb)) <= 6
-    """,
-)
+    WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+    """
+
+
+@demo("q_dedup_simhash_pairs", sql=_simhash_pairs_sql())
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: Hamming <= 6, Charikar block-and-permute
-    candidates over two 16-bit rotation blocks (top half OR bottom half
-    matches — every hamming<=1 pair is guaranteed caught)."""
+    """SimHash near-dup pairs: Hamming <= 6 over 64-bit fingerprints,
+    Manku block candidates — 4 blocks of 16 bits, candidates agree on
+    some choose-2 block subset (32-bit join keys; every hamming<=2 pair
+    is guaranteed caught, hamming 3-6 found probabilistically)."""
     d = load_table(spark, sf_dir, "documents")
     return simhash_pairs(d, "doc_id", "text", max_hamming=6)
 

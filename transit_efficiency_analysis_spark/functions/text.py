@@ -60,20 +60,8 @@ def simhash32(tokens_col: Column) -> Column:
     bit position; the fingerprint bit is 1 when the vote sum is positive.
     Pure array algebra — aggregate over a 32-slot vote vector.
     """
-    hashes = F.transform(tokens_col, F.md5)  # hash each token exactly once
-    votes = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0), 32),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.transform(
-                F.sequence(F.lit(1), F.lit(32)),
-                # lowercase hex: digit >= '8' ⇔ top nibble bit set
-                lambda j: F.when(h.substr(j, F.lit(1)) >= "8", F.lit(1)).otherwise(F.lit(-1)),
-            ),
-            lambda a, b: a + b,
-        ),
-    )
+    # lowercase hex: digit >= '8' ⇔ top nibble bit set
+    votes = _simhash_votes(F.transform(tokens_col, F.md5))
     bits = F.transform(
         F.sequence(F.lit(0), F.lit(31)),
         # 2^j via pow (exact in double up to 2^53); shiftleft needs a literal
@@ -82,6 +70,50 @@ def simhash32(tokens_col: Column) -> Column:
         ).otherwise(F.lit(0).cast("long")),
     )
     return F.aggregate(bits, F.lit(0).cast("long"), lambda a, b: a + b)
+
+
+def simhash64(tokens_col: Column) -> Column:
+    """64-bit SimHash of a token multiset as a BIGINT (two's-complement:
+    bit 63 carries weight −2^63).
+
+    Bits 0-31 draw from the hex digits of ``md5(token)``, bits 32-63 from
+    ``md5('~' || token)`` (digit >= '8' → +1 vote, else −1); fingerprint
+    bit j is set when the vote sum is positive. Same math as
+    ``operators.dedup.simhash_fingerprints`` — this is the pure
+    array-algebra form for single-column use.
+    """
+    votes0 = _simhash_votes(F.transform(tokens_col, F.md5))
+    votes1 = _simhash_votes(
+        F.transform(tokens_col, lambda t: F.md5(F.concat(F.lit("~"), t)))
+    )
+    votes = F.concat(votes0, votes1)
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda j: F.when(
+            F.element_at(votes, j + 1) > 0,
+            # 2^j for j<63 (exact in double), −2^63 for the sign bit
+            F.when(j < 63, F.pow(F.lit(2.0), j).cast("long")).otherwise(
+                F.lit(-(2**63)).cast("long")
+            ),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda a, b: a + b)
+
+
+def _simhash_votes(hashes: Column) -> Column:
+    """32-slot ±1 vote vector from an array of md5 hex strings."""
+    return F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 32),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(1), F.lit(32)),
+                lambda j: F.when(h.substr(j, F.lit(1)) >= "8", F.lit(1)).otherwise(F.lit(-1)),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
 
 
 def stopword_hits(words_col: Column, stopwords: list[str]) -> Column:

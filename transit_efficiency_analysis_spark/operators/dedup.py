@@ -25,7 +25,6 @@ from pyspark.sql import functions as F
 
 from transit_efficiency_analysis_spark.functions.text import (
     minhash_band,
-    simhash32,
     word_shingles,
     words,
 )
@@ -172,33 +171,49 @@ def minhash_lsh_pairs(
 
 
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(doc_id, simhash) 32-bit fingerprints, computed set-based.
+    """(doc_id, simhash) **64-bit** fingerprints, computed set-based.
 
-    Same math as ``functions.text.simhash32`` (md5-nibble bit draws, ±1
-    votes, sign → bit) but expressed as explode → one groupBy pass with all
-    32 bit-votes as separate aggregate columns, so the hot path stays in
-    whole-stage codegen AND the shuffle carries one token row per token —
-    not the 32× (token, bit) rows a nibble-explode would (map-side partial
-    aggregation collapses each partition to one 32-column row per doc
-    before the exchange). The bit fold back to the fingerprint is pure
-    column arithmetic on the aggregated row.
+    Bit draws come from two md5 families per token — nibbles of ``md5(t)``
+    for bits 0-31 and of ``md5('~' || t)`` for bits 32-63 (nibble >= '8' →
+    +1 vote, else −1); fingerprint bit j is set when the vote sum is
+    positive. Bit 63 carries the sign weight −2^63, so the fingerprint is
+    the full 64-bit word stored in a signed BIGINT — block extraction and
+    ``bit_count``/XOR hamming work identically on Spark longs and DuckDB
+    BIGINTs (verified two's-complement parity).
+
+    64 bits (vs the former 32) keeps random collisions negligible at
+    billion-doc scale: the 32-bit birthday bound (~2^16 docs) produced
+    false candidate mass at 100 TB; 64-bit pushes it to ~2^32 docs.
+
+    Plan shape: explode → ONE groupBy pass with all 64 bit-votes as
+    separate aggregate columns, so the hot path stays in whole-stage
+    codegen AND the shuffle carries one token row per token — not the 64×
+    (token, bit) rows a nibble-explode would (map-side partial aggregation
+    collapses each partition to one 64-column row per doc before the
+    exchange). The bit fold back to the fingerprint is pure column
+    arithmetic on the aggregated row.
     """
-    tokens = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(words(text_col)).alias("t")
-    ).withColumn("h", F.md5("t"))
-    # vote_j = Σ ±1 over tokens (nibble j of md5 >= '8' → +1), all 32 bits
-    # in ONE aggregation pass
+    tokens = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(words(text_col)).alias("t"))
+        .withColumn("h0", F.md5("t"))
+        .withColumn("h1", F.md5(F.concat(F.lit("~"), F.col("t"))))
+    )
+    nibble = [
+        F.substring("h0", j + 1, 1) if j < 32 else F.substring("h1", j - 31, 1)
+        for j in range(64)
+    ]
     votes = tokens.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(F.substring("h", j + 1, 1) >= "8", F.lit(1)).otherwise(F.lit(-1))
-            ).alias(f"v_{j}")
-            for j in range(32)
+            F.sum(F.when(nibble[j] >= "8", F.lit(1)).otherwise(F.lit(-1))).alias(f"v_{j}")
+            for j in range(64)
         ]
     )
+    weight = [2**j if j < 63 else -(2**63) for j in range(64)]
     bits = [
-        F.when(F.col(f"v_{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
-        for j in range(32)
+        F.when(F.col(f"v_{j}") > 0, F.lit(weight[j]).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for j in range(64)
     ]
     simhash = bits[0]
     for b in bits[1:]:
@@ -211,55 +226,77 @@ def simhash_pairs(
     id_col: str,
     text_col: str,
     max_hamming: int = 6,
-    rotations: tuple[int, ...] = (0, 16),
+    n_blocks: int = 4,
+    block_choose: int = 2,
+    checkpoint: bool = True,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance — the Charikar/Manku
-    block-and-permute scheme: for each rotation ``r`` the 32-bit
-    fingerprint is rotated left by ``r`` bits and candidates are blocked
-    on the resulting top-16-bit prefix; the union of all rotations'
-    candidates is Hamming-filtered.
+    """Near-dup pairs by SimHash Hamming distance — the Manku/Charikar
+    block scheme over 64-bit fingerprints: the fingerprint splits into
+    ``n_blocks`` equal bit-blocks and candidates are pairs that agree on
+    every block of some ``block_choose``-subset; the union over all
+    C(n_blocks, choose) subsets is Hamming-filtered to ``max_hamming``.
 
-    With the default ``(0, 16)`` rotations (top half + bottom half) any
-    pair whose bit differences all fall in one 16-bit half is guaranteed
-    found — in particular every pair with ``hamming <= 1`` — and recall
-    for small distances rises steeply vs a single prefix block (each
-    rotation is an independent chance for a clean block). Each rotation is
-    one bucketed self-join; candidates stay bounded by bucket sizes, never
-    |corpus|² — the same scale shape as MinHash LSH banding.
+    Recall guarantee (pigeonhole): every pair with hamming <=
+    ``n_blocks - block_choose`` differs in at most that many blocks, so
+    some ``block_choose`` blocks are clean on both sides → the pair is a
+    candidate with certainty. The default (4 blocks, choose 2) guarantees
+    hamming <= 2 and finds hamming 3-6 pairs probabilistically; choose 1
+    widens the guarantee to hamming <= 3 at the cost of 16-bit join keys.
 
-    Fingerprints are checkpointed before the joins: the relation is
-    consumed 2×rotations times (each rotation's two join sides) and is one
-    40-byte row per document — always cheaper to materialize than to
-    re-run the token aggregation per consumer.
+    Scale shape: the choose-2 join keys are **32-bit** (two 16-bit blocks
+    concatenated), so bucket cardinality grows to ~2^30 — at billions of
+    docs mean bucket size stays O(n / 2^30) instead of the O(n / 2^16)
+    a single 16-bit prefix block allows (the round-2 sizing cliff). Each
+    subset is one bucketed self-join over 16-byte signature rows;
+    candidates stay bounded by bucket sizes, never |corpus|².
+
+    ``checkpoint=True`` (default) eagerly ``localCheckpoint``s the
+    fingerprints: the relation is consumed by both sides of every subset
+    join (2 × C(n_blocks, choose) consumers) and is one small row per
+    document — cheaper to materialize than to re-run the token
+    aggregation per consumer. NOTE this triggers Spark jobs at plan-build
+    time and pins executor storage blocks for the session; pass
+    ``checkpoint=False`` for a side-effect-free plan (identical results,
+    fingerprints recomputed per consumer).
     """
-    fp = simhash_fingerprints(df, id_col, text_col).localCheckpoint(eager=True)
+    from itertools import combinations
+
+    assert 64 % n_blocks == 0, "n_blocks must divide 64"
+    assert 1 <= block_choose <= n_blocks
+    bits = 64 // n_blocks
+    fp = simhash_fingerprints(df, id_col, text_col)
+    # arithmetic shiftright + mask == logical block extract on both engines
+    # (two's-complement AND clears the sign-extension bits)
+    mask = F.lit(2**bits - 1)
+    fp = fp.select(
+        "doc_id",
+        "simhash",
+        *[
+            F.shiftright(F.col("simhash"), bits * i).bitwiseAND(mask).alias(f"b{i}")
+            for i in range(n_blocks)
+        ],
+    )
+    if checkpoint:
+        fp = fp.localCheckpoint(eager=True)
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    per_rotation = []
-    for r in rotations:
-        x = F.col("simhash")
-        rot = (
-            F.shiftleft(x, r).bitwiseAND(F.lit(0xFFFFFFFF)).bitwiseOR(F.shiftright(x, 32 - r))
-            if r
-            else x
-        )
-        blocked = fp.withColumn("block", F.shiftright(rot, 16))
-        a, b = blocked.alias("a"), blocked.alias("b")
-        per_rotation.append(
-            a.join(
-                b,
-                (F.col("a.block") == F.col("b.block"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            ).select(
+    a, b = fp.alias("a"), fp.alias("b")
+    per_subset = []
+    for combo in combinations(range(n_blocks), block_choose):
+        cond = F.col("a.doc_id") < F.col("b.doc_id")
+        for i in combo:
+            cond = cond & (F.col(f"a.b{i}") == F.col(f"b.b{i}"))
+        per_subset.append(
+            a.join(b, cond).select(
                 F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"),
                 ham.cast("int").alias("hamming"),
             )
         )
-    out = per_rotation[0]
-    for more in per_rotation[1:]:
+    out = per_subset[0]
+    for more in per_subset[1:]:
         out = out.unionByName(more)
-    # distinct: a pair can match in several rotations (hamming is a pure
-    # function of the pair, so deduping the triple dedupes the pair)
+    # distinct: a pair can match in several block subsets (hamming is a
+    # pure function of the pair, so deduping the triple dedupes the pair)
     return out.distinct().where(F.col("hamming") <= max_hamming)
 
 
@@ -322,35 +359,37 @@ def dedup_clusters(
     dense, so 2-4 rounds in practice). This is genuinely iterative — the
     documented exception to "no driver loops": the loop runs O(diameter)
     *actions*, not per-row work; ``localCheckpoint`` truncates lineage so
-    plans stay flat. Convergence is detected by the label-sum fixpoint
-    (labels only ever decrease). At extreme diameters switch to
-    large-star/small-star contraction — same join/agg primitives.
+    plans stay flat. Convergence is detected *structurally*: a round that
+    lowers no node's label (labels only ever decrease under ``least``) is
+    the fixpoint — an ordering-only test, so ids may be strings, ints, or
+    anything with a total order (a numeric-sum fixpoint would return NULL
+    for string ids and false-converge after one round). At extreme
+    diameters switch to large-star/small-star contraction — same join/agg
+    primitives.
     """
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     edges = fwd.unionByName(rev).localCheckpoint(eager=False)
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
-    prev_sum = None
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
+        new_label = F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label")))
         labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 F.col("id"),
-                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
-                    "label"
-                ),
+                new_label.alias("label"),
+                (new_label < F.col("label")).alias("changed"),
             )
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("label")).first()[0]
-        if cur_sum == prev_sum:
+        # checkpointed above, so this probe scans stored blocks, not lineage
+        if labels.where(F.col("changed")).limit(1).count() == 0:
             break
-        prev_sum = cur_sum
     return labels.select(
         F.col("id").alias(id_col),
         F.col("label").alias("cluster_id"),
