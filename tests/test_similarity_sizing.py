@@ -1,0 +1,61 @@
+"""Corpus-size-derived ANN parameters (derive_planes / target sizes)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from transit_efficiency_analysis_spark.operators.similarity import (
+    derive_planes,
+    ivf_topk,
+    lsh_bucket_assignments,
+    lsh_topk,
+)
+
+
+def test_derive_planes_tracks_corpus_growth():
+    # 2^p buckets hold n/target: growing n by 2 adds one plane
+    assert derive_planes(1_000, 100) == 4  # 1000/100=10 -> ceil(log2)=4
+    assert derive_planes(2_000, 100) == 5
+    assert derive_planes(1_000_000_000, 1_000) == 20
+    # clamps
+    assert derive_planes(10, 100) == 1
+    assert derive_planes(2**40, 1) == 30
+
+
+def _vecs(spark, n, dims=8, seed=3):
+    rng = random.Random(seed)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dims)]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_target_bucket_size_holds_mean_occupancy(spark):
+    small, big = _vecs(spark, 64), _vecs(spark, 256)
+
+    def mean_occ(df):
+        asg = lsh_bucket_assignments(df, planes=None, dims=8, target_bucket_size=16)
+        counts = [r["n"] for r in asg.groupBy("bucket").agg(F.count("*").alias("n")).collect()]
+        return sum(counts) / len(counts)
+
+    occ_small, occ_big = mean_occ(small), mean_occ(big)
+    # 4x corpus, 2 more planes: occupancy stays the same order, not 4x
+    assert occ_big < occ_small * 2.5
+
+
+def test_explicit_params_still_required(spark):
+    df = _vecs(spark, 8)
+    with pytest.raises(AssertionError):
+        lsh_topk(df, planes=None, dims=8)
+    with pytest.raises(AssertionError):
+        ivf_topk(df, n_centroids=None)
+
+
+def test_target_cell_size_derives_centroids(spark):
+    df = _vecs(spark, 60)
+    out = ivf_topk(df, n_centroids=None, target_cell_size=10, n_probe=1, k=2)
+    # 60/10 = 6 cells; result is a well-formed topk relation
+    rows = out.collect()
+    assert rows
+    assert all(r["rank"] <= 2 for r in rows)

@@ -107,7 +107,43 @@ def main() -> int:
     print(f"# sim_lsh_topk: 1x {t1:.1f}s ({r1} rows) -> {copies}x {tn:.1f}s "
           f"({rn} rows), ratio {tn/t1:.1f}", file=sys.stderr)
 
-    worst = max(v["ratio"] for v in results.values())
+    # Derived-planes check: with target_bucket_size driving the plane
+    # count, mean bucket occupancy must stay ~constant across the 10x
+    # growth (a fixed plane count would let it grow 10x — the quadratic
+    # candidate cliff).
+    from transit_efficiency_analysis_spark.operators.similarity import (
+        lsh_bucket_assignments,
+    )
+
+    target = 64
+    occ = {}
+    for tag, e in (("1x", embs_1), ("Nx", embs_n)):
+        asg = lsh_bucket_assignments(e, planes=None, target_bucket_size=target)
+        row = asg.groupBy("bucket").count().agg(
+            F.avg("count").alias("mean"), F.count(F.lit(1)).alias("buckets")
+        ).first()
+        occ[tag] = {"mean_bucket": round(row["mean"], 1), "buckets": row["buckets"]}
+    results["derived_planes_occupancy"] = {"target": target, **occ}
+    print(f"# derived_planes: target {target} -> mean bucket "
+          f"1x {occ['1x']['mean_bucket']} vs {copies}x {occ['Nx']['mean_bucket']}",
+          file=sys.stderr)
+
+    # Boilerplate-storm scenario: a shared marker shingle in EVERY doc
+    # collapses a large corpus fraction into one minhash bucket per band
+    # (the gap-interleaved-marker failure that went disk-full uncapped —
+    # docs/SCALE.md). With the bucket cap on, the candidate join is
+    # bounded at cap^2 per band bucket and the pipeline must complete.
+    storm = docs_n.withColumn("text", F.concat(F.col("text"), F.lit(" zq zq zq zq")))
+    t0 = time.time()
+    rs = minhash_lsh_pairs(
+        storm, "doc_id", "text", threshold=0.5, max_bucket_size=50
+    ).count()
+    ts = time.time() - t0
+    results["minhash_storm_capped"] = {"t": round(ts, 2), "pairs": rs, "cap": 50}
+    print(f"# minhash_storm_capped: {copies}x storm corpus {ts:.1f}s ({rs} pairs, "
+          f"cap=50; uncapped = all-pairs blowup)", file=sys.stderr)
+
+    worst = max(v["ratio"] for v in results.values() if "ratio" in v)
     print(json.dumps({
         "metric": "lsh_scale_check", "copies": copies,
         "pipelines": results, "max_ratio": worst,

@@ -103,6 +103,7 @@ def minhash_lsh_pairs(
     bands: int = 6,
     threshold: float = 0.5,
     reuse: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs: shingle → per-band minhash →
     band-bucket join → exact Jaccard verification >= ``threshold``.
@@ -118,7 +119,19 @@ def minhash_lsh_pairs(
     scan→shuffle→distinct chain runs once instead of four times (signature
     agg, size agg, both sides of the intersect join). Set ``reuse=False``
     when executor storage is tighter than recompute cost (the exploded set
-    is ~k× the corpus text) — results are identical either way.
+    is ~k× the corpus text) — results are identical either way. NOTE the
+    checkpoint is eager: calling the function triggers the materialization
+    jobs and pins executor storage blocks for the session; ``reuse=False``
+    keeps plan construction side-effect free.
+
+    ``max_bucket_size`` caps each (band, minhash) bucket to a
+    deterministic md5-ordered sample before the candidate join
+    (``operators.buckets.cap_buckets``) — the "boilerplate storm" guard:
+    a degenerate bucket (corpus-wide shared shingle) otherwise contributes
+    |bucket|² candidates and can all-pairs the verify join. Capping only
+    drops candidates, so the capped pair set is always a subset of the
+    uncapped one (recall trades for a hard bound on join fan-out). None
+    disables the cap (exact LSH semantics — the oracle-checked mode).
     """
     exp = shingles_exploded(df, id_col, text_col, k)
     if reuse:
@@ -139,6 +152,10 @@ def minhash_lsh_pairs(
         n=bands, args=", ".join(f"{b}, mh_{b}" for b in range(bands))
     )
     sig = band_mins.select("doc_id", F.expr(stack_expr))
+    if max_bucket_size is not None:
+        from transit_efficiency_analysis_spark.operators.buckets import cap_buckets
+
+        sig = cap_buckets(sig, ["band", "mh"], "doc_id", max_bucket_size)
     a, b = sig.alias("a"), sig.alias("b")
     cand = (
         a.join(

@@ -96,16 +96,43 @@ def lsh_bucket_expr(vec_col: Column, planes: int = 8, dims: int = 64) -> Column:
     return bucket
 
 
+def derive_planes(n_rows: int, target_bucket_size: int) -> int:
+    """Hyperplane count that holds expected bucket size ≈ ``target``.
+
+    With ``p`` planes there are 2^p buckets, so mean occupancy is n/2^p;
+    solving for the target gives p = ceil(log2(n / target)). A fixed
+    plane count is the scale cliff the round-2 review flagged: at constant
+    planes the bucket self-join does (n/2^p)² pairs per bucket — growing
+    quadratically with the corpus — while deriving p from n keeps per-
+    bucket work constant and total candidate volume ~linear in n.
+    Clamped to [1, 30] (2^30 buckets ≫ any real corpus / target ratio).
+    """
+    import math
+
+    return max(1, min(30, math.ceil(math.log2(max(n_rows / max(target_bucket_size, 1), 2.0)))))
+
+
 def lsh_bucket_assignments(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    planes: int = 8,
+    planes: int | None = 8,
     dims: int = 64,
+    target_bucket_size: int | None = None,
 ) -> DataFrame:
     """(vec_id, bucket) sign-LSH assignments — one map-only projection
     (``lsh_bucket_expr``); same math as
-    ``functions.vectors.hyperplane_sign_bucket``."""
+    ``functions.vectors.hyperplane_sign_bucket``.
+
+    Pass ``target_bucket_size`` (with ``planes=None``) to size the bucket
+    space from the corpus: ``planes = derive_planes(df.count(), target)``.
+    That costs one count() action at plan-construction time — O(scan) with
+    no shuffle, negligible against the pipeline it parameterizes — and is
+    the 100 TB mode: bucket fan-in then tracks corpus growth instead of
+    being a constant 2^8."""
+    if target_bucket_size is not None:
+        planes = derive_planes(df.count(), target_bucket_size)
+    assert planes is not None, "pass planes or target_bucket_size"
     return df.select(
         F.col(id_col).alias("vec_id"),
         lsh_bucket_expr(F.col(vec_col), planes, dims).alias("bucket"),
@@ -116,15 +143,34 @@ def lsh_topk(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    planes: int = 8,
+    planes: int | None = 8,
     dims: int = 64,
     k: int = 3,
+    max_bucket_size: int | None = None,
+    target_bucket_size: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact cosine ranking *within* each LSH bucket.
 
     Buckets are computed inline in the base projection (map-only,
     ``lsh_bucket_expr``) — the only shuffle in the whole plan is the
-    bucket-keyed candidate join."""
+    bucket-keyed candidate join.
+
+    ``target_bucket_size`` (with ``planes=None``) derives the plane count
+    from the corpus size (``derive_planes``) so candidate volume stays
+    ~linear as the corpus grows; the fixed default ``planes=8`` is the
+    demo/oracle mode. ``max_bucket_size`` is the orthogonal *storm* guard
+    (tail buckets far above the mean).
+
+    ``max_bucket_size`` caps the *neighbor* side of each bucket to a
+    deterministic md5-ordered sample (``operators.buckets.cap_buckets``)
+    before the join — the storm guard for sign-pattern collapse (every
+    vector landing in one bucket → |bucket|² pairs). Queries are never
+    dropped: each still ranks top-k, over at most ``max_bucket_size``
+    candidates per bucket. None disables the cap (exact within-bucket
+    semantics — the oracle-checked mode)."""
+    if target_bucket_size is not None:
+        planes = derive_planes(df.count(), target_bucket_size)
+    assert planes is not None, "pass planes or target_bucket_size"
     base = df.select(
         F.col(id_col).alias("vec_id"),
         as_double(F.col(vec_col)).alias("v"),
@@ -134,7 +180,14 @@ def lsh_topk(
     a = base.select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("vn").alias("qn"), "bucket"
     )
-    b = base.select(
+    nbr = base
+    if max_bucket_size is not None:
+        from transit_efficiency_analysis_spark.operators.buckets import cap_buckets
+
+        nbr = cap_buckets(
+            base.select("vec_id", "v", "vn", "bucket"), ["bucket"], "vec_id", max_bucket_size
+        )
+    b = nbr.select(
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), F.col("vn").alias("cn"), "bucket"
     )
     sim = dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
@@ -193,10 +246,11 @@ def ivf_topk(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 8,
+    n_centroids: int | None = 8,
     n_probe: int = 2,
     k: int = 3,
     checkpoint: bool = True,
+    target_cell_size: int | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: coarse-quantize the corpus into
     ``n_centroids`` cells (nearest centroid by cosine), then answer each
@@ -207,7 +261,20 @@ def ivf_topk(
     keys are cell ids, and candidate counts are bounded by cell sizes ×
     n_probe — |corpus|²/n_centroids-ish work instead of |corpus|².
     Returns (query_id, neighbor_id, cosine_sim, rank).
+
+    ``target_cell_size`` (with ``n_centroids=None``) sizes the cell count
+    from the corpus — ``n_centroids = ceil(df.count() / target)`` (one
+    count() action at plan time) — so per-cell candidate work stays
+    constant as the corpus grows instead of cells fattening linearly at a
+    fixed centroid count. Centroids stay broadcast-able: even a 100 B-row
+    corpus at target 10 k is 10 M centroids ≈ a few GB — at that point
+    raise the target or add a second quantization level.
     """
+    if target_cell_size is not None:
+        import math
+
+        n_centroids = max(1, math.ceil(df.count() / max(target_cell_size, 1)))
+    assert n_centroids is not None, "pass n_centroids or target_cell_size"
     cents = ivf_centroids(df, id_col, vec_col, n_centroids)
     base = df.select(
         F.col(id_col).alias("vec_id"),
