@@ -52,6 +52,36 @@ def test_explicit_params_still_required(spark):
         ivf_topk(df, n_centroids=None)
 
 
+def test_lloyd_round_improves_recall(spark):
+    """One Lloyd refinement over the hash-seeded centroids raises IVF
+    recall vs brute force on a clustered corpus (8 Gaussian clusters,
+    n_probe=1 so cell quality is what decides recall)."""
+    from transit_efficiency_analysis_spark.operators.similarity import brute_force_topk
+
+    rng = random.Random(7)
+    dims, nclus, per = 6, 8, 10
+    centers = [[rng.gauss(0, 1) for _ in range(dims)] for _ in range(nclus)]
+    rows = []
+    i = 0
+    for c in centers:
+        for _ in range(per):
+            rows.append((i, [x + rng.gauss(0, 0.4) for x in c]))
+            i += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    truth = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(df, df, k=3).collect()}
+
+    def recall(lr):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(df, n_centroids=8, n_probe=1, k=3, lloyd_rounds=lr).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r0, r1 = recall(0), recall(1)
+    assert r1 > r0  # measured 0.69 -> 0.81 on this fixture
+    assert r1 > 0.75
+
+
 def test_target_cell_size_derives_centroids(spark):
     df = _vecs(spark, 60)
     out = ivf_topk(df, n_centroids=None, target_cell_size=10, n_probe=1, k=2)

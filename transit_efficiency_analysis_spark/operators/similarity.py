@@ -215,14 +215,28 @@ def ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int = 8,
+    lloyd_rounds: int = 0,
 ) -> DataFrame:
-    """Hash-seeded coarse centroids for IVF: the ``n_centroids`` vectors
-    with the smallest ``md5(id)`` (a deterministic, engine-portable
-    "random" draw). Returns (cell, cv, cn). ``orderBy().limit(n)`` plans
-    as a distributed take-ordered (per-partition top-n + merge), never a
-    global sort. At 100 TB, tighten cells with a few Lloyd rounds over the
-    same assignment primitive; the hash-seeded draw is the deterministic
-    k-means|| substitute that keeps the oracle SQL-expressible."""
+    """Coarse centroids for IVF. Returns (cell, cv, cn).
+
+    Iteration 0 is hash-seeded: the ``n_centroids`` vectors with the
+    smallest ``md5(id)`` (a deterministic, engine-portable "random" draw
+    — the k-means|| substitute that keeps the oracle SQL-expressible).
+    ``orderBy().limit(n)`` plans as a distributed take-ordered
+    (per-partition top-n + merge), never a global sort.
+
+    ``lloyd_rounds`` then tightens cells: each round broadcast-assigns
+    every vector to its nearest centroid (cosine) and recomputes each
+    centroid as the element-wise mean of its members. Means are computed
+    as exact DECIMAL(18,9) sums divided after a cast to double, so the
+    result is order-independent and bit-identical to the SQL oracle
+    regardless of partitioning (the same parity discipline as the LSH
+    projections). A cell that captures no vectors keeps its previous
+    centroid. One round is one broadcast join + one (cell, dim) agg —
+    at 100 TB each round costs about one corpus scan, the classic
+    recall-vs-cost knob (demo pins one round; more rounds converge
+    further but the seeds already place cells on real data points).
+    """
     seeds = (
         df.select(F.col(id_col).alias("sid"), as_double(F.col(vec_col)).alias("cv"))
         .orderBy(F.md5(F.col("sid").cast("string")), F.col("sid"))
@@ -235,10 +249,56 @@ def ivf_centroids(
     w = Window.partitionBy(F.pmod(F.col("sid"), F.lit(1))).orderBy(
         F.md5(F.col("sid").cast("string")), F.col("sid")
     )
-    return seeds.select(
+    cents = seeds.select(
         (F.row_number().over(w) - 1).alias("cell"),
         F.col("cv"),
         norm(F.col("cv")).alias("cn"),
+    )
+    base = df.select(
+        F.col(id_col).alias("vec_id"),
+        as_double(F.col(vec_col)).alias("v"),
+        norm(as_double(F.col(vec_col))).alias("vn"),
+    )
+    for _ in range(lloyd_rounds):
+        cents = _lloyd_round(base, cents)
+    return cents
+
+
+def _lloyd_round(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """One Lloyd iteration: nearest-cell assignment (broadcast centroids)
+    → per-(cell, dim) DECIMAL mean → reassembled centroid arrays. Cells
+    with no members keep their previous centroid."""
+    cell_sim = dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn"))
+    assigned = (
+        base.join(F.broadcast(cents))
+        .select("vec_id", "v", "cell", cell_sim.alias("csim"))
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell"))
+            ),
+        )
+        .where(F.col("crank") == 1)
+    )
+    # element-wise mean: exact decimal sum (order-independent), divide as
+    # double. posexplode is 0-based; the oracle's WITH ORDINALITY is
+    # 1-based — the oracle subtracts 1.
+    by_dim = assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+    means = by_dim.groupBy("cell", "pos").agg(
+        (
+            F.sum(F.col("x").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    new_cv = F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("m")))),
+        lambda s: s["m"],
+    )
+    refined = means.groupBy("cell").agg(new_cv.alias("cv_new"))
+    return (
+        cents.join(refined, "cell", "left")
+        .select("cell", F.coalesce(F.col("cv_new"), F.col("cv")).alias("cv"))
+        .select("cell", "cv", norm(F.col("cv")).alias("cn"))
     )
 
 
@@ -251,6 +311,7 @@ def ivf_topk(
     k: int = 3,
     checkpoint: bool = True,
     target_cell_size: int | None = None,
+    lloyd_rounds: int = 0,
 ) -> DataFrame:
     """IVF-flat approximate top-k: coarse-quantize the corpus into
     ``n_centroids`` cells (nearest centroid by cosine), then answer each
@@ -275,7 +336,7 @@ def ivf_topk(
 
         n_centroids = max(1, math.ceil(df.count() / max(target_cell_size, 1)))
     assert n_centroids is not None, "pass n_centroids or target_cell_size"
-    cents = ivf_centroids(df, id_col, vec_col, n_centroids)
+    cents = ivf_centroids(df, id_col, vec_col, n_centroids, lloyd_rounds=lloyd_rounds)
     base = df.select(
         F.col(id_col).alias("vec_id"),
         as_double(F.col(vec_col)).alias("v"),
