@@ -19,7 +19,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from transit_efficiency_analysis_spark.demo import load_registry
 from transit_efficiency_analysis_spark.session import get_spark
 
-#: headline set — the flagship pipeline + the heaviest operator families
+#: headline set — the flagship pipeline + the heaviest operator families.
+#: FROZEN as of round 3: this list must not change between rounds so BENCH
+#: files stay comparable query-for-query. If coverage ever must change,
+#: keep this list intact and report the additional queries separately.
 HEADLINE = [
     "q_rebuild_full",
     "q_join_star",

@@ -28,3 +28,13 @@ def test_jdbc_roundtrip_partitioned(spark, tmp_path):
     # unpartitioned read path
     back1 = jdbc_roundtrip(df, url, "t_rt2")
     assert sorted(map(tuple, back1.collect())) == sorted(rows)
+
+
+def test_jdbc_roundtrip_empty_table_falls_back(spark, tmp_path):
+    """Empty input: min/max bounds are NULL, so the partitioned read must
+    fall back to a plain read instead of crashing on int(None)."""
+    url = f"jdbc:derby:{tmp_path}/db_empty;create=true"
+    df = spark.createDataFrame([], "id long, name string")
+    back = jdbc_roundtrip(df, url, "t_empty", partition_column="id")
+    assert back.count() == 0
+    assert back.columns == ["id", "name"]

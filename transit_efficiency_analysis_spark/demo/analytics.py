@@ -22,7 +22,8 @@ from transit_efficiency_analysis_spark.sources.registry import load_table
 # value is order-independent, then the FINAL projected column is cast to
 # DOUBLE on both sides (decimal(18,*) → double is correctly rounded on both
 # engines, so the bits match; raw decimal output trips the driver's hash
-# canonicalization)
+# canonicalization). Scale validity of the (18,x) hop: see demo/tpch.py's
+# module docstring — totals must stay under 10^(18-x).
 _AVG_DELAY_SQL = (
     "CAST(CAST(sum(CAST(average_diff_in_minutes AS DECIMAL(18,6))) / count(average_diff_in_minutes)"
     " AS DECIMAL(18,6)) AS DOUBLE)"

@@ -38,12 +38,21 @@ def jdbc_roundtrip(
     parallel range scans over the observed min/max (the 100 TB JDBC read
     shape — one range query per task, no single-connection bottleneck)."""
     df.write.mode("overwrite").jdbc(url, table)
+    spark = df.sparkSession
     if partition_column is None:
-        return df.sparkSession.read.jdbc(url, table)
-    lo, hi = df.agg(
-        F.min(partition_column), F.max(partition_column)
+        return spark.read.jdbc(url, table)
+    # bounds come from the WRITTEN table (one tiny min/max query pushed to
+    # the database, not a second scan of the source plan). ANSI-quoted
+    # column identifiers: Spark's JDBC writer creates case-exact quoted
+    # columns, so a bare name would case-fold (Derby: id -> ID, unknown).
+    pc = '"' + partition_column.replace('"', '""') + '"'
+    lo, hi = spark.read.jdbc(
+        url, f"(SELECT min({pc}) lo, max({pc}) hi FROM {table}) b"
     ).first()
-    return df.sparkSession.read.jdbc(
+    if lo is None or hi is None:
+        # empty table: min/max are NULL — no range to split, plain read
+        return spark.read.jdbc(url, table)
+    return spark.read.jdbc(
         url,
         table,
         column=partition_column,

@@ -3,6 +3,19 @@
 Classic decision-support shapes a reference user would expect to run:
 join + aggregate + top-k, multi-way join with region filter, and the
 predicate-heavy scan aggregate. Exact decimal money math throughout.
+
+SCALE VALIDITY of the ``CAST(sum(...) AS DECIMAL(18,x)) AS DOUBLE`` parity
+hop (here and in analytics/sqlsurface/windows/windowed/semistructured/
+joins): the *sum itself* runs at wide precision (Spark widens to p+10,
+DuckDB to 38) — only the finished total passes through DECIMAL(18,x),
+which holds 18-x integral digits. That bounds validity to totals < 1e14
+at x=4 (TPC-H Q1 sum_base_price crosses that around SF ~400); beyond it
+Spark's non-ANSI cast yields NULL rather than an error. The narrow hop
+exists because DuckDB's decimal→double conversion is correctly rounded
+only for int64-backed decimals (p<=18) — a hugeint decimal double-rounds
+and breaks bit-parity. Production queries at 100 TB should emit the wide
+decimal (or set spark.sql.ansi.enabled to fail loudly); the (18,x)→DOUBLE
+hop is the demo-SF oracle-parity form.
 """
 
 from __future__ import annotations

@@ -103,9 +103,17 @@ def ingest_realtime(
         tracked=["arrival_time", "departure_time"],
         ts_col="audit_ts",
     )
-    tmp = store.trip_updates + ".tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    _swap(tmp, store.trip_updates)
+    # The merge READS the table it replaces, so the result must be
+    # materialized off the target path before the overwrite. Staging to a
+    # sibling parquet dir + re-reading keeps the final write a plain
+    # Spark writer commit (FileOutputCommitter locally, a cloud committer
+    # / Delta-Iceberg commit on object stores) — no POSIX rename-swap of
+    # the live table, which object stores can't do atomically. At scale
+    # the staging write is replaced by Delta MERGE (same call site).
+    staging = store.trip_updates + ".staging"
+    merged.write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging).write.mode("overwrite").parquet(store.trip_updates)
+    _cleanup(staging)
     return spark.read.parquet(store.trip_updates)
 
 
@@ -153,9 +161,9 @@ def consolidate_incremental(
     return spark.read.parquet(store.diffs)
 
 
-def _swap(tmp: str, final: str) -> None:
+def _cleanup(staging: str) -> None:
+    """Best-effort removal of the staging directory (local-path form; a
+    lifecycle rule or storage API handles this on object stores)."""
     import shutil
 
-    if os.path.exists(final):
-        shutil.rmtree(final)
-    os.rename(tmp, final)
+    shutil.rmtree(staging, ignore_errors=True)
