@@ -281,40 +281,53 @@ def simhash_pairs(
     assert 64 % n_blocks == 0, "n_blocks must divide 64"
     assert 1 <= block_choose <= n_blocks
     bits = 64 // n_blocks
+    assert bits * block_choose <= 62, "combo key must fit a positive long"
     fp = simhash_fingerprints(df, id_col, text_col)
-    # arithmetic shiftright + mask == logical block extract on both engines
-    # (two's-complement AND clears the sign-extension bits)
-    mask = F.lit(2**bits - 1)
-    fp = fp.select(
-        "doc_id",
-        "simhash",
-        *[
-            F.shiftright(F.col("simhash"), bits * i).bitwiseAND(mask).alias(f"b{i}")
-            for i in range(n_blocks)
-        ],
-    )
     if checkpoint:
         fp = fp.localCheckpoint(eager=True)
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    a, b = fp.alias("a"), fp.alias("b")
-    per_subset = []
-    for combo in combinations(range(n_blocks), block_choose):
-        cond = F.col("a.doc_id") < F.col("b.doc_id")
-        for i in combo:
-            cond = cond & (F.col(f"a.b{i}") == F.col(f"b.b{i}"))
-        per_subset.append(
-            a.join(b, cond).select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-                ham.cast("int").alias("hamming"),
+
+    # One (combo, key) row per block subset per doc — the minhash-banding
+    # shape: a SINGLE equi-join on (combo, key) replaces C(n_blocks,
+    # choose) separate self-joins (one exchange of C×n signature rows
+    # instead of C full shuffles; Spark plans one SMJ/SHJ stage).
+    # arithmetic shiftright + mask == logical block extract on both
+    # engines (two's-complement AND clears the sign-extension bits);
+    # the combo key packs the chosen blocks into one non-negative long.
+    mask = F.lit(2**bits - 1)
+
+    def block(i: int) -> Column:
+        return F.shiftright(F.col("simhash"), bits * i).bitwiseAND(mask)
+
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(ci).alias("combo"),
+                sum(
+                    (block(i) * F.lit(2 ** (bits * pos)) for pos, i in enumerate(combo)),
+                    F.lit(0).cast("long"),
+                ).alias("bkey"),
             )
-        )
-    out = per_subset[0]
-    for more in per_subset[1:]:
-        out = out.unionByName(more)
+            for ci, combo in enumerate(combinations(range(n_blocks), block_choose))
+        ]
+    )
+    keyed = fp.select("doc_id", "simhash", F.explode(entries).alias("e")).select(
+        "doc_id", "simhash", F.col("e.combo").alias("combo"), F.col("e.bkey").alias("bkey")
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    cand = a.join(
+        b,
+        (F.col("a.combo") == F.col("b.combo"))
+        & (F.col("a.bkey") == F.col("b.bkey"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        ham.cast("int").alias("hamming"),
+    )
     # distinct: a pair can match in several block subsets (hamming is a
     # pure function of the pair, so deduping the triple dedupes the pair)
-    return out.distinct().where(F.col("hamming") <= max_hamming)
+    return cand.distinct().where(F.col("hamming") <= max_hamming)
 
 
 def cross_corpus_overlap(
