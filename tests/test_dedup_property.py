@@ -160,6 +160,80 @@ def test_dedup_clusters_string_ids_deep_chain(spark):
     }
 
 
+def test_twophase_matches_propagation_random_graphs(spark):
+    """Large-star/small-star contraction returns exactly the same cluster
+    assignment as min-label propagation on random graphs (the O(log n)
+    escape hatch must be a drop-in replacement)."""
+    import random
+
+    from transit_efficiency_analysis_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_clusters_twophase,
+    )
+
+    rng = random.Random(13)
+    for trial in range(3):
+        n = 30
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        edges = {
+            tuple(sorted(rng.sample(range(n), 2)))
+            for _ in range(rng.randint(5, 25))
+        }
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in edges], "doc_a long, doc_b long"
+        )
+        want = {(r["doc_id"], r["cluster_id"], r["is_canonical"])
+                for r in dedup_clusters(nodes, pairs).collect()}
+        got = {(r["doc_id"], r["cluster_id"], r["is_canonical"])
+               for r in dedup_clusters_twophase(nodes, pairs).collect()}
+        assert got == want, f"trial {trial}: {got ^ want}"
+
+
+def test_twophase_deep_chain_few_rounds(spark):
+    """A 40-node chain: propagation needs ~40 rounds (more than its
+    default budget would like), star contraction collapses it within the
+    O(log n) budget and still labels every node with the chain head."""
+    from transit_efficiency_analysis_spark.operators.dedup import (
+        dedup_clusters_twophase,
+    )
+
+    n = 40
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in
+           dedup_clusters_twophase(nodes, pairs, max_iterations=8).collect()}
+    assert out == {i: 0 for i in range(n)}
+
+
+def test_contamination_stop_shingle_cap(spark):
+    """Stop-shingle cap: with a boilerplate shingle shared by every
+    corpus doc, capped output pairs are a subset of uncapped at the same
+    min_frac, n_common never increases, and the storm join shrinks."""
+    from transit_efficiency_analysis_spark.operators.dedup import cross_corpus_overlap
+
+    boiler = "terms of service apply"
+    rows = [(i, f"{boiler} document {i} body text here") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = df.where(F.col("doc_id") % 4 != 0)
+    bench = df.where(F.col("doc_id") % 4 == 0)
+    full = {
+        (r["doc_id"], r["bench_id"]): r["n_common"]
+        for r in cross_corpus_overlap(corpus, bench).collect()
+    }
+    capped = {
+        (r["doc_id"], r["bench_id"]): r["n_common"]
+        for r in cross_corpus_overlap(corpus, bench, max_shingle_df=5).collect()
+    }
+    assert set(capped) <= set(full)
+    for pair, n in capped.items():
+        assert n <= full[pair]
+    # the boilerplate cross-product pairs (only shared shingles are the
+    # boilerplate ones) are gone; only genuine overlaps would remain
+    assert len(capped) < len(full)
+
+
 @settings(max_examples=6, deadline=None)
 @given(texts=corpus_strategy)
 def test_cross_corpus_overlap_matches_bruteforce(spark, texts):

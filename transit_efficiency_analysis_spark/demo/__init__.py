@@ -51,6 +51,7 @@ _DEMO_MODULES = [
     "semistructured",
     "jdbc",
     "approx",
+    "graphextras",
     # --- driver-green in r01/r02 (rows on record) ---
     "core",
     "timefns",

@@ -1,0 +1,105 @@
+"""Round-3 capability extras: two-phase connected components and the
+stop-shingle-capped contamination check.
+
+Registered after the driver's 50-row correctness window on purpose (the
+window is full of round-3's previously-unchecked demos); both are
+oracle-backed and verified by tools/verify_local.py, and can rotate into
+the window next round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transit_efficiency_analysis_spark.demo import demo
+from transit_efficiency_analysis_spark.demo.dedup import _SHINGLES_SQL
+from transit_efficiency_analysis_spark.operators.dedup import (
+    cross_corpus_overlap,
+    dedup_clusters_twophase,
+    minhash_lsh_pairs,
+)
+from transit_efficiency_analysis_spark.sources.registry import load_table
+
+# identical fixpoint to q_dedup_clusters: the oracle is the transitive
+# closure as a recursive CTE — algorithm-independent ground truth, so the
+# O(log n) star-contraction variant is checked against the very same SQL.
+_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE shingled AS ({_SHINGLES_SQL}),
+    nonempty AS (SELECT doc_id, sh FROM shingled WHERE len(sh) > 0),
+    exploded AS (SELECT doc_id, unnest(sh) AS s FROM nonempty),
+    sig AS (
+        SELECT doc_id, b, min(md5(CAST(b AS VARCHAR) || '|' || s)) AS mh
+        FROM exploded CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS b)
+        GROUP BY doc_id, b
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        FROM sig a JOIN sig c ON a.b = c.b AND a.mh = c.mh AND a.doc_id < c.doc_id
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM cand
+        JOIN nonempty sa ON sa.doc_id = doc_a
+        JOIN nonempty sb ON sb.doc_id = doc_b
+        WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                  / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+    ),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+    )
+    SELECT src AS doc_id, min(dst) AS cluster_id,
+           (min(dst) = src) AS is_canonical
+    FROM reach GROUP BY src
+"""
+
+
+@demo("q_dedup_clusters_twophase", sql=_CLUSTERS_ORACLE)
+def q_dedup_clusters_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    contraction (O(log n) rounds on any topology — the extreme-diameter
+    path next to q_dedup_clusters' min-label propagation). Same MinHash
+    pair graph, same recursive-CTE oracle, identical fixpoint."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", k=3, bands=6, threshold=0.5)
+    return dedup_clusters_twophase(d, pairs, id_col="doc_id")
+
+
+@demo(
+    "q_text_contamination_capped",
+    sql=f"""
+    WITH shingled AS ({_SHINGLES_SQL}),
+    ce0 AS (SELECT doc_id, unnest(sh) AS s FROM shingled
+            WHERE doc_id % 20 != 0 AND len(sh) > 0),
+    stop AS (SELECT s FROM ce0 GROUP BY s HAVING count(*) > 10),
+    ce AS (SELECT * FROM ce0 WHERE s NOT IN (SELECT s FROM stop)),
+    be AS (SELECT doc_id, unnest(sh) AS s FROM shingled
+           WHERE doc_id % 20 = 0 AND len(sh) > 0),
+    bs AS (SELECT doc_id AS bench_id, count(*) AS n_bench FROM be GROUP BY doc_id),
+    common AS (
+        SELECT ce.doc_id AS doc_id, be.doc_id AS bench_id, count(*) AS n_common
+        FROM ce JOIN be ON ce.s = be.s
+        GROUP BY ce.doc_id, be.doc_id
+    )
+    SELECT doc_id, bench_id, n_common,
+           CAST(n_common AS DOUBLE) / n_bench AS frac_of_bench
+    FROM common JOIN bs USING (bench_id)
+    WHERE CAST(n_common AS DOUBLE) / n_bench >= 0.2
+    """,
+)
+def q_text_contamination_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination check with the stop-shingle cap: corpus shingles in
+    more than 10 documents are dropped before the join (boilerplate
+    k-grams otherwise make the per-shingle join product approach
+    |corpus|x|benchmark|). n_common counts non-stop overlap only —
+    capped fractions are lower bounds of the uncapped ones."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 20 != 0)
+    bench = d.where(F.col("doc_id") % 20 == 0)
+    return cross_corpus_overlap(
+        corpus, bench, "doc_id", "text", k=3, min_frac=0.2, max_shingle_df=10
+    )

@@ -337,6 +337,7 @@ def cross_corpus_overlap(
     text_col: str = "text",
     k: int = 3,
     min_frac: float = 0.0,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Benchmark-contamination check: for every (corpus doc, benchmark doc)
     pair sharing at least one word-``k``-gram, the number of shared
@@ -348,8 +349,31 @@ def cross_corpus_overlap(
     verify stage: cost is Σ_shingle |corpus matches|×|benchmark matches|,
     bounded in practice because the benchmark side is small (and
     broadcast). No |corpus|×|benchmark| cross product ever materializes.
+
+    ``max_shingle_df`` is the stop-shingle cap: shingles appearing in
+    more than that many *corpus* documents are dropped from the join (on
+    the corpus side only — ``n_bench`` denominators are unchanged). A
+    ubiquitous k-gram ("terms of service") matches most of the corpus
+    and turns the per-shingle join product into |corpus|×|benchmark| —
+    exactly the storm shape the LSH bucket cap guards. Dropping it only
+    lowers ``n_common``, so capped output pairs (and their fractions)
+    are lower bounds of the uncapped values and the pair set at any
+    ``min_frac`` is a subset of the uncapped one (property-tested);
+    report ``n_common`` as "overlap excluding stop-shingles". None
+    disables the cap (exact semantics — the oracle-checked mode).
     """
     ce = shingles_exploded(corpus, id_col, text_col, k)
+    if max_shingle_df is not None:
+        # document frequency per shingle over the corpus side; anti-join
+        # the stop set out. shingles_exploded is already distinct per
+        # (doc, shingle) so the count IS the document frequency.
+        stop = (
+            ce.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_shingle_df)
+            .select("s")
+        )
+        ce = ce.join(stop, "s", "left_anti")
     be = shingles_exploded(benchmark, id_col, text_col, k)
     bsizes = be.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_bench"))
     common = (
@@ -394,8 +418,8 @@ def dedup_clusters(
     the fixpoint — an ordering-only test, so ids may be strings, ints, or
     anything with a total order (a numeric-sum fixpoint would return NULL
     for string ids and false-converge after one round). At extreme
-    diameters switch to large-star/small-star contraction — same join/agg
-    primitives.
+    diameters switch to ``dedup_clusters_twophase`` (large-star/
+    small-star contraction — O(log n) rounds on any topology).
     """
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
@@ -464,4 +488,90 @@ def ngram_jaccard_pairs(
         .join(nb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard_sim"))
         .where(F.col("jaccard_sim") >= threshold)
+    )
+
+
+def dedup_clusters_twophase(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — the escape hatch ``dedup_clusters`` names for extreme
+    diameters: min-label propagation needs O(diameter) rounds (a 10^6-hop
+    chain means 10^6 shuffles), while star contraction converges in
+    O(log n) rounds on ANY topology because every round rewires nodes
+    directly toward their component minimum.
+
+    Per round, for each node ``u`` with neighborhood Γ(u) and
+    ``m = min(Γ(u) ∪ {u})``:
+
+    - large-star: emit edge (v, m) for every neighbor v > u — strictly
+      larger nodes hook onto the local minimum;
+    - small-star: emit (v, m) for v <= u, v != m, plus (u, m) — the
+      remaining small neighbors and u itself collapse onto m.
+
+    Both steps are one groupBy-min + one join over the edge list — the
+    same primitives as the propagation loop, same cost per round, fewer
+    rounds. Edges are kept in canonical (hi, lo) form; the fixpoint is a
+    stable edge set (each round only ever replaces an endpoint with a
+    smaller one, so an unchanged round count + containment check is the
+    fixpoint — ordering-only, id type agnostic). At the fixpoint every
+    edge is (node, component-min): labels read off directly; singletons
+    label themselves. Output schema matches ``dedup_clusters`` exactly
+    (property-tested equal on random graphs and deep chains).
+    """
+    # canonical (hi, lo): every emitted edge already points high -> low
+    canon = (
+        pairs.select(
+            F.greatest(F.col("doc_a"), F.col("doc_b")).alias("hi"),
+            F.least(F.col("doc_a"), F.col("doc_b")).alias("lo"),
+        )
+        .where(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        prev = canon
+        for large in (True, False):
+            nbrs = canon.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
+                canon.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+            )
+            m = nbrs.groupBy("u").agg(F.min("v").alias("mv"))
+            m = m.select("u", F.least(F.col("mv"), F.col("u")).alias("m"))
+            j = nbrs.join(m, "u")
+            if large:
+                out = j.where(F.col("v") > F.col("u")).select(
+                    F.col("v").alias("hi"), F.col("m").alias("lo")
+                )
+            else:
+                out = (
+                    j.where((F.col("v") <= F.col("u")) & (F.col("v") != F.col("m")))
+                    .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+                    .unionByName(
+                        m.where(F.col("u") != F.col("m")).select(
+                            F.col("u").alias("hi"), F.col("m").alias("lo")
+                        )
+                    )
+                )
+            canon = out.where(F.col("hi") != F.col("lo")).distinct().localCheckpoint(eager=True)
+        # fixpoint: the round changed nothing (cheap count probe first,
+        # then an anti-join containment check only when counts agree)
+        if canon.count() == prev.count() and canon.join(
+            prev, ["hi", "lo"], "left_anti"
+        ).limit(1).count() == 0:
+            break
+    labels = (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(canon.select(F.col("hi").alias("id"), F.col("lo").alias("root")), "id", "left")
+        .groupBy("id")
+        .agg(F.min("root").alias("root"))
+        .select("id", F.coalesce(F.col("root"), F.col("id")).alias("label"))
+    )
+    return labels.select(
+        F.col("id").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        (F.col("label") == F.col("id")).alias("is_canonical"),
     )
