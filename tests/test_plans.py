@@ -63,8 +63,8 @@ def test_every_demo_plan_is_row_udf_free(spark, sf_dir):
         # these write real side outputs (CSV fixtures / Derby / parquet) at
         # plan-construction time; their plans are covered by their own demos
         "q_ingest_gtfs_static", "q_jdbc_roundtrip", "q_sink_roundtrip",
-        # iterative: runs actions during construction (covered by its test)
-        "q_dedup_clusters",
+        # iterative: run actions during construction (covered by own tests)
+        "q_dedup_clusters", "q_dedup_clusters_twophase",
     }
     checked = 0
     for name, d in sorted(load_registry().items()):

@@ -103,3 +103,35 @@ def q_text_contamination_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_corpus_overlap(
         corpus, bench, "doc_id", "text", k=3, min_frac=0.2, max_shingle_df=10
     )
+
+
+def _lsh_blocked_embedding_sql() -> str:
+    from transit_efficiency_analysis_spark.demo.similarity import _BUCKET_SQL, _COS_SQL
+
+    return f"""
+    WITH buckets AS ({_BUCKET_SQL})
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_COS_SQL} AS cosine_sim
+    FROM embeddings a
+    JOIN buckets ba ON ba.vec_id = a.vec_id
+    JOIN buckets bb ON bb.bucket = ba.bucket
+    JOIN embeddings b ON b.vec_id = bb.vec_id AND a.vec_id < b.vec_id
+    WHERE {_COS_SQL} >= 0.3
+    """
+
+
+@demo("q_dedup_embedding_lsh", sql=_lsh_blocked_embedding_sql())
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with UNSUPERVISED blocking: the sign-LSH bucket
+    id is the blocking key (q_dedup_embedding blocks on the label column,
+    which a raw training corpus doesn't have). Same map-only bucket
+    assignment as q_sim_lsh_buckets; candidates bounded per bucket."""
+    from transit_efficiency_analysis_spark.demo.similarity import _DIMS, _PLANES
+    from transit_efficiency_analysis_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        lsh_bucket_expr,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        e, lsh_bucket_expr(F.col("embedding"), _PLANES, _DIMS), threshold=0.3
+    )
