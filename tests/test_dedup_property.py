@@ -160,6 +160,35 @@ def test_dedup_clusters_string_ids_deep_chain(spark):
     }
 
 
+def test_minhash_rows_per_band_scurve(spark):
+    """rows_per_band=2: identical documents always collide (all family
+    minima equal), every emitted pair respects the Jaccard threshold
+    exactly (verify stage is r-independent), and the sharper band key
+    never emits a pair below threshold that r=1 wouldn't have verified
+    away either."""
+    from transit_efficiency_analysis_spark.operators.dedup import minhash_lsh_pairs
+
+    texts = [
+        "scan join sort merge hash row key",
+        "scan join sort merge hash row key",        # exact dup of 0
+        "scan join sort merge hash row batch",      # near dup
+        "completely different words entirely here now",
+        "scan join sort merge hash row key extra",  # near dup of 0/1
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    out = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_sim"]
+        for r in minhash_lsh_pairs(
+            df, "doc_id", "text", threshold=0.3, rows_per_band=2
+        ).collect()
+    }
+    assert (0, 1) in out and out[(0, 1)] == 1.0  # exact dup guaranteed
+    want = _py_pairs(list(enumerate(texts)), 0.3)
+    assert set(out) <= set(want)  # no below-threshold pair survives
+    for pair, j in out.items():
+        assert abs(want[pair] - j) < 1e-12
+
+
 def test_twophase_matches_propagation_random_graphs(spark):
     """Large-star/small-star contraction returns exactly the same cluster
     assignment as min-label propagation on random graphs (the O(log n)

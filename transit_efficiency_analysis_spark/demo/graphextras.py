@@ -119,6 +119,48 @@ def _lsh_blocked_embedding_sql() -> str:
     """
 
 
+@demo(
+    "q_dedup_minhash_banded",
+    sql=f"""
+    WITH shingled AS ({_SHINGLES_SQL}),
+    nonempty AS (SELECT doc_id, sh FROM shingled WHERE len(sh) > 0),
+    exploded AS (SELECT doc_id, unnest(sh) AS s FROM nonempty),
+    sig AS (
+        SELECT doc_id, b, md5(min0 || '|' || min1) AS mh
+        FROM (
+            SELECT doc_id, b,
+                   min(md5(CAST(b AS VARCHAR) || '.0|' || s)) AS min0,
+                   min(md5(CAST(b AS VARCHAR) || '.1|' || s)) AS min1
+            FROM exploded CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS b)
+            GROUP BY doc_id, b
+        )
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        FROM sig a JOIN sig c ON a.b = c.b AND a.mh = c.mh AND a.doc_id < c.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard_sim
+    FROM cand
+    JOIN nonempty sa ON sa.doc_id = doc_a
+    JOIN nonempty sb ON sb.doc_id = doc_b
+    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.3
+    """,
+)
+def q_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH with rows_per_band=2 — the s-curve precision knob: a
+    band collides only when BOTH hash families agree (collision prob s²
+    per band), cutting low-similarity candidate mass before the verify
+    join. Lower threshold (0.3) than q_dedup_minhash_lsh to show the
+    sharper candidate curve still verifies exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, "doc_id", "text", k=3, bands=6, threshold=0.3, rows_per_band=2
+    )
+
+
 def _multiprobe_sql() -> str:
     from transit_efficiency_analysis_spark.demo.similarity import (
         _COS_SQL,

@@ -104,11 +104,22 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     reuse: bool = True,
     max_bucket_size: int | None = None,
+    rows_per_band: int = 1,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs: shingle → per-band minhash →
     band-bucket join → exact Jaccard verification >= ``threshold``.
 
     Returns (doc_a, doc_b, jaccard_sim) with doc_a < doc_b.
+
+    ``rows_per_band`` (r) is the s-curve knob: each band's bucket key is
+    the md5 of r concatenated per-family minima, so two docs collide in a
+    band only when ALL r families agree — candidate probability s^r per
+    band, 1-(1-s^r)^b overall, with the precision threshold at roughly
+    (1/b)^(1/r). r=1 (default) maximizes recall per band; at 100 TB raise
+    r to slash low-similarity candidate mass BEFORE the verify join
+    instead of paying |candidates| Jaccard computations — the signature
+    agg stays one pass (b×r min columns), the shuffle stays one row per
+    (doc, band).
 
     Fully set-based: exploded shingles feed both the signature min-agg and
     the |A∩B| count join, so every stage is codegen'd scan/shuffle/agg with
@@ -139,19 +150,39 @@ def minhash_lsh_pairs(
         # races its SQL-metric accumulators when four consumers hit the
         # uncomputed blocks in one job and spams ERROR logs
         exp = exp.localCheckpoint(eager=True)
-    # all band minima in ONE aggregation pass over the exploded shingles
-    # (a band×shingle cross join would multiply the shuffle rows by `bands`),
-    # then unpivot the band columns to (doc_id, band, mh) rows
+    # all band×row minima in ONE aggregation pass over the exploded
+    # shingles (a band×shingle cross join would multiply the shuffle rows
+    # by `bands`), then unpivot the band columns to (doc_id, band, mh)
+    # rows. r=1 keeps the historical key = the minimum itself; r>1 hashes
+    # the concatenation of the r family minima into one band key.
+    def family(b: int, i: int) -> Column:
+        prefix = f"{b}|" if rows_per_band == 1 else f"{b}.{i}|"
+        return F.min(F.md5(F.concat(F.lit(prefix), F.col("s"))))
+
     band_mins = exp.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{b}|"), F.col("s")))).alias(f"mh_{b}")
+            family(b, i).alias(f"mh_{b}_{i}")
             for b in range(bands)
+            for i in range(rows_per_band)
         ]
     )
+    if rows_per_band == 1:
+        band_keys = band_mins.select(
+            "doc_id", *[F.col(f"mh_{b}_0").alias(f"key_{b}") for b in range(bands)]
+        )
+    else:
+        band_keys = band_mins.select(
+            "doc_id",
+            *[
+                F.md5(F.concat_ws("|", *[F.col(f"mh_{b}_{i}") for i in range(rows_per_band)]))
+                .alias(f"key_{b}")
+                for b in range(bands)
+            ],
+        )
     stack_expr = "stack({n}, {args}) as (band, mh)".format(
-        n=bands, args=", ".join(f"{b}, mh_{b}" for b in range(bands))
+        n=bands, args=", ".join(f"{b}, key_{b}" for b in range(bands))
     )
-    sig = band_mins.select("doc_id", F.expr(stack_expr))
+    sig = band_keys.select("doc_id", F.expr(stack_expr))
     if max_bucket_size is not None:
         from transit_efficiency_analysis_spark.operators.buckets import cap_buckets
 
