@@ -62,3 +62,44 @@ def test_stream_equals_batch(spark, tmp_path):
     want2 = _state_tuples(batch_equivalent(spark, feed_dir))
     assert got2 == want2
     assert len(got2) == 3  # still one row per PK
+
+
+@pytest.mark.slow
+def test_dedup_stream_within_watermark(spark, tmp_path):
+    """At-least-once re-deliveries die in-stream with BOUNDED state:
+    the same (PK, poll_ts) row staged in two different feed files must
+    reach the sink once; a genuinely new poll_ts for the same PK passes
+    (semantic keep-newest is merge_batch's job, not the dedup's)."""
+    from transit_efficiency_analysis_spark.streaming.realtime_stream import (
+        dedup_stream_within_watermark,
+        transform_feed,
+    )
+
+    feed_dir = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt_dedup")
+    t0 = datetime(2026, 1, 1, 12, 0)
+    t1 = datetime(2026, 1, 1, 12, 1)
+    entities = [("T1", "20260101", [(1, "100", 1767268800, None)])]
+    _poll(spark, feed_dir, t0, entities)
+    _poll(spark, feed_dir, t0, entities)  # exact re-delivery, second file
+    _poll(spark, feed_dir, t1, entities)  # new poll of the same PK
+
+    raw = spark.readStream.schema(schemas.REALTIME_FEED_RAW).parquet(feed_dir)
+    rows = dedup_stream_within_watermark(transform_feed(raw))
+    q = (
+        rows.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["trip_id"], r["stop_sequence"], str(r["poll_ts"]))
+        for r in spark.sql("SELECT * FROM dedup_sink").collect()
+    )
+    assert got == [
+        ("T1", 1, "2026-01-01 12:00:00"),
+        ("T1", 1, "2026-01-01 12:01:00"),
+    ]

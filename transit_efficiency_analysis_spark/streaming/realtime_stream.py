@@ -72,14 +72,17 @@ def run_stream_available_now(
                 batch.limit(0), batch, REALTIME_KEYS, REALTIME_ORDER,
                 tracked=REALTIME_TRACKED, ts_col="poll_ts",
             )
-        # write to a temp path, then swap: Spark can't overwrite a path that
-        # feeds the same job, and this avoids driver-side materialization
-        # (at scale this whole body is a Delta MERGE instead)
-        tmp = state_path + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(state_path):
-            shutil.rmtree(state_path)
-        os.rename(tmp, state_path)
+        # The merge reads the table it replaces: stage to a sibling path,
+        # then overwrite the live table via the Spark writer commit (same
+        # object-store-safe pattern as pipeline.ingest_realtime — no POSIX
+        # rename of the live table; at scale this whole body is a Delta
+        # MERGE instead).
+        staging = state_path + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        batch_df.sparkSession.read.parquet(staging).write.mode("overwrite").parquet(
+            state_path
+        )
+        shutil.rmtree(staging, ignore_errors=True)
 
     raw = (
         spark.readStream.schema(schemas.REALTIME_FEED_RAW)
@@ -92,6 +95,30 @@ def run_stream_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_stream_within_watermark(
+    raw: DataFrame,
+    keys: list[str] | None = None,
+    ts_col: str = "poll_ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup for at-least-once sources:
+    ``withWatermark(ts).dropDuplicatesWithinWatermark(keys)`` keeps the
+    first delivery of each key and drops re-deliveries arriving within
+    the watermark horizon — state is BOUNDED by the watermark (old keys
+    age out), unlike plain ``dropDuplicates`` whose state grows forever.
+
+    This is the in-stream half of the dedup story: re-delivered poll
+    rows die here (bounded RocksDB/HDFS state), while cross-batch
+    *semantic* dedup (keep-newest upsert, conditional replay) stays in
+    the ``merge_batch`` kernel applied by ``foreachBatch``. At 100 TB
+    the watermark bounds state to the re-delivery horizon of the bus
+    (minutes), not the table's key cardinality.
+    """
+    return raw.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys or REALTIME_KEYS + [ts_col]
+    )
 
 
 def batch_equivalent(spark: SparkSession, feed_dir: str) -> DataFrame:
