@@ -161,6 +161,25 @@ def q_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_h3_sql() -> str:
+    from transit_efficiency_analysis_spark.demo.dedup import _simhash_pairs_sql
+
+    return _simhash_pairs_sql(n_blocks=4, choose=1, max_hamming=3)
+
+
+@demo("q_dedup_simhash_pairs_h3", sql=_simhash_h3_sql())
+def q_dedup_simhash_pairs_h3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash pairs with the choose-1 block keys: every hamming <= 3
+    pair is caught with certainty (4 blocks, <= 3 dirty leaves one
+    clean) — the full-recall small-distance mode next to the default
+    choose-2's tighter 32-bit keys. max_hamming=3 keeps the output
+    exactly the guaranteed band."""
+    from transit_efficiency_analysis_spark.operators.dedup import simhash_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(d, "doc_id", "text", max_hamming=3, block_choose=1)
+
+
 def _multiprobe_sql() -> str:
     from transit_efficiency_analysis_spark.demo.similarity import (
         _COS_SQL,
