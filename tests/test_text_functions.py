@@ -57,15 +57,16 @@ def _py_simhash32(tokens: list[str]) -> int:
 
 
 def _py_simhash64(tokens: list[str]) -> int:
-    """Signed-64 reference: bits 0-31 from md5(t), 32-63 from md5('~'+t);
-    bit 63 weighted -2^63 (two's complement, matches a JVM long)."""
+    """Signed-64 reference, one md5 per token: bit j from the top bit of
+    nibble j%32 (j<32) or the second bit (j>=32); bit 63 weighted -2^63
+    (two's complement, matches a JVM long)."""
     votes = [0] * 64
     for t in tokens:
-        h0 = hashlib.md5(t.encode()).hexdigest()
-        h1 = hashlib.md5(("~" + t).encode()).hexdigest()
+        h = hashlib.md5(t.encode()).hexdigest()
         for j in range(64):
-            nib = h0[j] if j < 32 else h1[j - 32]
-            votes[j] += 1 if nib >= "8" else -1
+            nib = int(h[j % 32], 16)
+            hit = (nib & 8) if j < 32 else (nib & 4)
+            votes[j] += 1 if hit else -1
     u = sum(1 << j for j in range(64) if votes[j] > 0)
     return u - (1 << 64) if u >= (1 << 63) else u
 

@@ -135,9 +135,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(d, pairs, id_col="doc_id")
 
 
-# 64-bit fingerprint: bits 0-31 from md5(t) nibbles, 32-63 from md5('~'||t);
-# bit 63 carries the sign weight -2^63 (two's complement — block extraction
-# and bit_count/xor verified bit-identical between DuckDB and the JVM).
+# 64-bit fingerprint from ONE md5 per token: bit j-1 draws from the top bit
+# of nibble ((j-1) % 32) + 1 for j <= 32 (digit >= '8') and from the SECOND
+# bit of the same nibble for j > 32 (digit in 4-7, c-f) — two independent
+# uniform bit families, half the hashing of a two-md5 scheme. Bit 63
+# carries the sign weight -2^63 (two's complement — block extraction and
+# bit_count/xor verified bit-identical between DuckDB and the JVM).
 # DuckDB sums BIGINT into HUGEINT, so the outer CAST back to BIGINT is exact.
 _SIMHASH_SQL = """
 SELECT doc_id,
@@ -147,8 +150,9 @@ SELECT doc_id,
             ELSE 0 END) AS BIGINT) AS simhash
 FROM (
     SELECT doc_id, j,
-           sum(CASE WHEN substr(CASE WHEN j <= 32 THEN md5(t) ELSE md5('~' || t) END,
-                          CASE WHEN j <= 32 THEN j ELSE j - 32 END, 1) >= '8'
+           sum(CASE WHEN (j <= 32 AND substr(md5(t), j, 1) >= '8')
+                      OR (j > 32 AND substr(md5(t), j - 32, 1) IN
+                          ('4','5','6','7','c','d','e','f'))
                THEN 1 ELSE -1 END) AS vote
     FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
     CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j)

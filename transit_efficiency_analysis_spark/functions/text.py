@@ -76,16 +76,16 @@ def simhash64(tokens_col: Column) -> Column:
     """64-bit SimHash of a token multiset as a BIGINT (two's-complement:
     bit 63 carries weight −2^63).
 
-    Bits 0-31 draw from the hex digits of ``md5(token)``, bits 32-63 from
-    ``md5('~' || token)`` (digit >= '8' → +1 vote, else −1); fingerprint
-    bit j is set when the vote sum is positive. Same math as
-    ``operators.dedup.simhash_fingerprints`` — this is the pure
-    array-algebra form for single-column use.
+    ONE md5 per token: bit j draws from the top bit of hex digit j for
+    j < 32 (digit >= '8') and from the second bit of digit j-32 for
+    j >= 32 (digit in 4-7 or c-f) — two independent uniform bit families
+    from the same hash. Fingerprint bit j is set when the vote sum is
+    positive. Same math as ``operators.dedup.simhash_fingerprints`` —
+    this is the pure array-algebra form for single-column use.
     """
-    votes0 = _simhash_votes(F.transform(tokens_col, F.md5))
-    votes1 = _simhash_votes(
-        F.transform(tokens_col, lambda t: F.md5(F.concat(F.lit("~"), t)))
-    )
+    hashes = F.transform(tokens_col, F.md5)
+    votes0 = _simhash_votes(hashes)
+    votes1 = _simhash_votes_bit2(hashes)
     votes = F.concat(votes0, votes1)
     bits = F.transform(
         F.sequence(F.lit(0), F.lit(63)),
@@ -101,7 +101,8 @@ def simhash64(tokens_col: Column) -> Column:
 
 
 def _simhash_votes(hashes: Column) -> Column:
-    """32-slot ±1 vote vector from an array of md5 hex strings."""
+    """32-slot ±1 vote vector from an array of md5 hex strings (top bit
+    of each nibble: digit >= '8')."""
     return F.aggregate(
         hashes,
         F.array_repeat(F.lit(0), 32),
@@ -110,6 +111,26 @@ def _simhash_votes(hashes: Column) -> Column:
             F.transform(
                 F.sequence(F.lit(1), F.lit(32)),
                 lambda j: F.when(h.substr(j, F.lit(1)) >= "8", F.lit(1)).otherwise(F.lit(-1)),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+
+
+def _simhash_votes_bit2(hashes: Column) -> Column:
+    """32-slot ±1 vote vector from nibble bit 2 (digit in 4-7 or c-f) —
+    independent of the top-bit family over the same md5."""
+    return F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 32),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(1), F.lit(32)),
+                lambda j: F.when(
+                    h.substr(j, F.lit(1)).isin("4", "5", "6", "7", "c", "d", "e", "f"),
+                    F.lit(1),
+                ).otherwise(F.lit(-1)),
             ),
             lambda a, b: a + b,
         ),

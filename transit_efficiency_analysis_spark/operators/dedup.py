@@ -221,13 +221,16 @@ def minhash_lsh_pairs(
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc_id, simhash) **64-bit** fingerprints, computed set-based.
 
-    Bit draws come from two md5 families per token — nibbles of ``md5(t)``
-    for bits 0-31 and of ``md5('~' || t)`` for bits 32-63 (nibble >= '8' →
-    +1 vote, else −1); fingerprint bit j is set when the vote sum is
-    positive. Bit 63 carries the sign weight −2^63, so the fingerprint is
-    the full 64-bit word stored in a signed BIGINT — block extraction and
-    ``bit_count``/XOR hamming work identically on Spark longs and DuckDB
-    BIGINTs (verified two's-complement parity).
+    Bit draws come from ONE md5 per token: a uniform hex nibble carries 4
+    independent bits, so bit j draws from the top bit of nibble j for
+    j < 32 (digit >= '8') and from the SECOND bit of nibble j-32 for
+    j >= 32 (digit in 4-7 or c-f) — two independent uniform ±1 families
+    with half the hashing of a two-md5 scheme (at 100 TB the per-token
+    md5 is the dominant fingerprint cost). Fingerprint bit j is set when
+    the vote sum is positive. Bit 63 carries the sign weight −2^63, so
+    the fingerprint is the full 64-bit word stored in a signed BIGINT —
+    block extraction and ``bit_count``/XOR hamming work identically on
+    Spark longs and DuckDB BIGINTs (verified two's-complement parity).
 
     64 bits (vs the former 32) keeps random collisions negligible at
     billion-doc scale: the 32-bit birthday bound (~2^16 docs) produced
@@ -241,21 +244,19 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     exchange). The bit fold back to the fingerprint is pure column
     arithmetic on the aggregated row.
     """
-    tokens = (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(words(text_col)).alias("t"))
-        .withColumn("h0", F.md5("t"))
-        .withColumn("h1", F.md5(F.concat(F.lit("~"), F.col("t"))))
-    )
-    nibble = [
-        F.substring("h0", j + 1, 1) if j < 32 else F.substring("h1", j - 31, 1)
-        for j in range(64)
-    ]
-    votes = tokens.groupBy("doc_id").agg(
-        *[
-            F.sum(F.when(nibble[j] >= "8", F.lit(1)).otherwise(F.lit(-1))).alias(f"v_{j}")
-            for j in range(64)
-        ]
-    )
+    tokens = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(words(text_col)).alias("t")
+    ).withColumn("h", F.md5("t"))
+
+    def vote(j: int) -> Column:
+        nib = F.substring("h", (j % 32) + 1, 1)
+        if j < 32:  # nibble bit 3: digit 8-f
+            hit = nib >= "8"
+        else:  # nibble bit 2: digit 4-7 or c-f
+            hit = nib.isin("4", "5", "6", "7", "c", "d", "e", "f")
+        return F.sum(F.when(hit, F.lit(1)).otherwise(F.lit(-1)))
+
+    votes = tokens.groupBy("doc_id").agg(*[vote(j).alias(f"v_{j}") for j in range(64)])
     weight = [2**j if j < 63 else -(2**63) for j in range(64)]
     bits = [
         F.when(F.col(f"v_{j}") > 0, F.lit(weight[j]).cast("long")).otherwise(
