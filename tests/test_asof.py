@@ -88,3 +88,22 @@ def test_asof_null_payload_from_latest_right_row(spark):
     # NOT stitched (5.0, 'new') or stale (5.0, 'old')
     assert out[0]["payload"] is None
     assert out[0]["label"] == "new"
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    """A right row older than tolerance_seconds behaves as no-match:
+    payloads NULL, left row preserved."""
+    from transit_efficiency_analysis_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k", "2026-01-10 00:00:00"), (2, "k", "2026-01-01 00:30:00")],
+        "id long, key string, ts string",
+    ).selectExpr("id", "key", "CAST(ts AS TIMESTAMP) AS ts")
+    right = spark.createDataFrame(
+        [("k", "2026-01-01 00:00:00", 99)], "key string, rts string, payload long"
+    ).selectExpr("key", "CAST(rts AS TIMESTAMP) AS rts", "payload")
+    out = {r["id"]: r["payload"] for r in asof_join(
+        left, right, key="key", left_ts="ts", right_ts="rts",
+        payload_cols=["payload"], tolerance_seconds=3600,
+    ).collect()}
+    assert out == {1: None, 2: 99}  # 9 days stale -> NULL; 30 min -> kept

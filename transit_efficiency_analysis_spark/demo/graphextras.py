@@ -161,6 +161,63 @@ def q_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@demo(
+    "q_join_asof_tolerance",
+    sql="""
+    WITH dedup_orders AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+        FROM (
+            SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                      ORDER BY o_orderkey DESC) AS rn
+            FROM orders
+        ) WHERE rn = 1
+    ),
+    best AS (
+        SELECT e.event_id, max(o.o_orderdate) AS mdate
+        FROM events e JOIN dedup_orders o
+          ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+         AND epoch(e.ts) - epoch(CAST(o.o_orderdate AS TIMESTAMP)) <= 2592000
+        GROUP BY e.event_id
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           o.o_orderkey AS last_orderkey,
+           o.o_totalprice AS last_totalprice
+    FROM events e
+    LEFT JOIN best b ON b.event_id = e.event_id
+    LEFT JOIN dedup_orders o
+      ON o.o_custkey = e.user_id AND o.o_orderdate = b.mdate
+    """,
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """as-of join with a 30-day staleness tolerance (pandas merge_asof's
+    tolerance): a carried order older than the bound yields NULLs exactly
+    as if unmatched. Same one-shuffle union-tag plan — the bound applies
+    per-row after the carry, no extra join. The oracle is the argmax
+    formulation (DuckDB's native ASOF has no tolerance)."""
+    from pyspark.sql import Window
+    from transit_efficiency_analysis_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(F.col("o_orderkey").desc())
+    dedup = (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate"),
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.col("o_totalprice").alias("last_totalprice"),
+        )
+    )
+    return asof_join(
+        e, dedup, key="user_id", left_ts="ts", right_ts="o_orderdate",
+        payload_cols=["last_orderkey", "last_totalprice"],
+        tolerance_seconds=30 * 24 * 3600,
+    )
+
+
 def _simhash_h3_sql() -> str:
     from transit_efficiency_analysis_spark.demo.dedup import _simhash_pairs_sql
 

@@ -36,16 +36,25 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     payload_cols: list[str],
+    tolerance_seconds: int | float | None = None,
 ) -> DataFrame:
     """Backward as-of join. Returns every ``left`` row plus ``payload_cols``
     from the latest matching ``right`` row (NULLs when no right row is at
-    or before the left timestamp)."""
+    or before the left timestamp).
+
+    ``tolerance_seconds`` bounds staleness (pandas ``merge_asof``'s
+    ``tolerance``): a carried right row older than the bound yields NULL
+    payloads, exactly as if no match existed. The matched right
+    timestamp travels inside the carried struct, so the bound is applied
+    per-row after the single carry-forward window — same one-shuffle
+    plan, no extra join."""
     overlap = set(left.columns) & set(payload_cols)
     if overlap:
         raise ValueError(f"payload columns collide with left columns: {sorted(overlap)}")
     lcols = [c for c in left.columns]
     payload_type = T.StructType(
         [T.StructField("__m", T.BooleanType(), False)]
+        + [T.StructField("__rts", T.DoubleType(), True)]
         + [T.StructField(c, right.schema[c].dataType, True) for c in payload_cols]
     )
     l = (
@@ -58,7 +67,9 @@ def asof_join(
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         F.struct(
-            F.lit(True).alias("__m"), *[F.col(c).alias(c) for c in payload_cols]
+            F.lit(True).alias("__m"),
+            F.col(right_ts).cast("timestamp").cast("double").alias("__rts"),
+            *[F.col(c).alias(c) for c in payload_cols],
         ).cast(payload_type).alias("__p"),
     )
     for c in lcols:
@@ -74,6 +85,14 @@ def asof_join(
     carried = unioned.select(
         "*", F.last("__p", ignorenulls=True).over(w).alias("__c")
     )
+    if tolerance_seconds is not None:
+        fresh = (
+            F.col("__ts").cast("timestamp").cast("double")
+            - F.col("__c").getField("__rts")
+        ) <= F.lit(float(tolerance_seconds))
+        carried = carried.withColumn(
+            "__c", F.when(fresh, F.col("__c"))  # otherwise NULL: stale match dropped
+        )
     out = carried.where(F.col("__side") == 1).select(
         *[F.col(c) for c in lcols],
         *[F.col("__c").getField(c).alias(c) for c in payload_cols],
