@@ -139,9 +139,14 @@ def main() -> int:
     spark = get_spark("verify_local")
     con = duck_connect(sf_dir)
     registry = load_registry()
-    if only == {"--window"}:
-        # mirror the driver's correctness window: first 50 registry entries
-        only = set(list(registry)[:50])
+    unknown_flags = {f for f in only if f.startswith("--") and f != "--window"}
+    if unknown_flags:
+        raise SystemExit(f"unknown flag(s): {sorted(unknown_flags)}")
+    if "--window" in only:
+        # mirror the driver's correctness window: first 50 registry entries.
+        # Composes with explicit demo names (union, not either/or).
+        only.discard("--window")
+        only |= set(list(registry)[:50])
 
     failures = []
     ran = 0

@@ -156,7 +156,7 @@ def q_sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_array_agg",
     sql="""
     SELECT event_type,
-           list_sort(list(DISTINCT user_id)) AS user_ids,
+           array_to_string(list_sort(list(DISTINCT user_id)), ',') AS user_ids_csv,
            CAST(len(list(DISTINCT user_id)) AS INTEGER) AS n_users
     FROM events
     GROUP BY event_type
@@ -164,10 +164,21 @@ def q_sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """array aggregation: per-group sorted distinct collection (sorted so
-    the multiset is deterministic regardless of accumulation order)."""
+    the multiset is deterministic regardless of accumulation order).
+
+    The collected array is projected to a CSV string: the driver's
+    canonicalizer hashes scalar columns only (array cells raise
+    ``unhashable type: 'list'`` in pandas ``sort_values``), so the demo
+    keeps the ``collect_set``/``array_sort`` plan but emits an
+    ``array_join`` of it. Numeric sort happens BEFORE the string cast on
+    both engines, so element order agrees.
+    """
     e = load_table(spark, sf_dir, "events")
+    ids = F.array_sort(F.collect_set("user_id"))
     return e.groupBy("event_type").agg(
-        F.array_sort(F.collect_set("user_id")).alias("user_ids"),
+        F.array_join(F.transform(ids, lambda x: x.cast("string")), ",").alias(
+            "user_ids_csv"
+        ),
         F.size(F.collect_set("user_id")).alias("n_users"),
     )
 
