@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from transit_efficiency_analysis_spark.demo import demo
+from transit_efficiency_analysis_spark.functions.parity import parity_double
 from transit_efficiency_analysis_spark.demo.delay import q_rebuild_full
 from transit_efficiency_analysis_spark.demo.delay import DELAY_ORACLE_SQL
 from transit_efficiency_analysis_spark.functions.time import local_day_name, local_hour
@@ -32,7 +33,7 @@ _AVG_DELAY_SQL = (
 
 def _avg_delay_col():
     total = F.sum(F.col("average_diff_in_minutes").cast("decimal(18,6)"))
-    return (total / F.count("average_diff_in_minutes")).cast("decimal(18,6)").cast("double")
+    return parity_double(total / F.count("average_diff_in_minutes"), 6)
 
 
 @demo(
@@ -77,10 +78,9 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("l_quantity").cast("decimal(18,4)"))
-        .cast("decimal(18,4)")
-        .cast("double")
-        .alias("sum_qty"),
+        parity_double(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 4).alias(
+            "sum_qty"
+        ),
     )
 
 
@@ -100,10 +100,9 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.rollup("o_orderpriority", "o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
-        .cast("decimal(18,4)")
-        .cast("double")
-        .alias("total_price"),
+        parity_double(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 4).alias(
+            "total_price"
+        ),
     )
 
 
@@ -138,7 +137,7 @@ def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.withColumn("day_type", local_day_name("ts"))
         .groupBy("event_type")
         .pivot("day_type", _DAYS)
-        .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(18,6)").cast("double"))
+        .agg(parity_double(F.sum(F.col("value").cast("decimal(18,6)")), 6))
     )
 
 
@@ -168,8 +167,8 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("user_id").alias("n_users"),
-        sum_dec.cast("decimal(18,6)").cast("double").alias("sum_value"),
-        (sum_dec / F.count("value")).cast("decimal(18,6)").cast("double").alias("avg_value"),
+        parity_double(sum_dec, 6).alias("sum_value"),
+        parity_double(sum_dec / F.count("value"), 6).alias("avg_value"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
         F.round(F.stddev_samp("value"), 6).alias("stddev_value"),

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from transit_efficiency_analysis_spark.demo import demo
+from transit_efficiency_analysis_spark.functions.parity import parity_double
 from transit_efficiency_analysis_spark.sources.registry import load_table
 
 
@@ -56,10 +57,13 @@ def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             # The SUM stays decimal (order-independent); only the final projected
             # value goes to DOUBLE, via DECIMAL(18,4) so both engines perform a
             # correctly-rounded int64-backed conversion.
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(12,2)")
-                * (1 - F.col("l_discount")).cast("decimal(4,2)")
-            ).cast("decimal(18,4)").cast("double").alias("revenue"),
+            parity_double(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * (1 - F.col("l_discount")).cast("decimal(4,2)")
+                ),
+                4,
+            ).alias("revenue"),
         )
     )
 

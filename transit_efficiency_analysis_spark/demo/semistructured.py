@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from transit_efficiency_analysis_spark.demo import demo
+from transit_efficiency_analysis_spark.functions.parity import parity_double
 from transit_efficiency_analysis_spark.sources.registry import load_table
 
 
@@ -69,10 +70,7 @@ def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         "ts",
-        F.sum(F.col("value").cast("decimal(18,6)"))
-        .over(w)
-        .cast("decimal(18,6)")
-        .cast("double")
+        parity_double(F.sum(F.col("value").cast("decimal(18,6)")).over(w), 6)
         .alias("trailing_1h_sum"),
         F.count(F.lit(1)).over(w).alias("trailing_1h_events"),
     )

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from transit_efficiency_analysis_spark.demo import demo
+from transit_efficiency_analysis_spark.functions.parity import parity_double
 from transit_efficiency_analysis_spark.sources.registry import load_table
 
 
@@ -105,15 +106,22 @@ def q_subquery_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """explicit GROUPING SETS via the SQL API (finer control than
-    cube/rollup)."""
+    cube/rollup). The wide decimal total narrows through
+    ``parity_double`` in the outer projection (overflow-guarded)."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(
+    wide = spark.sql(
         """
         SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS total
+               sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS total_wide
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
+    )
+    return wide.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n_rows",
+        parity_double(F.col("total_wide"), 4).alias("total"),
     )
 
 
@@ -134,21 +142,32 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape through the SQL API — the canonical pricing-summary
-    aggregation with exact decimal totals."""
+    aggregation with exact decimal totals. Sums stay wide inside the SQL;
+    the outer projection narrows via ``parity_double`` (overflow-guarded:
+    sum_base_price crosses DECIMAL(18,4)'s 1e14 bound around SF ~400)."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(
+    wide = spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
-               CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty,
-               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_base_price,
-               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
-               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))
-                   * CAST(1 + l_tax AS DECIMAL(4,2))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_charge,
+               sum(CAST(l_quantity AS DECIMAL(18,4))) AS w_qty,
+               sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS w_base_price,
+               sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS w_disc_price,
+               sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))
+                   * CAST(1 + l_tax AS DECIMAL(4,2))) AS w_charge,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus
         """
+    )
+    return wide.select(
+        "l_returnflag",
+        "l_linestatus",
+        parity_double(F.col("w_qty"), 4).alias("sum_qty"),
+        parity_double(F.col("w_base_price"), 4).alias("sum_base_price"),
+        parity_double(F.col("w_disc_price"), 4).alias("sum_disc_price"),
+        parity_double(F.col("w_charge"), 6).alias("sum_charge"),
+        "count_order",
     )
 
 

@@ -8,14 +8,15 @@ SCALE VALIDITY of the ``CAST(sum(...) AS DECIMAL(18,x)) AS DOUBLE`` parity
 hop (here and in analytics/sqlsurface/windows/windowed/semistructured/
 joins): the *sum itself* runs at wide precision (Spark widens to p+10,
 DuckDB to 38) — only the finished total passes through DECIMAL(18,x),
-which holds 18-x integral digits. That bounds validity to totals < 1e14
-at x=4 (TPC-H Q1 sum_base_price crosses that around SF ~400); beyond it
-Spark's non-ANSI cast yields NULL rather than an error. The narrow hop
-exists because DuckDB's decimal→double conversion is correctly rounded
-only for int64-backed decimals (p<=18) — a hugeint decimal double-rounds
-and breaks bit-parity. Production queries at 100 TB should emit the wide
-decimal (or set spark.sql.ansi.enabled to fail loudly); the (18,x)→DOUBLE
-hop is the demo-SF oracle-parity form.
+which holds 18-x integral digits. The narrow hop exists because
+DuckDB's decimal→double conversion is correctly rounded only for
+int64-backed decimals (p<=18) — a hugeint decimal double-rounds and
+breaks bit-parity. Totals beyond 18-x integral digits (TPC-H Q1
+sum_base_price crosses 1e14 around SF ~400) FAIL LOUDLY on both engines:
+every narrowing here routes through ``functions.parity.parity_double``,
+which raises on overflow even under non-ANSI casting (DuckDB's own cast
+errors on overflow). Production queries at 100 TB should emit the wide
+decimal directly; the (18,x)→DOUBLE hop is the oracle-parity form.
 """
 
 from __future__ import annotations
@@ -24,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from transit_efficiency_analysis_spark.demo import demo
+from transit_efficiency_analysis_spark.functions.parity import parity_double
 from transit_efficiency_analysis_spark.sources.registry import load_table
 
 _REVENUE = (
@@ -66,7 +68,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").cast("date").alias("orderdate"),
             "o_orderpriority",
         )
-        .agg(F.sum(_revenue_col()).cast("decimal(18,4)").cast("double").alias("revenue"))
+        .agg(parity_double(F.sum(_revenue_col()), 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
         .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
@@ -106,7 +108,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(_revenue_col()).cast("decimal(18,4)").cast("double").alias("revenue"))
+        .agg(parity_double(F.sum(_revenue_col()), 4).alias("revenue"))
     )
 
 
@@ -138,7 +140,7 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 25)
         )
         .agg(
-            F.sum(rev).cast("decimal(18,4)").cast("double").alias("revenue"),
+            parity_double(F.sum(rev), 4).alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
@@ -172,7 +174,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, o.o_orderkey == li.l_orderkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(_revenue_col()).cast("decimal(18,4)").cast("double").alias("revenue"))
+        .agg(parity_double(F.sum(_revenue_col()), 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
@@ -241,9 +243,8 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
-            (F.lit(100.00) * F.sum(promo) / F.sum(_revenue_col()))
-            .cast("decimal(18,6)")
-            .cast("double")
-            .alias("promo_revenue")
+            parity_double(
+                F.lit(100.00) * F.sum(promo) / F.sum(_revenue_col()), 6
+            ).alias("promo_revenue")
         )
     )

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from transit_efficiency_analysis_spark.demo import demo
+from transit_efficiency_analysis_spark.functions.parity import parity_double
 from transit_efficiency_analysis_spark.sources.registry import load_table
 
 
@@ -37,10 +38,9 @@ def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)"))
-            .cast("decimal(18,6)")
-            .cast("double")
-            .alias("sum_value"),
+            parity_double(F.sum(F.col("value").cast("decimal(18,6)")), 6).alias(
+                "sum_value"
+            ),
         )
         .select(
             F.col("w.start").alias("window_start"),

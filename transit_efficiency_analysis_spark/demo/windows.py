@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from transit_efficiency_analysis_spark.demo import demo
+from transit_efficiency_analysis_spark.functions.parity import parity_double
 from transit_efficiency_analysis_spark.sources.registry import load_table
 
 
@@ -31,11 +32,12 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         "ts",
-        F.sum(F.col("value").cast("decimal(18,6)"))
-        .over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .cast("decimal(18,6)")
-        .cast("double")
-        .alias("running_value"),
+        parity_double(
+            F.sum(F.col("value").cast("decimal(18,6)")).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+            6,
+        ).alias("running_value"),
         F.row_number().over(w).alias("seq"),
     )
 
