@@ -144,6 +144,91 @@ def q_ingest_gtfs_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_gtfs_data(read_gtfs_static(spark, csv_dir))
 
 
+# ---------------------------------------------------------------------------
+# GTFS-RT protobuf decode (reference realtime_extractor.py:97-118): a
+# deterministic .pb fixture feed is wire-ENCODED from a trip spec, then
+# decoded back through the real ingest path (mapInPandas wire decode →
+# explode). The DuckDB oracle is a VALUES literal generated from the SAME
+# spec — so the gate verifies encode∘decode = identity plus the unix→
+# timestamp, NULL-presence, explode, and vehicle-entity-skip semantics.
+
+_RT_POLL_UNIX = 1767268700  # 2026-01-01 11:58:20 UTC
+
+
+def _rt_trip_spec() -> list[tuple[int, str, str, list]]:
+    """(payload_row, trip_id, start_date, updates) — 40 trips over 4
+    payload rows; update counts 0-4, arrival/departure presence varied,
+    multi-byte varints (stop_sequence > 127, times > 2^31)."""
+    trips = []
+    for k in range(40):
+        updates = []
+        for s in range(1, (k % 5) + 1):
+            seq = s if k % 7 else 120 + 10 * k + s
+            base = 1767268800 + 60 * k + 10 * s
+            arr = base if (k + s) % 3 != 0 else None
+            dep = base + 30 if (k + s) % 4 != 0 else None
+            updates.append((seq, f"STOP{(k * 3 + s) % 11}", arr, dep))
+        trips.append((k % 4, f"T{k:03d}", "20260101", updates))
+    return trips
+
+
+def _rt_oracle_sql() -> str:
+    rows = []
+    for payload_row, trip_id, _date, updates in _rt_trip_spec():
+        poll = _RT_POLL_UNIX + payload_row
+        for seq, stop_id, arr, dep in updates:
+            ts = lambda u: (  # noqa: E731
+                f"to_timestamp({u})" if u is not None else "CAST(NULL AS TIMESTAMPTZ)"
+            )
+            rows.append(
+                f"('{trip_id}', DATE '2026-01-01', CAST({seq} AS INTEGER), "
+                f"'{stop_id}', {ts(arr)}, {ts(dep)}, to_timestamp({poll}))"
+            )
+    values = ",\n        ".join(rows)
+    return f"""
+    SELECT trip_id, start_date, stop_sequence, stop_id,
+           CAST(arrival_time AS TIMESTAMP) AS arrival_time,
+           CAST(departure_time AS TIMESTAMP) AS departure_time,
+           CAST(poll_ts AS TIMESTAMP) AS poll_ts
+    FROM (VALUES
+        {values}
+    ) t(trip_id, start_date, stop_sequence, stop_id,
+        arrival_time, departure_time, poll_ts)
+    """
+
+
+@demo("q_ingest_gtfs_rt", sql=_rt_oracle_sql())
+def q_ingest_gtfs_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """the realtime-ingest decode path on staged .pb payloads: binary wire
+    rows → mapInPandas batch decode (bundled pure-Python GTFS-RT parser) →
+    explode to one row per (trip, stop_time_update), absent arrival/
+    departure → NULL, non-trip entities skipped."""
+    from datetime import datetime, timezone
+
+    from transit_efficiency_analysis_spark.sources.gtfs_realtime import (
+        decode_feed,
+        decode_protobuf_payloads,
+    )
+    from transit_efficiency_analysis_spark.sources.gtfs_rt_wire import (
+        encode_feed_message,
+    )
+
+    by_payload: dict[int, list] = {}
+    for payload_row, trip_id, date, updates in _rt_trip_spec():
+        by_payload.setdefault(payload_row, []).append((trip_id, date, updates))
+    rows = [
+        (
+            datetime.fromtimestamp(_RT_POLL_UNIX + i, tz=timezone.utc).replace(
+                tzinfo=None
+            ),
+            bytearray(encode_feed_message(_RT_POLL_UNIX + i, trips)),
+        )
+        for i, trips in sorted(by_payload.items())
+    ]
+    payloads = spark.createDataFrame(rows, "poll_ts timestamp, payload binary")
+    return decode_feed(decode_protobuf_payloads(payloads))
+
+
 @demo(
     "q_upsert_merge",
     sql="""

@@ -70,3 +70,35 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     if pq.exceptAll(csv).count() != 0 or csv.exceptAll(pq).count() != 0:
         raise AssertionError("parquet and csv sink round-trips disagree")
     return pq
+
+
+@demo(
+    "q_sink_truncate",
+    sql="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderkey % 7 = 1
+    """,
+)
+def q_sink_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sink-truncate: the TRUNCATE + INSERT full rebuild as an atomic
+    overwrite (``sinks.overwrite_table`` — versioned dir + symlink flip on
+    local paths). Writes one slice, then REBUILDS the live table with a
+    different slice where the rebuild plan READS the table it replaces
+    (the merge-rebuild shape); the oracle sees only the second slice, so
+    stale or merged leftovers fail the gate."""
+    from transit_efficiency_analysis_spark.sinks import overwrite_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    table = os.path.join(
+        tempfile.gettempdir(),
+        f"teas_sink_truncate_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    first = overwrite_table(o.where(F.col("o_orderkey") % 7 == 2), table)
+    # rebuild reads the live table (anti-join proves the old version stays
+    # readable while the new one is written) and replaces it entirely
+    replacement = o.where(F.col("o_orderkey") % 7 == 1).join(
+        first.select("o_orderkey"), "o_orderkey", "left_anti"
+    )
+    return overwrite_table(replacement, table)

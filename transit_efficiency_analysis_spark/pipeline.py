@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from transit_efficiency_analysis_spark import schemas
 from transit_efficiency_analysis_spark.operators.delay import compute_delays
+from transit_efficiency_analysis_spark.sinks import overwrite_table
 from transit_efficiency_analysis_spark.operators.upsert import merge_batch, upsert_ignore
 from transit_efficiency_analysis_spark.sources.gtfs_realtime import (
     apply_epoch0_default,
@@ -103,18 +104,13 @@ def ingest_realtime(
         tracked=["arrival_time", "departure_time"],
         ts_col="audit_ts",
     )
-    # The merge READS the table it replaces, so the result must be
-    # materialized off the target path before the overwrite. Staging to a
-    # sibling parquet dir + re-reading keeps the final write a plain
-    # Spark writer commit (FileOutputCommitter locally, a cloud committer
-    # / Delta-Iceberg commit on object stores) — no POSIX rename-swap of
-    # the live table, which object stores can't do atomically. At scale
-    # the staging write is replaced by Delta MERGE (same call site).
-    staging = store.trip_updates + ".staging"
-    merged.write.mode("overwrite").parquet(staging)
-    spark.read.parquet(staging).write.mode("overwrite").parquet(store.trip_updates)
-    _cleanup(staging)
-    return spark.read.parquet(store.trip_updates)
+    # The merge READS the table it replaces. overwrite_table handles the
+    # rebuild atomically per filesystem class: local paths write a fresh
+    # versioned dir and atomically repoint a symlink (readers see old xor
+    # new — the merge scans the old version while the new one fills);
+    # object-store URIs stage + writer-commit. At scale the whole merge +
+    # overwrite body is a Delta/Iceberg MERGE at the same call site.
+    return overwrite_table(merged, store.trip_updates)
 
 
 def consolidate(spark: SparkSession, store: Store) -> DataFrame:
@@ -160,10 +156,3 @@ def consolidate_incremental(
     ).partitionBy("start_date").parquet(store.diffs)
     return spark.read.parquet(store.diffs)
 
-
-def _cleanup(staging: str) -> None:
-    """Best-effort removal of the staging directory (local-path form; a
-    lifecycle rule or storage API handles this on object stores)."""
-    import shutil
-
-    shutil.rmtree(staging, ignore_errors=True)

@@ -115,6 +115,62 @@ def _decode_trip_update(buf: bytes, span: tuple[int, int]) -> dict:
     return {"trip_id": trip_id, "start_date": start_date, "stop_time_update": updates}
 
 
+def _w_varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        out.append(b | (0x80 if v else 0))
+        if not v:
+            return bytes(out)
+
+
+def _w_field(num: int, wire: int, payload: bytes) -> bytes:
+    return _w_varint((num << 3) | wire) + payload
+
+
+def _w_msg(num: int, body: bytes) -> bytes:
+    return _w_field(num, 2, _w_varint(len(body)) + body)
+
+
+def _w_string(num: int, s: str) -> bytes:
+    raw = s.encode()
+    return _w_field(num, 2, _w_varint(len(raw)) + raw)
+
+
+def encode_feed_message(
+    header_ts: int,
+    trips: list[tuple[str, str, list[tuple[int, str, int | None, int | None]]]],
+    trailing_vehicle_entity: bool = True,
+) -> bytes:
+    """Encode a FeedMessage from ``(trip_id, start_date, [(stop_sequence,
+    stop_id, arrival_unix|None, departure_unix|None), ...])`` specs — the
+    inverse of :func:`parse_feed_message` over the same five leaves, built
+    from the same public wire format + field numbers. Used to stage
+    byte-exact ``.pb`` fixtures for the decode demo and tests without any
+    protobuf runtime. ``trailing_vehicle_entity`` appends a
+    vehicle-position-only entity that a correct decoder must skip.
+    """
+    header = _w_string(1, "2.0") + _w_field(3, 0, _w_varint(header_ts))
+    out = _w_msg(1, header)
+    for trip_id, start_date, updates in trips:
+        trip = _w_string(1, trip_id) + _w_string(3, start_date)
+        tu = _w_msg(1, trip)
+        for seq, stop_id, arr, dep in updates:
+            body = _w_field(1, 0, _w_varint(seq))
+            if arr is not None:
+                body += _w_msg(2, _w_field(2, 0, _w_varint(arr)))
+            if dep is not None:
+                body += _w_msg(3, _w_field(2, 0, _w_varint(dep)))
+            body += _w_string(4, stop_id)
+            tu += _w_msg(2, body)
+        entity = _w_string(1, trip_id) + _w_msg(3, tu)
+        out += _w_msg(2, entity)
+    if trailing_vehicle_entity:
+        out += _w_msg(2, _w_string(1, "veh") + _w_msg(4, _w_string(8, "V1")))
+    return out
+
+
 def parse_feed_message(data: bytes) -> tuple[int | None, list[dict]]:
     """FeedMessage bytes → (header timestamp or None, trip_update entities).
 

@@ -22,12 +22,12 @@ state if the window kernel is moved into the stream itself
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
 from transit_efficiency_analysis_spark import schemas
 from transit_efficiency_analysis_spark.operators.upsert import merge_batch
+from transit_efficiency_analysis_spark.sinks import overwrite_table
 from transit_efficiency_analysis_spark.sources.gtfs_realtime import (
     apply_epoch0_default,
     decode_feed,
@@ -72,17 +72,11 @@ def run_stream_available_now(
                 batch.limit(0), batch, REALTIME_KEYS, REALTIME_ORDER,
                 tracked=REALTIME_TRACKED, ts_col="poll_ts",
             )
-        # The merge reads the table it replaces: stage to a sibling path,
-        # then overwrite the live table via the Spark writer commit (same
-        # object-store-safe pattern as pipeline.ingest_realtime — no POSIX
-        # rename of the live table; at scale this whole body is a Delta
-        # MERGE instead).
-        staging = state_path + ".staging"
-        merged.write.mode("overwrite").parquet(staging)
-        batch_df.sparkSession.read.parquet(staging).write.mode("overwrite").parquet(
-            state_path
-        )
-        shutil.rmtree(staging, ignore_errors=True)
+        # The merge reads the table it replaces: overwrite_table commits
+        # atomically for readers (local: versioned dir + symlink flip;
+        # object store: stage + writer commit; at scale this whole body
+        # is a Delta MERGE instead).
+        overwrite_table(merged, state_path)
 
     raw = (
         spark.readStream.schema(schemas.REALTIME_FEED_RAW)
