@@ -119,3 +119,37 @@ def test_target_cell_size_derives_centroids(spark):
     rows = out.collect()
     assert rows
     assert all(r["rank"] <= 2 for r in rows)
+
+
+def test_ivf_pq_recall_and_code_shape(spark):
+    """IVF-PQ with ADC scoring finds most true neighbors on a clustered
+    corpus (residuals are small, so 16 codes per subspace represent them
+    well), and the emitted ranking is a valid dense top-k."""
+    from transit_efficiency_analysis_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_pq_topk,
+    )
+
+    rng = random.Random(11)
+    dims, nclus, per = 8, 4, 15
+    centers = [[rng.gauss(0, 1) for _ in range(dims)] for _ in range(nclus)]
+    rows = []
+    i = 0
+    for c in centers:
+        for _ in range(per):
+            rows.append((i, [x + rng.gauss(0, 0.3) for x in c]))
+            i += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    truth = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(df, df, k=3).collect()}
+
+    got_rows = ivf_pq_topk(df, n_centroids=4, m=4, ks=16, n_probe=2, k=3).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in got_rows}
+    # every query answered with a dense 1..3 ranking
+    per_q = {}
+    for r in got_rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3] for v in per_q.values())
+    assert len(per_q) == len(rows)
+    # ADC is approximate: recall well above chance (chance ~3/59 ~ 0.05)
+    recall = len(got & truth) / len(truth)
+    assert recall > 0.5, recall

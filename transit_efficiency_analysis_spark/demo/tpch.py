@@ -248,3 +248,228 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_revenue")
         )
     )
+
+
+@demo(
+    "q_tpch_q7",
+    sql=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(CAST(sum({_REVENUE}) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS l_year,
+               l_extendedprice, l_discount
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: volume shipping between two nations by year — the
+    bidirectional nation-pair predicate forces the disjunctive join
+    filter AFTER both nation joins (both tiny: broadcast)."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
+        F.col("supp_nation") == "NATION_2"
+    ) & (F.col("cust_nation") == "NATION_1")
+    return (
+        F.broadcast(s)
+        .join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(parity_double(F.sum(_revenue_col()), 4).alias("revenue"))
+    )
+
+
+@demo(
+    "q_tpch_q17",
+    sql="""
+    SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE)
+               / 7.0 AS avg_yearly,
+           count(*) AS n_rows
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (SELECT l_partkey AS agg_pk,
+                 count(*) AS cnt,
+                 sum(CAST(l_quantity AS DECIMAL(18,4))) AS qty_total
+          FROM lineitem GROUP BY l_partkey) ON agg_pk = l_partkey
+    WHERE p_brand = 'Brand#12'
+      AND CAST(l_quantity AS DECIMAL(18,4)) * 5 * cnt < qty_total
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: small-quantity-order revenue — the per-part correlated
+    average decorrelated into a grouped join; the avg comparison is the
+    exact algebraic form qty·5·n < Σqty (qty < 0.2·avg) so no float
+    rounding can flip a row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#12")
+    per_part = li.groupBy(F.col("l_partkey").alias("agg_pk")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qty_total"),
+    )
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).join(
+        per_part, F.col("l_partkey") == F.col("agg_pk")
+    )
+    small = j.where(
+        F.col("l_quantity").cast("decimal(18,4)") * 5 * F.col("cnt") < F.col("qty_total")
+    )
+    return small.agg(
+        (parity_double(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 4) / 7.0).alias(
+            "avg_yearly"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@demo(
+    "q_tpch_q18",
+    sql="""
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS orderdate, o_totalprice,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 250
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE), o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: large-volume customers — GROUP/HAVING subquery as a
+    semi-join filter, then the top-100 by order value (TakeOrdered, not a
+    full sort)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("q"))
+        .where(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(big.withColumnRenamed("l_orderkey", "big_key"),
+              F.col("o_orderkey") == F.col("big_key"), "left_semi")
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"), "o_totalprice",
+        )
+        .agg(parity_double(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 4).alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@demo(
+    "q_tpch_q19",
+    sql=f"""
+    SELECT CAST(CAST(sum({_REVENUE}) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: discounted revenue under three disjunctive brand/size/
+    quantity branches — the OR-of-ANDs predicate that exercises join
+    filter pushdown (part side prunes on brand+size before the join)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    branch = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#15")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(branch)
+        .agg(
+            parity_double(F.sum(_revenue_col()), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@demo(
+    "q_tpch_q22",
+    sql="""
+    SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+           CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
+               AS totacctbal
+    FROM customer
+    WHERE CAST(c_acctbal AS DECIMAL(18,2))
+              * (SELECT count(*) FROM customer WHERE c_acctbal > 0)
+          > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+      )
+    GROUP BY c_nationkey
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape (adapted: nationkey as country code, 'no urgent orders'
+    as the inactivity predicate since every sf0.01 customer has orders):
+    global-average scalar subquery in exact algebraic form (bal·n > Σbal)
+    + anti join + grouped balance totals."""
+    c = load_table(spark, sf_dir, "customer")
+    pos = c.where(F.col("c_acctbal") > 0).agg(
+        F.count(F.lit(1)).alias("npos"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("total_pos"),
+    )
+    urgent = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    rich = (
+        c.crossJoin(F.broadcast(pos))
+        .where(F.col("c_acctbal").cast("decimal(18,2)") * F.col("npos") > F.col("total_pos"))
+    )
+    inactive = rich.join(urgent, rich.c_custkey == urgent.o_custkey, "left_anti")
+    return inactive.groupBy(F.col("c_nationkey").alias("cntrycode")).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        parity_double(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2).alias("totacctbal"),
+    )
