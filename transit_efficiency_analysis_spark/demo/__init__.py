@@ -43,13 +43,15 @@ REGISTRY: dict[str, Demo] = {}
 _DEMO_MODULES = [
     "approx",
     "graphextras",
+    "corpusops",
     "ingest",
     "sinks",
     "sqlsurface",
     "tpch",
     "dedup",
     "similarity",
-    # --- window boundary falls inside the next module ---
+    # --- window boundary: everything below is behind the first 50 ---
+    "subqueries",
     "multimodal",
     "pandasudf",
     "windowed",

@@ -1,0 +1,122 @@
+"""Corpus-analysis demos: range join, n-gram statistics, weighted sampling.
+
+Three more training-pipeline shapes over the testdata tables, each with an
+exact DuckDB twin: the bucketed point-in-interval join (the range-join
+operator family), corpus-wide bigram frequency (contamination forensics /
+distribution analysis), and importance-weighted deterministic sampling
+(md5-uniform draw against a per-row weight — reproducible across engines
+and partitionings, unlike ``df.sample``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from transit_efficiency_analysis_spark.demo import demo
+from transit_efficiency_analysis_spark.operators.rangejoin import interval_point_join
+from transit_efficiency_analysis_spark.sources.registry import load_table
+
+
+@demo(
+    "q_join_range_interval",
+    sql="""
+    SELECT e.event_id, e.value, p.p_partkey, p.p_size * 10 - 3 AS lo,
+           p.p_size * 10 + 7 AS hi
+    FROM (SELECT event_id, value FROM events WHERE event_id % 20 = 0) e
+    JOIN part p ON p.p_size * 10 - 3 <= e.value AND e.value < p.p_size * 10 + 7
+    """,
+)
+def q_join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """range join: sampled event values against per-part intervals
+    [10·size−3, 10·size+7) via the bucketed interval_point_join — a
+    bucket equi-join + residual filter instead of the
+    BroadcastNestedLoopJoin a raw non-equi predicate plans."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") % 20 == 0)
+        .select("event_id", "value")
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        (F.col("p_size") * 10 - 3).alias("lo"),
+        (F.col("p_size") * 10 + 7).alias("hi"),
+    )
+    return interval_point_join(e, p, "value", "lo", "hi", bucket_width=10).select(
+        "event_id", "value", "p_partkey", "lo", "hi"
+    )
+
+
+@demo(
+    "q_text_ngram_stats",
+    sql="""
+    SELECT bigram, n, CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT bigram, n,
+               row_number() OVER (ORDER BY n DESC, bigram ASC) AS rank
+        FROM (
+            SELECT w[g] || ' ' || w[g + 1] AS bigram, count(*) AS n
+            FROM (
+                SELECT w, unnest(generate_series(1, len(w) - 1)) AS g
+                FROM (SELECT string_split(text, ' ') AS w FROM documents)
+                WHERE len(w) >= 2
+            )
+            GROUP BY w[g] || ' ' || w[g + 1]
+        )
+    )
+    WHERE rank <= 20
+    """,
+)
+def q_text_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus bigram frequency, top-20 (count desc, bigram asc) — the
+    n-gram distribution scan behind contamination forensics and
+    boilerplate detection. One explode + one partial-agg groupBy; the
+    top-k is a TakeOrdered, not a global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    bigrams = F.expr(
+        "transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))"
+    )
+    counts = (
+        d.select(w.alias("w"))
+        .where(F.size("w") >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # top-k first (TakeOrderedAndProject — per-partition heaps, no global
+    # sort of the full bigram vocabulary), then rank the 20 survivors; the
+    # unpartitioned window only ever sees k rows.
+    top = counts.orderBy(F.col("n").desc(), F.col("bigram").asc()).limit(20)
+    rank_w = Window.partitionBy(F.lit(1)).orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return top.withColumn("rank", F.row_number().over(rank_w).cast("int"))
+
+
+@demo(
+    "q_sample_weighted",
+    sql="""
+    SELECT doc_id, lang, n_chars,
+           CAST(least(n_chars, 400) AS DOUBLE) / 400 AS weight
+    FROM documents
+    WHERE CAST('0x' || substr(md5('wsample|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+          < CAST(least(n_chars, 400) AS DOUBLE) / 400 * 4294967296
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """importance-weighted deterministic sample: keep each doc with
+    probability min(n_chars,400)/400 — longer docs oversampled — by
+    comparing a keyed md5-uniform draw (first 8 hex chars as a 32-bit
+    integer) against the per-row weight. Reproducible and resumable:
+    the draw depends only on doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    weight = F.least(F.col("n_chars"), F.lit(400)).cast("double") / 400
+    draw = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("wsample|"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return d.where(draw < weight * F.lit(float(2**32))).select(
+        "doc_id", "lang", "n_chars", weight.alias("weight")
+    )
