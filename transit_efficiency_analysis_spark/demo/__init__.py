@@ -102,6 +102,8 @@ _WINDOW = [
     "q_join_range_interval",
     "q_text_ngram_stats",
     "q_sample_weighted",
+    "q_sample_rebalance",
+    "q_sink_partitioned",
     "q_array_agg",
     "q_ingest_gtfs_rt",
     "q_sink_truncate",
@@ -122,10 +124,8 @@ _WINDOW = [
     "q_null_clean",
     "q_sink_roundtrip",
     "q_sim_bruteforce_topk",
-    "q_sim_lsh_buckets",
     "q_sim_lsh_topk",
     "q_sim_ivf_topk",
-    "q_sim_ivf_lloyd_topk",
 ]
 
 

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from transit_efficiency_analysis_spark.demo import demo
+from transit_efficiency_analysis_spark.operators.buckets import cap_buckets
 from transit_efficiency_analysis_spark.operators.rangejoin import interval_point_join
 from transit_efficiency_analysis_spark.sources.registry import load_table
 
@@ -90,6 +91,43 @@ def q_text_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counts.orderBy(F.col("n").desc(), F.col("bigram").asc()).limit(20)
     rank_w = Window.partitionBy(F.lit(1)).orderBy(F.col("n").desc(), F.col("bigram").asc())
     return top.withColumn("rank", F.row_number().over(rank_w).cast("int"))
+
+
+@demo(
+    "q_sample_rebalance",
+    sql="""
+    WITH m AS (
+        SELECT min(cnt) AS m
+        FROM (SELECT count(*) AS cnt FROM documents GROUP BY lang)
+    )
+    SELECT doc_id, lang, n_chars
+    FROM (
+        SELECT doc_id, lang, n_chars,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    ), m
+    WHERE rk <= m
+    """,
+)
+def q_sample_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """domain-mix rebalancing: downsample every language to the size of
+    the smallest one (uniform mix — the training-data curation step that
+    stops one domain from dominating a pretraining batch). Selection is
+    deterministic md5(doc_id) order per language via the storm-safe
+    ``cap_buckets`` operator, so at 100 TB the dominant language never
+    lands in a single ranking task. The cap itself is a driver-side
+    sizing aggregate (one groupBy over lang, |langs| rows)."""
+    d = load_table(spark, sf_dir, "documents")
+    m = min(
+        r["cnt"]
+        for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    return cap_buckets(
+        d.select("doc_id", "lang", "n_chars"), ["lang"], "doc_id", m
+    ).select("doc_id", "lang", "n_chars")
 
 
 @demo(

@@ -73,6 +73,37 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @demo(
+    "q_sink_partitioned",
+    sql="""
+    SELECT event_id, user_id, value, event_type
+    FROM events WHERE event_type IN ('click', 'purchase')
+    """,
+)
+def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sink-partitioned: hive-style ``partitionBy`` layout — the on-disk
+    organization that makes 100 TB tables queryable (a predicate on the
+    partition column prunes whole directories before any IO). Writes the
+    events table partitioned by event_type, reads it back filtered to two
+    of five types, and asserts the filter became a PartitionFilter (not a
+    post-scan predicate) before returning."""
+    from transit_efficiency_analysis_spark.plans import assert_partition_pruned
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"teas_sink_partitioned_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    e.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path).where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    assert_partition_pruned(back, "event_type")
+    return back.select("event_id", "user_id", "value", "event_type")
+
+
+@demo(
     "q_sink_truncate",
     sql="""
     SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus

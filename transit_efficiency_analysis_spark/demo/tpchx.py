@@ -280,15 +280,19 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT ps_partkey, CAST(sum(value_cents) AS BIGINT) AS value_cents
     FROM nat_ps
     GROUP BY ps_partkey
-    HAVING CAST(sum(value_cents) AS BIGINT) * 400
-           > (SELECT CAST(sum(value_cents) AS BIGINT) FROM nat_ps)
+    HAVING CAST(sum(value_cents) AS BIGINT)
+               * (SELECT count(DISTINCT ps_partkey) FROM nat_ps)
+           > 2 * (SELECT CAST(sum(value_cents) AS BIGINT) FROM nat_ps)
     """,
 )
 def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q11 shape: important stock — parts whose one-nation inventory
-    value exceeds a fraction (1/400) of the nation total. Carried
-    entirely in integer cents: the HAVING comparison is ``sum·400 >
-    total`` with no floating point anywhere."""
+    value exceeds a threshold scalar subquery over the same relation.
+    The spec's fixed fraction scales with 1/SF (a constant cutoff empties
+    at 10× the parts), so the threshold here is 2× the average per-part
+    value — scale-invariant by construction. Carried entirely in integer
+    cents: the HAVING comparison is ``sum·n_parts > 2·total`` with no
+    floating point anywhere."""
     ps = _partsupp(spark, sf_dir)
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
@@ -303,10 +307,13 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = nat_ps.groupBy("ps_partkey").agg(
         F.sum("value_cents").alias("value_cents")
     )
-    total = nat_ps.agg(F.sum("value_cents").alias("total_cents"))
+    total = nat_ps.agg(
+        F.sum("value_cents").alias("total_cents"),
+        F.count_distinct("ps_partkey").alias("n_parts"),
+    )
     return (
         per_part.crossJoin(F.broadcast(total))
-        .where(F.col("value_cents") * 400 > F.col("total_cents"))
+        .where(F.col("value_cents") * F.col("n_parts") > 2 * F.col("total_cents"))
         .select("ps_partkey", "value_cents")
     )
 

@@ -52,6 +52,16 @@ def assert_read_schema_only(df: DataFrame, table_fragment: str, allowed: set[str
     raise AssertionError(f"no ReadSchema line found for {table_fragment!r}:\n{plan}")
 
 
+def assert_partition_pruned(df: DataFrame, column: str) -> None:
+    """Assert a predicate on ``column`` became a PartitionFilter (directory
+    pruning — the scan never opens non-matching partitions)."""
+    plan = formatted_plan(df)
+    lines = [line for line in plan.splitlines() if "PartitionFilters" in line]
+    assert any(column in line for line in lines), (
+        f"no PartitionFilters on {column!r}; lines: {lines}\n{plan}"
+    )
+
+
 def assert_broadcast_join(df: DataFrame, min_count: int = 1) -> None:
     """Assert at least ``min_count`` broadcast joins in the physical plan."""
     plan = physical_plan(df)
