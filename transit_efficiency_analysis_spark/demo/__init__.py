@@ -104,6 +104,8 @@ _WINDOW = [
     "q_sample_weighted",
     "q_sample_rebalance",
     "q_sink_partitioned",
+    "q_join_bucketed",
+    "q_join_skew_salted",
     "q_array_agg",
     "q_ingest_gtfs_rt",
     "q_sink_truncate",
@@ -123,9 +125,7 @@ _WINDOW = [
     "q_upsert_merge",
     "q_null_clean",
     "q_sink_roundtrip",
-    "q_sim_bruteforce_topk",
     "q_sim_lsh_topk",
-    "q_sim_ivf_topk",
 ]
 
 

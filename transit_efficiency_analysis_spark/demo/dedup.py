@@ -63,9 +63,15 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH shingled AS ({_SHINGLES_SQL}),
     nonempty AS (SELECT doc_id, sh FROM shingled WHERE len(sh) > 0),
     exploded AS (SELECT doc_id, unnest(sh) AS s FROM nonempty),
+    hashed AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h1,
+               CAST('0x' || substr(md5(s), 9, 8) AS BIGINT) AS h2
+        FROM exploded
+    ),
     sig AS (
-        SELECT doc_id, b, min(md5(CAST(b AS VARCHAR) || '|' || s)) AS mh
-        FROM exploded CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS b)
+        SELECT doc_id, b, min((h1 + b * h2) % 4294967296) AS mh
+        FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS b)
         GROUP BY doc_id, b
     ),
     cand AS (

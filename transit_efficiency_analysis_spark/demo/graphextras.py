@@ -125,13 +125,20 @@ def _lsh_blocked_embedding_sql() -> str:
     WITH shingled AS ({_SHINGLES_SQL}),
     nonempty AS (SELECT doc_id, sh FROM shingled WHERE len(sh) > 0),
     exploded AS (SELECT doc_id, unnest(sh) AS s FROM nonempty),
+    hashed AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h1,
+               CAST('0x' || substr(md5(s), 9, 8) AS BIGINT) AS h2
+        FROM exploded
+    ),
     sig AS (
-        SELECT doc_id, b, md5(min0 || '|' || min1) AS mh
+        SELECT doc_id, b,
+               md5(CAST(min0 AS VARCHAR) || '|' || CAST(min1 AS VARCHAR)) AS mh
         FROM (
             SELECT doc_id, b,
-                   min(md5(CAST(b AS VARCHAR) || '.0|' || s)) AS min0,
-                   min(md5(CAST(b AS VARCHAR) || '.1|' || s)) AS min1
-            FROM exploded CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS b)
+                   min((h1 + (b * 2) * h2) % 4294967296) AS min0,
+                   min((h1 + (b * 2 + 1) * h2) % 4294967296) AS min1
+            FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS b)
             GROUP BY doc_id, b
         )
     ),
@@ -375,9 +382,14 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transit_efficiency_analysis_spark.operators.similarity import (
         embedding_near_dup_pairs,
         lsh_bucket_expr,
+        quantize_vec,
     )
 
-    e = load_table(spark, sf_dir, "embeddings")
+    # quantize once in its own projection; the bucket expression references
+    # the materialized array (see quantize_vec)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", quantize_vec(F.col("embedding")).alias("__q")
+    )
     return embedding_near_dup_pairs(
-        e, lsh_bucket_expr(F.col("embedding"), _PLANES, _DIMS), threshold=0.3
+        e, lsh_bucket_expr(F.col("__q"), _PLANES, _DIMS), threshold=0.3
     )

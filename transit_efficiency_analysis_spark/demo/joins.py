@@ -9,6 +9,8 @@ computed from those exact totals.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -142,3 +144,84 @@ def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     cond = (c.c_custkey == o.o_custkey) & (o.o_totalprice > 300000)
     return c.join(o, cond, "left").select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@demo(
+    "q_join_bucketed",
+    sql="""
+    SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice, o_orderstatus
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderkey % 50 = 3
+    """,
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join-bucketed: both sides written ``bucketBy`` on the join key, so
+    the recurring join plans as a sort-merge join over co-located bucketed
+    scans with ZERO shuffle exchanges — the storage-level strategy that
+    amortizes the 100 TB join's shuffle into a one-time layout. Asserted
+    in-demo: the plan must contain a SortMergeJoin (a broadcast would
+    trivially have no exchange) and no Exchange at all."""
+    import shutil
+
+    from transit_efficiency_analysis_spark.plans import count_shuffles, physical_plan
+
+    db = f"teas_bucketed_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    for t in ("li", "o"):
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{t}")
+    shutil.rmtree(f"/tmp/teas_warehouse/{db}.db", ignore_errors=True)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 50 == 3)
+    (
+        li.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable(f"{db}.li")
+    )
+    (
+        o.select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable(f"{db}.o")
+    )
+    lb = spark.table(f"{db}.li")
+    ob = spark.table(f"{db}.o").hint("merge")
+    joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "o_totalprice", "o_orderstatus"
+    )
+    assert count_shuffles(joined) == 0, "bucketed join must not shuffle"
+    assert "SortMergeJoin" in physical_plan(joined), "expected SMJ over buckets"
+    return joined
+
+
+@demo(
+    "q_join_skew_salted",
+    sql="""
+    SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderkey % 20 = 5
+    """,
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join-skew-salted: the explicit salting operator (left side salted
+    on a deterministic hash, right side replicated per salt bucket) must
+    be row-for-row equal to the plain join — the oracle IS the plain
+    join, so the driver's value hash proves semantics preservation, not
+    just row count. The tool of last resort when one hot key holds a
+    double-digit share of a 100 TB feed and AQE's split isn't enough."""
+    from transit_efficiency_analysis_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "k")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 20 == 5)
+        .withColumnRenamed("o_orderkey", "k")
+    )
+    return salted_join(
+        li, o, key="k", salt_buckets=8, left_unique_col="l_partkey"
+    ).select(
+        F.col("k").alias("l_orderkey"), "l_linenumber", "l_quantity", "o_totalprice"
+    )

@@ -152,14 +152,25 @@ def minhash_lsh_pairs(
         exp = exp.localCheckpoint(eager=True)
     # all band×row minima in ONE aggregation pass over the exploded
     # shingles (a band×shingle cross join would multiply the shuffle rows
-    # by `bands`), then unpivot the band columns to (doc_id, band, mh)
-    # rows. r=1 keeps the historical key = the minimum itself; r>1 hashes
-    # the concatenation of the r family minima into one band key.
-    def family(b: int, i: int) -> Column:
-        prefix = f"{b}|" if rows_per_band == 1 else f"{b}.{i}|"
-        return F.min(F.md5(F.concat(F.lit(prefix), F.col("s"))))
+    # by `bands`). Hash families by Kirsch-Mitzenmacher double hashing:
+    # ONE md5 per shingle parsed into two 32-bit chunks (h1, h2), family
+    # j = (h1 + j·h2) mod 2^32 — long arithmetic and long mins instead of
+    # per-family string md5s and 32-char string mins (the same
+    # parse-once/derive-many rewrite that took the simhash vote agg down
+    # 4×, docs/SCALE.md round-4). r=1 keys the band by the minimum
+    # itself; r>1 hashes the concatenation of the r family minima.
+    hx = F.md5(F.col("s"))
+    hashed = exp.select(
+        "doc_id",
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(hx, 9, 8), 16, 10).cast("long").alias("h2"),
+    )
 
-    band_mins = exp.groupBy("doc_id").agg(
+    def family(b: int, i: int) -> Column:
+        j = b * rows_per_band + i
+        return F.min((F.col("h1") + F.lit(j) * F.col("h2")) % F.lit(2**32))
+
+    band_mins = hashed.groupBy("doc_id").agg(
         *[
             family(b, i).alias(f"mh_{b}_{i}")
             for b in range(bands)
@@ -174,8 +185,15 @@ def minhash_lsh_pairs(
         band_keys = band_mins.select(
             "doc_id",
             *[
-                F.md5(F.concat_ws("|", *[F.col(f"mh_{b}_{i}") for i in range(rows_per_band)]))
-                .alias(f"key_{b}")
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"mh_{b}_{i}").cast("string")
+                            for i in range(rows_per_band)
+                        ],
+                    )
+                ).alias(f"key_{b}")
                 for b in range(bands)
             ],
         )

@@ -61,45 +61,57 @@ def brute_force_topk(
     )
 
 
-def lsh_bucket_expr(vec_col: Column, planes: int = 8, dims: int = 64) -> Column:
-    """Sign-LSH bucket id as a single map-only column expression.
+def quantize_vec(vec_col: Column) -> Column:
+    """The float vector as exact quantized longs: each component through
+    the ``decimal(18,9)`` cast then shifted to an integer — ONE pass per
+    row. All sign-LSH projections derive from this array, so the
+    (allocation-heavy) decimal quantization runs ``dims`` times per row
+    instead of ``planes × dims`` times; the per-plane folds that consume
+    it are pure long arithmetic. Materialize it as a real column (one
+    ``select``) before fanning out to per-plane expressions — referencing
+    the transform inline would duplicate it per plane."""
+    shift = F.lit(1_000_000_000).cast("decimal(19,0)")
+    return F.transform(
+        vec_col, lambda x: (x.cast("decimal(18,9)") * shift).cast("long")
+    )
 
-    Per plane, the projection is a per-row ``zip_with``/``aggregate`` fold of
-    the vector against the deterministic ±1 hyperplane (md5-derived,
-    ``functions.vectors.plane_sign``). Each component is quantized through
-    the same ``decimal(18,9)`` cast the aggregation formulation uses, then
-    shifted to an exact integer — so the fold is pure ``long`` arithmetic:
-    exact, order-independent, and bit-identical to the DECIMAL group-sum
-    oracle regardless of partitioning. No shuffle, no join, no exploded
-    intermediate — at 100 TB this is embarrassingly parallel over the scan,
-    which strictly dominates the explode→broadcast-join→two-shuffle shape
-    it replaces (~4x faster even at bench scale).
+
+def lsh_bucket_expr(qvec_col: Column, planes: int = 8, dims: int = 64) -> Column:
+    """Sign-LSH bucket id as a single map-only column expression over a
+    ``quantize_vec`` long array.
+
+    Per plane, the projection is a ``zip_with``/``aggregate`` fold of the
+    quantized vector against the deterministic ±1 hyperplane
+    (md5-derived, ``functions.vectors.plane_sign``) — pure ``long``
+    arithmetic: exact, order-independent, and bit-identical to the
+    DECIMAL group-sum oracle regardless of partitioning. No shuffle, no
+    join, no exploded intermediate — at 100 TB this is embarrassingly
+    parallel over the scan, which strictly dominates the
+    explode→broadcast-join→two-shuffle shape it replaces (~4x faster
+    even at bench scale).
     """
     bucket = F.lit(0).cast("long")
-    for p, proj in enumerate(lsh_projection_exprs(vec_col, planes, dims)):
+    for p, proj in enumerate(lsh_projection_exprs(qvec_col, planes, dims)):
         bucket = bucket + F.when(proj > 0, F.lit(2**p).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
     return bucket
 
 
-def lsh_projection_exprs(vec_col: Column, planes: int = 8, dims: int = 64) -> list[Column]:
-    """Per-plane signed projections as exact quantized-long folds — the
-    building block shared by ``lsh_bucket_expr`` (signs → bucket id) and
-    multi-probe LSH (|projection| = distance to the plane = flip margin)."""
+def lsh_projection_exprs(qvec_col: Column, planes: int = 8, dims: int = 64) -> list[Column]:
+    """Per-plane signed projections over a ``quantize_vec`` long array —
+    the building block shared by ``lsh_bucket_expr`` (signs → bucket id)
+    and multi-probe LSH (|projection| = distance to the plane = flip
+    margin). The fold is long-only (the decimal quantization already
+    happened, once, in ``quantize_vec``)."""
     from transit_efficiency_analysis_spark.functions.vectors import plane_sign
 
-    shift = F.lit(1_000_000_000).cast("decimal(19,0)")
     projs = []
     for p in range(planes):
-        signs = F.array(*[F.lit(plane_sign(p, d)) for d in range(dims)])
+        signs = F.array(*[F.lit(plane_sign(p, d)).cast("long") for d in range(dims)])
         projs.append(
             F.aggregate(
-                F.zip_with(
-                    vec_col,
-                    signs,
-                    lambda x, s: (x.cast("decimal(18,9)") * shift).cast("long") * s.cast("long"),
-                ),
+                F.zip_with(qvec_col, signs, lambda x, s: x * s),
                 F.lit(0).cast("long"),
                 lambda acc, v: acc + v,
             )
@@ -146,7 +158,10 @@ def lsh_bucket_assignments(
     assert planes is not None, "pass planes or target_bucket_size"
     return df.select(
         F.col(id_col).alias("vec_id"),
-        lsh_bucket_expr(F.col(vec_col), planes, dims).alias("bucket"),
+        quantize_vec(F.col(vec_col)).alias("__q"),
+    ).select(
+        "vec_id",
+        lsh_bucket_expr(F.col("__q"), planes, dims).alias("bucket"),
     )
 
 
@@ -186,7 +201,12 @@ def lsh_topk(
         F.col(id_col).alias("vec_id"),
         as_double(F.col(vec_col)).alias("v"),
         norm(as_double(F.col(vec_col))).alias("vn"),
-        lsh_bucket_expr(F.col(vec_col), planes, dims).alias("bucket"),
+        quantize_vec(F.col(vec_col)).alias("__q"),
+    ).select(
+        "vec_id",
+        "v",
+        "vn",
+        lsh_bucket_expr(F.col("__q"), planes, dims).alias("bucket"),
     )
     a = base.select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("vn").alias("qn"), "bucket"
@@ -245,7 +265,7 @@ def multiprobe_lsh_topk(
 
     Returns (query_id, neighbor_id, cosine_sim, rank).
     """
-    projs = lsh_projection_exprs(F.col(vec_col), planes, dims)
+    projs = lsh_projection_exprs(F.col("__q"), planes, dims)
     bucket = F.lit(0).cast("long")
     for p, proj in enumerate(projs):
         bucket = bucket + F.when(proj > 0, F.lit(2**p).cast("long")).otherwise(
@@ -267,6 +287,11 @@ def multiprobe_lsh_topk(
         F.col(id_col).alias("vec_id"),
         as_double(F.col(vec_col)).alias("v"),
         norm(as_double(F.col(vec_col))).alias("vn"),
+        quantize_vec(F.col(vec_col)).alias("__q"),
+    ).select(
+        "vec_id",
+        "v",
+        "vn",
         bucket.alias("bucket"),
         margin.alias("flip"),
     )
