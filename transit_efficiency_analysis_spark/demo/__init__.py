@@ -112,10 +112,10 @@ _WINDOW = [
     "q_dedup_simhash_pairs",
     "q_sim_ivf_pq_topk",
     # (c) r3-green filler
+    "q_text_pack",
     "q_tpch_q3",
     "q_tpch_q5",
     "q_tpch_q6",
-    "q_tpch_q10",
     "q_tpch_q12",
     "q_tpch_q14",
     "q_sql_tpch_q1",

@@ -8,7 +8,7 @@ Gopher-style signal).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from transit_efficiency_analysis_spark.demo import demo
@@ -140,4 +140,54 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").cast("int").alias("max_shingle_count"),
         (F.max("c").cast("double") / F.sum("c")).alias("max_shingle_ratio"),
         ((F.max("c").cast("double") / F.sum("c")) > 0.1).alias("is_repetitive"),
+    )
+
+
+@demo(
+    "q_text_pack",
+    sql="""
+    SELECT doc_id, source, shard, n_tokens, (cum - n_tokens) // 2048 AS bin
+    FROM (
+        SELECT doc_id, source, doc_id % 8 AS shard,
+               len(string_split(text, ' ')) AS n_tokens,
+               sum(len(string_split(text, ' '))) OVER (
+                   PARTITION BY source, doc_id % 8
+                   ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum
+        FROM documents
+    )
+    """,
+)
+def q_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sequence packing: assign each document to a fixed token-budget
+    training bin (2048 tokens) by running token offset — the
+    concat-and-chunk packing step that turns a filtered corpus into
+    context-window examples. Packing is order-dependent by nature, so
+    the running sum is windowed per (source, shard) with doc_id order:
+    deterministic, and the shard key bounds every window partition at
+    1/8 of a source — at 100 TB shard count scales with the corpus so
+    no packing task ever sees more than a bounded slice."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            (F.col("doc_id") % 8).alias("shard"),
+            n_tokens.alias("n_tokens"),
+        )
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "source",
+            "shard",
+            "n_tokens",
+            F.expr("(cum - n_tokens) div 2048").alias("bin"),
+        )
     )
