@@ -153,3 +153,30 @@ def test_ivf_pq_recall_and_code_shape(spark):
     # ADC is approximate: recall well above chance (chance ~3/59 ~ 0.05)
     recall = len(got & truth) / len(truth)
     assert recall > 0.5, recall
+
+
+def test_n_rows_skips_count_action(spark):
+    """The cached-statistics path: passing n_rows must produce the same
+    bucket assignments as letting the operator count, without running
+    any job at plan-construction time."""
+    from pyspark.sql import functions as F
+
+    from transit_efficiency_analysis_spark.operators.similarity import (
+        lsh_bucket_assignments,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float((i * 7 + d) % 13) - 6.0 for d in range(8)]) for i in range(256)],
+        "vec_id long, embedding array<double>",
+    )
+    counted = lsh_bucket_assignments(
+        df, dims=8, planes=None, target_bucket_size=16
+    ).collect()
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup(None) or [])
+    stats = lsh_bucket_assignments(
+        df, dims=8, planes=None, target_bucket_size=16, n_rows=256
+    )  # no action yet — sizing must not have launched a job
+    jobs_after = len(tracker.getJobIdsForGroup(None) or [])
+    assert jobs_after == jobs_before
+    assert sorted(map(tuple, stats.collect())) == sorted(map(tuple, counted))

@@ -103,3 +103,50 @@ def test_dedup_stream_within_watermark(spark, tmp_path):
         ("T1", 1, "2026-01-01 12:00:00"),
         ("T1", 1, "2026-01-01 12:01:00"),
     ]
+
+
+@pytest.mark.slow
+def test_stream_static_join_enrichment(spark, tmp_path):
+    """Stream-static join: the micro-batch stream enriched against a
+    static dimension (the schedule) must emit exactly what the batch
+    join emits — Spark re-plans the static side per micro-batch, so the
+    dim may be broadcast without freezing its contents into the
+    checkpoint."""
+    from pyspark.sql import functions as F
+
+    from transit_efficiency_analysis_spark.streaming.realtime_stream import (
+        transform_feed,
+    )
+    from transit_efficiency_analysis_spark import schemas
+
+    feed_dir = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt_enrich")
+    t0 = datetime(2026, 1, 1, 12, 0)
+    _poll(spark, feed_dir, t0, [("T1", "20260101", [(1, "100", 1767268800, None)]),
+                                ("T2", "20260101", [(1, "300", None, 1767269000)])])
+    dim = spark.createDataFrame(
+        [("100", "Main St"), ("300", "Elm Ave")], "stop_id string, stop_name string"
+    )
+
+    raw = spark.readStream.schema(schemas.REALTIME_FEED_RAW).parquet(feed_dir)
+    enriched = transform_feed(raw).join(F.broadcast(dim), "stop_id", "left")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_sink")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["trip_id"], r["stop_id"], r["stop_name"])
+        for r in spark.sql("SELECT * FROM enrich_sink").collect()
+    )
+    batch = transform_feed(
+        spark.read.schema(schemas.REALTIME_FEED_RAW).parquet(feed_dir)
+    ).join(F.broadcast(dim), "stop_id", "left")
+    want = sorted(
+        (r["trip_id"], r["stop_id"], r["stop_name"]) for r in batch.collect()
+    )
+    assert got == want and ("T1", "100", "Main St") in got

@@ -113,7 +113,7 @@ _WINDOW = [
     "q_sim_ivf_pq_topk",
     # (c) r3-green filler
     "q_text_pack",
-    "q_tpch_q3",
+    "q_sim_lsh_buckets",
     "q_tpch_q5",
     "q_tpch_q6",
     "q_tpch_q12",

@@ -37,7 +37,7 @@ _PS_CTE = """partsupp AS (
                ((ps_partkey * 7 + ps_suppkey * 13) % 9999) + 1 AS ps_availqty,
                ((ps_partkey * 31 + ps_suppkey * 17) % 100000) + 100 AS ps_supplycost_cents
         FROM (
-            SELECT p_partkey AS ps_partkey,
+            SELECT DISTINCT p_partkey AS ps_partkey,
                    (p_partkey + i * (s // 4 + (p_partkey + i) // s)) % s AS ps_suppkey
             FROM part
             CROSS JOIN (SELECT count(*) AS s FROM supplier)
@@ -73,6 +73,12 @@ def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "ps_suppkey"
             ),
         )
+        # tiny supplier pools (sf0.001: S=10) can collide two of a part's
+        # four assignments onto one supplier; the relation is keyed by
+        # (part, supplier), so dedupe — duplicates are value-identical
+        # (avail/cost are functions of the key), making this exact on
+        # both engines
+        .distinct()
     )
     return keyed.select(
         "ps_partkey",

@@ -142,6 +142,7 @@ def lsh_bucket_assignments(
     planes: int | None = 8,
     dims: int = 64,
     target_bucket_size: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """(vec_id, bucket) sign-LSH assignments — one map-only projection
     (``lsh_bucket_expr``); same math as
@@ -152,9 +153,13 @@ def lsh_bucket_assignments(
     That costs one count() action at plan-construction time — O(scan) with
     no shuffle, negligible against the pipeline it parameterizes — and is
     the 100 TB mode: bucket fan-in then tracks corpus growth instead of
-    being a constant 2^8."""
+    being a constant 2^8. When a table catalog already knows the row
+    count, pass it as ``n_rows`` and no action runs (the
+    cached-statistics path)."""
     if target_bucket_size is not None:
-        planes = derive_planes(df.count(), target_bucket_size)
+        planes = derive_planes(
+            n_rows if n_rows is not None else df.count(), target_bucket_size
+        )
     assert planes is not None, "pass planes or target_bucket_size"
     return df.select(
         F.col(id_col).alias("vec_id"),
@@ -174,6 +179,7 @@ def lsh_topk(
     k: int = 3,
     max_bucket_size: int | None = None,
     target_bucket_size: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact cosine ranking *within* each LSH bucket.
 
@@ -193,9 +199,13 @@ def lsh_topk(
     vector landing in one bucket → |bucket|² pairs). Queries are never
     dropped: each still ranks top-k, over at most ``max_bucket_size``
     candidates per bucket. None disables the cap (exact within-bucket
-    semantics — the oracle-checked mode)."""
+    semantics — the oracle-checked mode). ``n_rows`` is the
+    cached-statistics path: when the catalog knows the corpus size,
+    sizing runs with no count() action."""
     if target_bucket_size is not None:
-        planes = derive_planes(df.count(), target_bucket_size)
+        planes = derive_planes(
+            n_rows if n_rows is not None else df.count(), target_bucket_size
+        )
     assert planes is not None, "pass planes or target_bucket_size"
     base = df.select(
         F.col(id_col).alias("vec_id"),
@@ -429,6 +439,7 @@ def ivf_topk(
     checkpoint: bool = True,
     target_cell_size: int | None = None,
     lloyd_rounds: int = 0,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: coarse-quantize the corpus into
     ``n_centroids`` cells (nearest centroid by cosine), then answer each
@@ -446,12 +457,18 @@ def ivf_topk(
     constant as the corpus grows instead of cells fattening linearly at a
     fixed centroid count. Centroids stay broadcast-able: even a 100 B-row
     corpus at target 10 k is 10 M centroids ≈ a few GB — at that point
-    raise the target or add a second quantization level.
+    raise the target or add a second quantization level. ``n_rows`` is
+    the cached-statistics path: when the catalog knows the corpus size,
+    sizing runs with no count() action.
     """
     if target_cell_size is not None:
         import math
 
-        n_centroids = max(1, math.ceil(df.count() / max(target_cell_size, 1)))
+        n_centroids = max(
+            1,
+            math.ceil((n_rows if n_rows is not None else df.count())
+                      / max(target_cell_size, 1)),
+        )
     assert n_centroids is not None, "pass n_centroids or target_cell_size"
     cents = ivf_centroids(df, id_col, vec_col, n_centroids, lloyd_rounds=lloyd_rounds)
     base = df.select(
