@@ -84,6 +84,19 @@ def main() -> None:
     timings = {n: round(median(xs), 3) for n, xs in samples.items()}
     spread = {n: round(max(xs) - min(xs), 3) for n, xs in samples.items()}
     total = round(sum(timings.values()), 3)
+
+    # the frozen list must stay comparable round-over-round, so extra
+    # coverage is reported SEPARATELY (round-3 ask: "keep this list
+    # intact and report additional queries separately"): the full 22-query
+    # TPC-H battery, single run each, its own sub-dict + total.
+    tpch = [n for n in registry if n.startswith("q_tpch_q")] + ["q_sql_tpch_q1"]
+    tpch_timings: dict[str, float] = {}
+    for name in sorted(tpch, key=lambda n: (len(n), n)):
+        t0 = time.time()
+        n_rows = registry[name].fn(spark, sf_dir).count()
+        tpch_timings[name] = round(time.time() - t0, 3)
+        print(f"# {name} battery: {n_rows} rows in {tpch_timings[name]}s", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -94,6 +107,11 @@ def main() -> None:
                 "spread": spread,
                 "runs": runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "tpch_battery": {
+                    "total": round(sum(tpch_timings.values()), 3),
+                    "queries": tpch_timings,
+                    "runs": 1,
+                },
             }
         )
     )

@@ -114,9 +114,9 @@ _WINDOW = [
     # (c) r3-green filler
     "q_text_pack",
     "q_sim_lsh_buckets",
-    "q_tpch_q5",
+    "q_sink_orc",
+    "q_dedup_incremental",
     "q_tpch_q6",
-    "q_tpch_q12",
     "q_tpch_q14",
     "q_sql_tpch_q1",
     "q_grouping_sets",

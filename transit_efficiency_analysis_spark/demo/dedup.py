@@ -299,3 +299,37 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transit_efficiency_analysis_spark.operators.dedup import cross_corpus_overlap
 
     return cross_corpus_overlap(corpus, bench, "doc_id", "text", k=3, min_frac=0.2)
+
+
+@demo(
+    "q_dedup_incremental",
+    sql="""
+    WITH keyed AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+                   AS content_key
+        FROM documents
+    )
+    SELECT n.doc_id, n.content_key
+    FROM keyed n
+    WHERE n.doc_id % 5 = 0
+      AND NOT EXISTS (
+          SELECT 1 FROM keyed c
+          WHERE c.doc_id % 5 <> 0 AND c.content_key = n.content_key
+      )
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """incremental dedup: the continual-ingest shape — a NEW batch
+    (doc_id % 5 = 0 here) admitted only where its content key is absent
+    from the already-ingested corpus. One anti join on the key: the
+    corpus side is the indexed key column (at 100 TB a bucketed key
+    table), never the documents themselves."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(F.split(F.col("text"), r"\s+"))), " ")
+    )
+    keyed = d.select("doc_id", key.alias("content_key"))
+    new = keyed.where(F.col("doc_id") % 5 == 0)
+    corpus = keyed.where(F.col("doc_id") % 5 != 0)
+    return new.join(corpus, "content_key", "left_anti").select("doc_id", "content_key")

@@ -133,3 +133,28 @@ def q_sink_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
         first.select("o_orderkey"), "o_orderkey", "left_anti"
     )
     return overwrite_table(replacement, table)
+
+
+@demo(
+    "q_sink_orc",
+    sql="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice, l_linestatus
+    FROM lineitem WHERE l_orderkey % 11 = 4
+    """,
+)
+def q_sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sink-orc: the columnar-format matrix beyond parquet/csv — write a
+    slice as ORC (bundled with Spark, predicate pushdown + column pruning
+    like parquet), read it back losslessly; the oracle reads the original
+    table."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 11 == 4)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_linestatus")
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"teas_sink_orc_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    li.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
