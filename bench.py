@@ -67,6 +67,13 @@ def main() -> None:
     # (max-min across runs) is reported per query for honesty.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     samples: dict[str, list[float]] = {n: [] for n in HEADLINE if n in registry}
+    # one untimed warm-up pass (round-4 ask #7): cache fills (the dedup
+    # operators persist their shared shingle/fingerprint relations) and
+    # any other one-time materialization land OUTSIDE the timed region,
+    # so medians measure the query and spreads measure the machine.
+    for name in samples:
+        n = registry[name].fn(spark, sf_dir).count()
+        print(f"# {name} warmup: {n} rows", file=sys.stderr)
     for r in range(runs):
         for name in samples:
             t0 = time.time()
@@ -106,6 +113,7 @@ def main() -> None:
                 "queries": timings,
                 "spread": spread,
                 "runs": runs,
+                "warmup": 1,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "tpch_battery": {
                     "total": round(sum(tpch_timings.values()), 3),

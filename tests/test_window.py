@@ -1,0 +1,51 @@
+"""Window-bookkeeping guards for the driver's 50-entry correctness window.
+
+Round-4 post-mortem: ``q_text_pack`` was filed under "prior-green filler"
+while actually being brand new (and red). These tests make that class of
+mislabel impossible — a "filler" name must have a green driver row on
+record in some committed ``CORRECTNESS_r*.json``.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from transit_efficiency_analysis_spark.demo import (
+    _WINDOW,
+    _WINDOW_FILLER,
+    load_registry,
+)
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ever_green() -> set[str]:
+    names: set[str] = set()
+    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            for name, row in json.load(f).items():
+                if row.get("hash_match") is True:
+                    names.add(name)
+    return names
+
+
+def test_window_is_50_registered_names():
+    registry = load_registry()
+    assert len(_WINDOW) == 50
+    assert len(set(_WINDOW)) == 50, "window has duplicate names"
+    missing = [n for n in _WINDOW if n not in registry]
+    assert not missing, f"window names not registered: {missing}"
+    # the window must actually be the FIRST 50 registry entries
+    assert list(registry)[:50] == _WINDOW
+
+
+def test_filler_names_have_prior_green_row():
+    green = _ever_green()
+    assert green, "no CORRECTNESS_r*.json files found"
+    impostors = [n for n in _WINDOW_FILLER if n not in green]
+    assert not impostors, (
+        f"window 'filler' entries without a prior green driver row "
+        f"(belongs in _WINDOW_FRONT instead): {impostors}"
+    )

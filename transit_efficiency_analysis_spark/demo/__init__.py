@@ -30,6 +30,7 @@ REGISTRY: dict[str, Demo] = {}
 
 _DEMO_MODULES = [
     "approx",
+    "retrieval",
     "graphextras",
     "tpchx",
     "corpusops",
@@ -63,70 +64,83 @@ _DEMO_MODULES = [
 # registry order IS the correctness window. Until round 4 the window was
 # steered by module order alone, which is fragile: demo modules import
 # each other, and a transitively-imported module registers its entries
-# first regardless of its position in _DEMO_MODULES. _WINDOW pins the
-# front 50 by name instead. Round-4 window: (a) the 11 entries with no
-# driver row through r3 (approx sketches + round-3 variants), (b)
-# everything added or semantically changed this round (hashability-fixed
-# q_array_agg, GTFS-RT decode, sink-truncate, TPC-H Q2/Q7-Q22, IVF-PQ,
-# range join, bigram stats, weighted sampling, the rewritten simhash
-# vote aggregation), and (c) already-green r3 rows as filler. Everything
-# behind the window has a green driver row on record
-# (CORRECTNESS_r01-r03) and unchanged (or value-neutral) code.
-_WINDOW = [
-    # (a) never driver-checked through r3
+# first regardless of its position in _DEMO_MODULES. The window pins the
+# front 50 by name instead: _WINDOW_FRONT carries this round's fixes, new
+# demos, and anything whose implementation changed since its last green
+# row; _WINDOW_FILLER re-verifies prior-green rows, chosen
+# least-recently-verified first so coverage stays fresh.
+# tests/test_window.py asserts every filler name really has a prior green
+# CORRECTNESS row (guards the round-4 mislabel: q_text_pack was filed as
+# "r3-green filler" while actually new-and-red in r4).
+_WINDOW_FRONT = [
+    # (a) round-4 red rows, now fixed: q_text_pack (oracle HUGEINT→BIGINT
+    # cast), the approx sketches (scalar rows + exact-side bounds
+    # oracles), q_ts_now_audit (injected fixed clock per SURVEY §2.3)
+    "q_text_pack",
     "q_approx_distinct",
     "q_approx_quantiles",
-    "q_dedup_clusters_twophase",
-    "q_text_contamination_capped",
-    "q_dedup_minhash_banded",
-    "q_tpch_q4",
-    "q_tpch_q13",
-    "q_join_asof_tolerance",
-    "q_dedup_simhash_pairs_h3",
-    "q_sim_lsh_multiprobe_topk",
-    "q_dedup_embedding_lsh",
-    # (b) new or changed in round 4
-    "q_tpch_q2",
-    "q_tpch_q8",
-    "q_tpch_q9",
-    "q_tpch_q11",
-    "q_tpch_q15",
-    "q_tpch_q16",
-    "q_tpch_q20",
-    "q_tpch_q21",
-    "q_tpch_q7",
-    "q_tpch_q17",
-    "q_tpch_q18",
-    "q_tpch_q19",
-    "q_tpch_q22",
-    "q_join_range_interval",
-    "q_text_ngram_stats",
-    "q_sample_weighted",
-    "q_sample_rebalance",
-    "q_sink_partitioned",
-    "q_join_bucketed",
-    "q_join_skew_salted",
-    "q_array_agg",
-    "q_ingest_gtfs_rt",
-    "q_sink_truncate",
+    "q_ts_now_audit",
+    # (b) new in round 5: BM25/TF-IDF retrieval (built+pytested in r4,
+    # never driver-checked), materialized-dashboard BI shape
+    "q_retrieval_bm25",
+    "q_retrieval_tfidf",
+    "q_agg_dashboard_materialized",
+    # (c) implementation changed since last green row: the r5
+    # persist(DISK_ONLY) rewrite of the dedup reuse checkpoints touches
+    # every consumer of minhash_lsh_pairs/simhash_pairs; minhash demos
+    # also carry the r4 Kirsch-Mitzenmacher rewrite the driver should
+    # re-record
+    "q_dedup_minhash_lsh",
+    "q_dedup_clusters",
     "q_dedup_simhash_pairs",
-    "q_sim_ivf_pq_topk",
-    # (c) r3-green filler
-    "q_text_pack",
-    "q_sim_lsh_buckets",
-    "q_sink_orc",
-    "q_dedup_incremental",
-    "q_tpch_q6",
-    "q_tpch_q14",
-    "q_sql_tpch_q1",
-    "q_grouping_sets",
-    "q_array_explode",
-    "q_ingest_gtfs_static",
-    "q_upsert_merge",
-    "q_null_clean",
-    "q_sink_roundtrip",
-    "q_sim_lsh_topk",
+    "q_dedup_clusters_twophase",
+    "q_dedup_minhash_banded",
+    "q_dedup_simhash_pairs_h3",
 ]
+
+# Prior-green re-verification filler (all last green in r2 — the oldest
+# verdicts on the books).
+_WINDOW_FILLER = [
+    "q_agg_cube",
+    "q_agg_dashboard",
+    "q_agg_dashboard_weather",
+    "q_agg_pivot",
+    "q_agg_rollup",
+    "q_agg_stats",
+    "q_case_avg",
+    "q_case_bucket",
+    "q_case_diff",
+    "q_case_null",
+    "q_dedup_window_latest",
+    "q_distinct_agg",
+    "q_expr_cast",
+    "q_expr_math",
+    "q_filter_entity",
+    "q_filter_sentinel",
+    "q_join_anti",
+    "q_join_diff",
+    "q_join_outer",
+    "q_join_semi",
+    "q_join_star",
+    "q_limit_topk",
+    "q_null_surface",
+    "q_proj_concat",
+    "q_proj_rename",
+    "q_proj_select",
+    "q_rebuild_full",
+    "q_set_except",
+    "q_set_intersect",
+    "q_set_union",
+    "q_text_fingerprint",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_tokens",
+    "q_ts_date_parse",
+    "q_ts_dow_name",
+    "q_ts_epoch",
+]
+
+_WINDOW = _WINDOW_FRONT + _WINDOW_FILLER
 
 
 def demo(name: str, sql: str | None = None):

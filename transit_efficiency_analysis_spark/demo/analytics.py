@@ -194,3 +194,41 @@ def q_agg_dashboard_weather(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         _avg_delay_col().alias("avg_delay_min"),
     )
+
+
+@demo(
+    "q_agg_dashboard_materialized",
+    sql=f"""
+    WITH diffs AS ({DELAY_ORACLE_SQL})
+    SELECT day_type, sudbury_hour_of_day,
+           count(*) AS n_rows,
+           {_AVG_DELAY_SQL} AS avg_delay_min,
+           min(average_diff_in_minutes) AS min_delay_min,
+           max(average_diff_in_minutes) AS max_delay_min
+    FROM diffs
+    GROUP BY day_type, sudbury_hour_of_day
+    """,
+)
+def q_agg_dashboard_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg-dashboard over a MATERIALIZED diffs table — the shape a BI load
+    actually runs at 100×: the pipeline writes its output once (parquet,
+    partitioned by day_type so day-sliced dashboards prune directories),
+    and every dashboard query is a scan+agg over the materialized table
+    instead of re-running the full join pipeline per chart. Oracle is the
+    same as ``q_agg_dashboard`` — materialization must be lossless."""
+    import os
+    import tempfile
+
+    diffs = q_rebuild_full(spark, sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"teas_diffs_materialized_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    diffs.write.mode("overwrite").partitionBy("day_type").parquet(path)
+    mat = spark.read.parquet(path)
+    return mat.groupBy("day_type", "sudbury_hour_of_day").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        _avg_delay_col().alias("avg_delay_min"),
+        F.min("average_diff_in_minutes").alias("min_delay_min"),
+        F.max("average_diff_in_minutes").alias("max_delay_min"),
+    )

@@ -1,42 +1,142 @@
-"""Approximate-algorithm demos (rows-only checks — no oracle).
+"""Approximate-algorithm demos, hash-checkable via bounds oracles.
 
-HyperLogLog distinct counts and quantile sketches are engine-specific by
-construction (Spark's HLL++ and DuckDB's HLL give different estimates for
-the same data), so these demos deliberately omit ``oracle_sql`` — the
-driver records the weaker rows-only check, which is the honest contract
-for sketch operators. Tests pin their error bounds against exact values
-instead (tests/test_approx.py).
+Sketch estimates (HyperLogLog++, Greenwald-Khanna) are engine-specific by
+construction — Spark's HLL++ and DuckDB's HLL give different estimates for
+the same data — so the raw estimate can never hash-match an oracle. The
+hash-checkable contract instead: emit the ORACLE-EXACT side (exact distinct
+counts; the discrete exact quantile element at rank ``ceil(q·n)``, pure
+integer rank arithmetic so it is bit-identical across engines) plus a
+BOOLEAN verdict that the sketch estimate is within its documented error
+bound. The oracle recomputes the exact side and asserts ``TRUE`` for the
+verdict; both estimates are deterministic for fixed data, so the boolean is
+deterministic and the driver's value hash verifies the sketch really was
+within bounds. Error-bound tightness is additionally pinned against exact
+values in tests/test_approx.py.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from transit_efficiency_analysis_spark.demo import demo
 from transit_efficiency_analysis_spark.sources.registry import load_table
 
+_RSD = 0.02  # approx_count_distinct relative standard deviation
 
-@demo("q_approx_distinct", sql=None)
+
+@demo(
+    "q_approx_distinct",
+    sql="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS within_3rsd
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the scale path for
     cardinality over columns too wide to exact-count — constant memory per
-    group vs a full distinct shuffle."""
+    group vs a full distinct shuffle. ``within_3rsd`` asserts the HLL++
+    estimate landed within 3 standard deviations (rsd=0.02) of the exact
+    count; the oracle checks the exact count and the verdict."""
     e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    agg = e.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=_RSD).alias("approx_users"),
+    )
+    bound = F.lit(3.0 * _RSD) * F.col("exact_users").cast("double")
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users")).cast("double")
+            <= bound
+        ).alias("within_3rsd"),
     )
 
 
-@demo("q_approx_quantiles", sql=None)
+@demo(
+    "q_approx_quantiles",
+    sql="""
+    WITH ranked AS (
+        SELECT l_returnflag, l_extendedprice,
+               row_number() OVER (
+                   PARTITION BY l_returnflag ORDER BY l_extendedprice
+               ) AS rn,
+               count(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+    ),
+    spec AS (
+        SELECT * FROM (VALUES
+            ('0.25', 1, 4), ('0.50', 1, 2), ('0.90', 9, 10), ('0.99', 99, 100)
+        ) AS t(quantile, num, den)
+    )
+    SELECT r.l_returnflag,
+           s.quantile,
+           CAST(r.n AS BIGINT) AS n_rows,
+           r.l_extendedprice AS exact_price,
+           TRUE AS within_5pct
+    FROM ranked r
+    JOIN spec s
+      ON r.rn = greatest(1, (r.n * s.num + s.den - 1) // s.den)
+    """,
+)
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_approx (Greenwald-Khanna sketch): streaming-friendly
-    quantiles with bounded state — the 100 TB alternative to exact sorts."""
+    quantiles with bounded state — the 100 TB alternative to exact sorts.
+
+    One scalar row per (returnflag, quantile). ``exact_price`` is the
+    discrete exact quantile — the element at 1-indexed rank ``ceil(q·n)``
+    ordered by value, computed with pure integer arithmetic
+    (``(n·num + den − 1) div den``) so Spark and DuckDB agree bit-for-bit
+    on which parquet double is selected. ``within_5pct`` asserts the GK
+    estimate (accuracy=10000 → rank error ≤ n/10000, far inside 5% in
+    value space here) landed within 5% of the exact element; the sketch is
+    deterministic for fixed data, so the verdict is hash-stable."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.9, 0.99], 10000).alias(
-            "price_quantiles"
+    qs = [0.25, 0.5, 0.9, 0.99]
+    ap = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", qs, 10000).alias("qa"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "l_returnflag", "n_rows", F.posexplode("qa").alias("qi", "approx_price")
+        )
+    )
+    spec = spark.createDataFrame(
+        [(0, "0.25", 1, 4), (1, "0.50", 1, 2), (2, "0.90", 9, 10), (3, "0.99", 99, 100)],
+        "qi INT, quantile STRING, num LONG, den LONG",
+    )
+    tgt = ap.join(F.broadcast(spec), "qi").withColumn(
+        "target_rn",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr("(n_rows * num + den - 1) div den"),
         ),
-        F.count(F.lit(1)).alias("n_rows"),
+    )
+    ranked = li.select(
+        F.col("l_returnflag").alias("rf"),
+        "l_extendedprice",
+        F.row_number()
+        .over(Window.partitionBy("l_returnflag").orderBy("l_extendedprice"))
+        .alias("rn"),
+    )
+    joined = ranked.join(
+        F.broadcast(tgt),
+        (ranked.rf == tgt.l_returnflag) & (ranked.rn == tgt.target_rn),
+    )
+    within = (
+        F.abs(F.col("approx_price") - F.col("l_extendedprice"))
+        <= F.lit(0.05) * F.col("l_extendedprice")
+    )
+    return joined.select(
+        "l_returnflag",
+        "quantile",
+        "n_rows",
+        F.col("l_extendedprice").alias("exact_price"),
+        within.alias("within_5pct"),
     )

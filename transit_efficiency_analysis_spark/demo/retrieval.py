@@ -1,0 +1,126 @@
+"""Lexical-retrieval demos: BM25 corpus mining and TF-IDF term profiling.
+
+Driver-verified twins for ``operators/retrieval.py`` (LLM-pipeline
+extension family, SURVEY §2.7 — not in the reference repo). Both oracles
+mirror the operators' exact non-negative BIGINT ppm arithmetic (rational
+idf — see the operator module docstring), so the driver hash is bit-exact,
+not tolerance-based. DuckDB's ``sum(BIGINT)`` / ``row_number()`` widen to
+HUGEINT/BIGINT where Spark stays long/int, hence the explicit CASTs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from transit_efficiency_analysis_spark.demo import demo
+from transit_efficiency_analysis_spark.operators.retrieval import (
+    bm25_topk,
+    tfidf_top_terms,
+)
+from transit_efficiency_analysis_spark.sources.registry import load_table
+
+#: Seed query for corpus mining: one rare term (df≈5% of docs at the test
+#: scales) plus two corpus-common terms — exercises both idf regimes.
+_QUERY_TERMS = ["dup", "hash", "merge"]
+_TOP_K = 10
+
+#: Drop terms present in >90% of documents. The synthetic corpus has a
+#: near-ubiquitous vocabulary (most terms sit at df/N ≈ 0.75-0.80), so the
+#: textbook ½ cutoff would keep almost nothing; the cutoff is a ratio, so
+#: the semantics are scale-invariant either way.
+_MAX_DF_RATIO = (9, 10)
+_TOP_N_TERMS = 3
+
+
+@demo(
+    "q_retrieval_bm25",
+    sql=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    stats AS (
+        SELECT count(*) AS N,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS T
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, dl, count(*) AS tf
+        FROM toks
+        WHERE term IN ('dup', 'hash', 'merge')
+        GROUP BY doc_id, term, dl
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id,
+               (2 * s.N - 2 * d.df + 1) * 22 * tf.tf * s.T AS num,
+               (2 * d.df + 1)
+                   * (10 * s.T * tf.tf + 3 * s.T + 9 * tf.dl * s.N) AS den
+        FROM tf
+        JOIN dfreq d USING (term)
+        CROSS JOIN stats s
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_terms_hit,
+           CAST(sum((num // den) * 1000000
+                    + ((num % den) * 1000000) // den) AS BIGINT) AS bm25_ppm
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY bm25_ppm DESC, doc_id
+    LIMIT {_TOP_K}
+    """,
+)
+def q_retrieval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k corpus mining (rational idf, exact ppm integers):
+    rank documents for a bag-of-words seed query — the sparse-retrieval
+    workhorse for targeted corpus mining and decontamination forensics.
+    One corpus explode feeds every statistic; df/scalars broadcast back;
+    top-k is TakeOrderedAndProject, never a global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    return bm25_topk(d, _QUERY_TERMS, k=_TOP_K)
+
+
+@demo(
+    "q_retrieval_tfidf",
+    sql=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    stats AS (SELECT count(*) AS N FROM documents),
+    tf AS (
+        SELECT doc_id, term, dl, count(*) AS tf
+        FROM toks
+        GROUP BY doc_id, term, dl
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               (tf.tf * s.N * 1000000) // (tf.dl * d.df) AS tfidf_ppm
+        FROM tf
+        JOIN dfreq d USING (term)
+        CROSS JOIN stats s
+        WHERE d.df * {_MAX_DF_RATIO[1]} <= s.N * {_MAX_DF_RATIO[0]}
+    )
+    SELECT doc_id, term, CAST(term_rank AS INTEGER) AS term_rank, tfidf_ppm
+    FROM (
+        SELECT doc_id, term, tfidf_ppm,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf_ppm DESC, term
+               ) AS term_rank
+        FROM scored
+    )
+    WHERE term_rank <= {_TOP_N_TERMS}
+    """,
+)
+def q_retrieval_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-n characteristic terms per document (exact ppm
+    integers): the per-document sparse signature used for clustering,
+    topic tagging, and near-dup triage. The ranking window partitions BY
+    DOCUMENT, so no task ever sees more than one document's vocabulary."""
+    d = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, top_n=_TOP_N_TERMS, max_df_ratio=_MAX_DF_RATIO)

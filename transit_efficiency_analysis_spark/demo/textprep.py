@@ -146,7 +146,10 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 @demo(
     "q_text_pack",
     sql="""
-    SELECT doc_id, source, shard, n_tokens, (cum - n_tokens) // 2048 AS bin
+    -- DuckDB's windowed sum(BIGINT) widens to HUGEINT, which would make
+    -- bin int128 vs Spark's int64 — CAST keeps the dtype parity.
+    SELECT doc_id, source, shard, n_tokens,
+           CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin
     FROM (
         SELECT doc_id, source, doc_id % 8 AS shard,
                len(string_split(text, ' ')) AS n_tokens,

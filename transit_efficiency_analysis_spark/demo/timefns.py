@@ -186,29 +186,54 @@ def q_ts_tz_localize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@demo("q_ts_now_audit", sql=None)
-def q_ts_now_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ts-now: audit-column stamping from the live wall clock
-    (``current_timestamp()`` — reference ``realtime_extractor.py:185,234``
-    / ``diff_times.py:25``). Inherently non-deterministic, so this is a
-    rows-only demo; the deterministic replay semantics behind the same
-    columns are hash-verified in ``q_upsert_replay`` and the injected-clock
-    pipeline test. ``current_timestamp()`` is per-query constant in Spark
-    (one stamp per batch, exactly like the reference's single ``now()``
-    per poll), which the sanity columns prove."""
-    o = load_table(spark, sf_dir, "orders").limit(1000)
-    now = F.current_timestamp()
+#: Fixed batch clock for the driver demo — SURVEY §2.3 (ts-now) prescribes
+#: injecting a fixed value for determinism; production stamping passes
+#: ``now=None`` to use the live wall clock instead.
+_AUDIT_CLOCK = "2026-08-13 12:00:00"
+
+
+def q_ts_now_audit_impl(
+    spark: SparkSession, sf_dir: str, now: str | None = _AUDIT_CLOCK
+) -> DataFrame:
+    """ts-now: audit-column stamping with one clock value per batch
+    (reference ``realtime_extractor.py:185,234`` / ``diff_times.py:25``
+    stamp every row of a poll with a single ``now()``). ``now=None`` uses
+    the live ``current_timestamp()`` — which Spark evaluates once per
+    query, exactly the reference's single-``now()``-per-poll semantics;
+    the driver demo injects :data:`_AUDIT_CLOCK` so the result is
+    deterministic and oracle-checkable (the ``single_stamp`` column proves
+    the one-stamp-per-batch invariant either way)."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 1000)
+    clock = (
+        F.current_timestamp() if now is None else F.lit(now).cast("timestamp")
+    )
     stamped = o.select(
         "o_orderkey",
-        now.alias("created_at"),
+        clock.alias("created_at"),
         F.lit(None).cast("timestamp").alias("updated_at"),
     )
     return stamped.agg(
         F.count(F.lit(1)).alias("n_rows"),
         # per-query constant: min == max across every row of the batch
         (F.min("created_at") == F.max("created_at")).alias("single_stamp"),
-        F.max(F.col("created_at") > F.lit("2026-01-01").cast("timestamp")).alias(
-            "stamp_is_live"
-        ),
+        F.max("created_at").alias("stamp"),
         F.count("updated_at").alias("n_updated"),  # inserts carry NULL
     )
+
+
+demo(
+    "q_ts_now_audit",
+    sql=f"""
+    SELECT count(*) AS n_rows,
+           min(created_at) = max(created_at) AS single_stamp,
+           max(created_at) AS stamp,
+           count(updated_at) AS n_updated
+    FROM (
+        SELECT o_orderkey,
+               TIMESTAMP '{_AUDIT_CLOCK}' AS created_at,
+               CAST(NULL AS TIMESTAMP) AS updated_at
+        FROM orders
+        WHERE o_orderkey <= 1000
+    )
+    """,
+)(q_ts_now_audit_impl)

@@ -20,6 +20,7 @@ Scale design (100 TB corpus):
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -126,14 +127,18 @@ def minhash_lsh_pairs(
     no interpreted array lambdas. Jaccard = ∩ / (|A| + |B| - ∩) over
     distinct shingle sets — identical to intersect/union over the sets.
 
-    ``reuse=True`` checkpoints the exploded-shingle relation so its
-    scan→shuffle→distinct chain runs once instead of four times (signature
-    agg, size agg, both sides of the intersect join). Set ``reuse=False``
-    when executor storage is tighter than recompute cost (the exploded set
-    is ~k× the corpus text) — results are identical either way. NOTE the
-    checkpoint is eager: calling the function triggers the materialization
-    jobs and pins executor storage blocks for the session; ``reuse=False``
-    keeps plan construction side-effect free.
+    ``reuse=True`` persists the exploded-shingle relation (DISK_ONLY) so
+    its scan→shuffle→distinct chain runs once instead of four times
+    (signature agg, size agg, both sides of the intersect join). Set
+    ``reuse=False`` when executor storage is tighter than recompute cost
+    (the exploded set is ~k× the corpus text) — results are identical
+    either way. Persist is LAZY (plan construction stays side-effect
+    free — no jobs fire until an action) and disk-backed (no executor
+    memory pressure at 100 TB); Spark's cache manager matches the
+    canonicalized plan, so repeated invocations reuse one set of blocks
+    instead of stacking a fresh checkpoint per call. Call
+    ``spark.catalog.clearCache()`` (or ``.unpersist()`` on the returned
+    plan's source) to release the blocks early.
 
     ``max_bucket_size`` caps each (band, minhash) bucket to a
     deterministic md5-ordered sample before the candidate join
@@ -146,10 +151,11 @@ def minhash_lsh_pairs(
     """
     exp = shingles_exploded(df, id_col, text_col, k)
     if reuse:
-        # eager: materializes at call time (one extra job) — the lazy form
-        # races its SQL-metric accumulators when four consumers hit the
-        # uncomputed blocks in one job and spams ERROR logs
-        exp = exp.localCheckpoint(eager=True)
+        # DISK_ONLY persist, not localCheckpoint(eager=True): lazy (no
+        # plan-build-time jobs in anyone's timed region), disk-backed, and
+        # re-invocations hit the cache-manager's canonicalized-plan match
+        # instead of materializing a fresh checkpoint every call
+        exp = exp.persist(StorageLevel.DISK_ONLY)
     # all band×row minima in ONE aggregation pass over the exploded
     # shingles (a band×shingle cross join would multiply the shuffle rows
     # by `bands`). Hash families by Kirsch-Mitzenmacher double hashing:
@@ -339,14 +345,14 @@ def simhash_pairs(
     subset is one bucketed self-join over 16-byte signature rows;
     candidates stay bounded by bucket sizes, never |corpus|².
 
-    ``checkpoint=True`` (default) eagerly ``localCheckpoint``s the
-    fingerprints: the relation is consumed by both sides of every subset
-    join (2 × C(n_blocks, choose) consumers) and is one small row per
+    ``checkpoint=True`` (default) persists the fingerprints (DISK_ONLY):
+    the relation is consumed by both sides of every subset join
+    (2 × C(n_blocks, choose) consumers) and is one small row per
     document — cheaper to materialize than to re-run the token
-    aggregation per consumer. NOTE this triggers Spark jobs at plan-build
-    time and pins executor storage blocks for the session; pass
-    ``checkpoint=False`` for a side-effect-free plan (identical results,
-    fingerprints recomputed per consumer).
+    aggregation per consumer. Persist is lazy (no plan-build-time jobs)
+    and plan-canonicalization-matched (repeat invocations share blocks);
+    pass ``checkpoint=False`` to skip caching entirely (identical
+    results, fingerprints recomputed per consumer).
     """
     from itertools import combinations
 
@@ -356,7 +362,7 @@ def simhash_pairs(
     assert bits * block_choose <= 62, "combo key must fit a positive long"
     fp = simhash_fingerprints(df, id_col, text_col)
     if checkpoint:
-        fp = fp.localCheckpoint(eager=True)
+        fp = fp.persist(StorageLevel.DISK_ONLY)
 
     # One (combo, key) row per block subset per doc — the minhash-banding
     # shape: a SINGLE equi-join on (combo, key) replaces C(n_blocks,
