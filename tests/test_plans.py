@@ -88,3 +88,20 @@ def test_new_ann_and_contamination_plans(spark, sf_dir):
     assert_broadcast_join(ivf_topk(e, checkpoint=False), min_count=1)
     assert_no_python_row_udf(ivf_topk(e, checkpoint=False))
     assert_broadcast_join(reg["q_text_contamination"].fn(spark, sf_dir), min_count=1)
+
+
+def test_retrieval_plans(spark, sf_dir):
+    """BM25/TF-IDF scale shape: document frequencies and corpus scalars
+    broadcast onto the (doc, term) rows (the scoring join must never
+    shuffle the exploded corpus), top-k plans as TakeOrderedAndProject
+    (per-partition heaps, no global sort), and no Python anywhere."""
+    from transit_efficiency_analysis_spark.plans import physical_plan
+
+    reg = load_registry()
+    bm25 = reg["q_retrieval_bm25"].fn(spark, sf_dir)
+    assert_broadcast_join(bm25, min_count=2)  # dfreq + corpus stats
+    assert_no_python_row_udf(bm25)
+    assert "TakeOrderedAndProject" in physical_plan(bm25)
+    tfidf = reg["q_retrieval_tfidf"].fn(spark, sf_dir)
+    assert_broadcast_join(tfidf, min_count=2)
+    assert_no_python_row_udf(tfidf)
