@@ -121,3 +121,28 @@ def test_tfidf_reference_values(spark):
         tf = docs[doc_id].count(term)
         expect = (tf * n * _M) // (len(docs[doc_id]) * dfreq[term])
         assert got == expect, (doc_id, term)
+
+
+def test_rrf_fusion_consistency(spark, sf_dir):
+    """RRF output must be a subset of the two source lists' union, scores
+    must equal the rank formula exactly, and a doc on both lists must
+    beat a same-rank doc on one list."""
+    from transit_efficiency_analysis_spark.demo import load_registry
+    from transit_efficiency_analysis_spark.demo.retrieval import (
+        _RRF_DEPTH,
+        _RRF_K,
+    )
+
+    rows = load_registry()["q_retrieval_hybrid_rrf"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["sparse_rank"] is not None or r["dense_rank"] is not None
+        expect = 0
+        for rank in (r["sparse_rank"], r["dense_rank"]):
+            if rank is not None:
+                assert 1 <= rank <= _RRF_DEPTH
+                expect += 1_000_000 // (_RRF_K + rank)
+        assert r["rrf_ppm"] == expect
+    # sorted by fused score descending with doc_id tiebreak
+    scores = [(-r["rrf_ppm"], r["doc_id"]) for r in rows]
+    assert scores == sorted(scores)

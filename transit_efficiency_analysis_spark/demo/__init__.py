@@ -84,18 +84,22 @@ _WINDOW_FRONT = [
     # never driver-checked), materialized-dashboard BI shape
     "q_retrieval_bm25",
     "q_retrieval_tfidf",
+    "q_retrieval_hybrid_rrf",
     "q_agg_dashboard_materialized",
     # (c) implementation changed since last green row: the r5
-    # persist(DISK_ONLY) rewrite of the dedup reuse checkpoints touches
-    # every consumer of minhash_lsh_pairs/simhash_pairs; minhash demos
-    # also carry the r4 Kirsch-Mitzenmacher rewrite the driver should
-    # re-record
+    # persist(DISK_ONLY) rewrite of the reuse checkpoints touches every
+    # consumer of minhash_lsh_pairs/simhash_pairs and the IVF family;
+    # minhash demos also carry the r4 Kirsch-Mitzenmacher rewrite the
+    # driver should re-record
     "q_dedup_minhash_lsh",
     "q_dedup_clusters",
     "q_dedup_simhash_pairs",
     "q_dedup_clusters_twophase",
     "q_dedup_minhash_banded",
     "q_dedup_simhash_pairs_h3",
+    "q_sim_ivf_topk",
+    "q_sim_ivf_lloyd_topk",
+    "q_sim_ivf_pq_topk",
 ]
 
 # Prior-green re-verification filler (all last green in r2 — the oldest
@@ -134,10 +138,6 @@ _WINDOW_FILLER = [
     "q_text_fingerprint",
     "q_text_langid",
     "q_text_quality",
-    "q_text_tokens",
-    "q_ts_date_parse",
-    "q_ts_dow_name",
-    "q_ts_epoch",
 ]
 
 _WINDOW = _WINDOW_FRONT + _WINDOW_FILLER

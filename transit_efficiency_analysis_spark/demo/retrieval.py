@@ -10,13 +10,15 @@ HUGEINT/BIGINT where Spark stays long/int, hence the explicit CASTs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 from transit_efficiency_analysis_spark.demo import demo
 from transit_efficiency_analysis_spark.operators.retrieval import (
     bm25_topk,
     tfidf_top_terms,
 )
+from transit_efficiency_analysis_spark.operators.similarity import brute_force_topk
 from transit_efficiency_analysis_spark.sources.registry import load_table
 
 #: Seed query for corpus mining: one rare term (df≈5% of docs at the test
@@ -32,9 +34,10 @@ _MAX_DF_RATIO = (9, 10)
 _TOP_N_TERMS = 3
 
 
-@demo(
-    "q_retrieval_bm25",
-    sql=f"""
+#: BM25 scoring as DuckDB CTEs, parameterized by top-k — shared by the
+#: standalone demo and the RRF fusion oracle.
+def _bm25_sql(k: int) -> str:
+    return f"""
     WITH toks AS (
         SELECT doc_id,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
@@ -61,16 +64,23 @@ _TOP_N_TERMS = 3
         FROM tf
         JOIN dfreq d USING (term)
         CROSS JOIN stats s
+    ),
+    bm25 AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_terms_hit,
+               CAST(sum((num // den) * 1000000
+                        + ((num % den) * 1000000) // den) AS BIGINT) AS bm25_ppm
+        FROM scored
+        GROUP BY doc_id
+        ORDER BY bm25_ppm DESC, doc_id
+        LIMIT {k}
     )
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_terms_hit,
-           CAST(sum((num // den) * 1000000
-                    + ((num % den) * 1000000) // den) AS BIGINT) AS bm25_ppm
-    FROM scored
-    GROUP BY doc_id
-    ORDER BY bm25_ppm DESC, doc_id
-    LIMIT {_TOP_K}
-    """,
+    """
+
+
+@demo(
+    "q_retrieval_bm25",
+    sql=_bm25_sql(_TOP_K) + "SELECT doc_id, n_terms_hit, bm25_ppm FROM bm25",
 )
 def q_retrieval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-k corpus mining (rational idf, exact ppm integers):
@@ -124,3 +134,80 @@ def q_retrieval_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     DOCUMENT, so no task ever sees more than one document's vocabulary."""
     d = load_table(spark, sf_dir, "documents")
     return tfidf_top_terms(d, top_n=_TOP_N_TERMS, max_df_ratio=_MAX_DF_RATIO)
+
+
+#: RRF fusion depth per list and final cut.
+_RRF_DEPTH = 50
+_RRF_K = 60  # the standard RRF dampening constant
+_RRF_CUT = 10
+
+#: Dense query: the document whose embedding seeds the similarity side.
+_RRF_QUERY_VEC = 0
+
+
+def _rrf_sql() -> str:
+    from transit_efficiency_analysis_spark.demo.similarity import _COS_SQL
+
+    return (
+        _bm25_sql(_RRF_DEPTH)
+        + f""",
+    sparse AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY bm25_ppm DESC, doc_id)
+                    AS INTEGER) AS sparse_rank
+        FROM bm25
+    ),
+    dense AS (
+        SELECT doc_id, dense_rank FROM (
+            SELECT b.vec_id AS doc_id,
+                   CAST(row_number() OVER (ORDER BY {_COS_SQL} DESC, b.vec_id ASC)
+                        AS INTEGER) AS dense_rank
+            FROM embeddings a
+            JOIN embeddings b
+              ON a.vec_id = {_RRF_QUERY_VEC} AND b.vec_id <> {_RRF_QUERY_VEC}
+        )
+        WHERE dense_rank <= {_RRF_DEPTH}
+    )
+    SELECT doc_id, sparse_rank, dense_rank,
+           CAST(coalesce(1000000 // ({_RRF_K} + sparse_rank), 0)
+                + coalesce(1000000 // ({_RRF_K} + dense_rank), 0) AS BIGINT)
+               AS rrf_ppm
+    FROM sparse
+    FULL OUTER JOIN dense USING (doc_id)
+    ORDER BY rrf_ppm DESC, doc_id
+    LIMIT {_RRF_CUT}
+    """
+    )
+
+
+@demo("q_retrieval_hybrid_rrf", sql=_rrf_sql())
+def q_retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid sparse+dense retrieval via reciprocal-rank fusion:
+    ``rrf(d) = Σ_lists 1/(60 + rank_list(d))`` in exact ppm integers —
+    the standard way to combine BM25 with embedding ANN without score
+    calibration. Each side contributes its top-50 ranking (BM25 over the
+    seed query terms; exact cosine against document {_RRF_QUERY_VEC}'s
+    embedding); fusion is a tiny outer join of two ≤50-row lists, so the
+    unpartitioned rank windows here never see more than the fused heads —
+    at 100 TB the heavy lifting stays in the bounded-candidate BM25 and
+    ANN operators themselves."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    sparse = bm25_topk(d, _QUERY_TERMS, k=_RRF_DEPTH).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25_ppm").desc(), F.col("doc_id")))
+        .alias("sparse_rank"),
+    )
+    dense = brute_force_topk(
+        e, e.where(F.col("vec_id") == _RRF_QUERY_VEC), k=_RRF_DEPTH
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("dense_rank"))
+    fused = sparse.join(dense, "doc_id", "outer")
+    rrf = F.coalesce(
+        F.expr(f"1000000 div ({_RRF_K} + sparse_rank)"), F.lit(0).cast("long")
+    ) + F.coalesce(F.expr(f"1000000 div ({_RRF_K} + dense_rank)"), F.lit(0).cast("long"))
+    return (
+        fused.select("doc_id", "sparse_rank", "dense_rank", rrf.alias("rrf_ppm"))
+        .orderBy(F.col("rrf_ppm").desc(), "doc_id")
+        .limit(_RRF_CUT)
+    )

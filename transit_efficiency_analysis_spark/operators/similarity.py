@@ -17,6 +17,7 @@ No Python UDFs, no driver-side vector collection.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -488,10 +489,11 @@ def ivf_topk(
         )
     )
     if checkpoint:
-        # consumed twice (data cells + probe cells): checkpoint so the
+        # consumed twice (data cells + probe cells): persist (DISK_ONLY,
+        # lazy, canonicalized-plan-shared across invocations) so the
         # scan → broadcast-join → window pipeline runs once, not twice
         # (checkpoint=False keeps the full lineage visible for plan audits)
-        ranked = ranked.localCheckpoint(eager=False)
+        ranked = ranked.persist(StorageLevel.DISK_ONLY)
     data = ranked.where(F.col("crank") == 1).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("v").alias("cv2"),
@@ -607,7 +609,7 @@ def ivf_pq_topk(
         )
     )
     if checkpoint:
-        ranked = ranked.localCheckpoint(eager=False)
+        ranked = ranked.persist(StorageLevel.DISK_ONLY)
 
     # residual dims: pos is 0-based, subspace s = pos // (dims/m) derived
     # per row so ragged dims fail loudly rather than silently misbucket
@@ -625,7 +627,7 @@ def ivf_pq_topk(
     assigned = ranked.where(F.col("crank") == 1)
     rdim = residual_dims(assigned, "vec_id", "cell")
     if checkpoint:
-        rdim = rdim.localCheckpoint(eager=False)
+        rdim = rdim.persist(StorageLevel.DISK_ONLY)
 
     # per-subspace codebooks from the md5-draw seed vectors' own residuals
     seed_ids = (
