@@ -86,6 +86,7 @@ _WINDOW_FRONT = [
     "q_retrieval_tfidf",
     "q_retrieval_hybrid_rrf",
     "q_agg_dashboard_materialized",
+    "q_corpus_prep_pipeline",
     # (c) implementation changed since last green row: the r5
     # persist(DISK_ONLY) rewrite of the reuse checkpoints touches every
     # consumer of minhash_lsh_pairs/simhash_pairs and the IVF family;
@@ -137,7 +138,6 @@ _WINDOW_FILLER = [
     "q_set_union",
     "q_text_fingerprint",
     "q_text_langid",
-    "q_text_quality",
 ]
 
 _WINDOW = _WINDOW_FRONT + _WINDOW_FILLER

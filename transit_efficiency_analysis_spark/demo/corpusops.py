@@ -158,3 +158,109 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.where(draw < weight * F.lit(float(2**32))).select(
         "doc_id", "lang", "n_chars", weight.alias("weight")
     )
+
+
+def _prep_pipeline_sql() -> str:
+    from transit_efficiency_analysis_spark.demo.textops import _LANGS, _sql_hits
+
+    preds = " ".join(f"WHEN s_{lang} = g THEN '{lang}'" for lang in _LANGS)
+    hits = ", ".join(f"{_sql_hits(lang)} AS s_{lang}" for lang in _LANGS)
+    greatest = ", ".join(f"s_{lang}" for lang in _LANGS)
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, source, text, w, len(w) AS n_words,
+               CASE WHEN g = 0 THEN 'und' {preds} END AS predicted_lang
+        FROM (
+            SELECT doc_id, source, text, w, {hits}, greatest({greatest}) AS g
+            FROM (SELECT doc_id, source, text, string_split(text, ' ') AS w
+                  FROM documents)
+        )
+    ),
+    kept AS (
+        SELECT doc_id, source,
+               md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS ck,
+               CAST(n_words AS BIGINT) AS n_tokens
+        FROM scored
+        WHERE predicted_lang = 'en'
+          AND n_words BETWEEN 20 AND 90
+          AND CAST(len(list_distinct(w)) AS DOUBLE) / n_words > 0.2
+    ),
+    dedup AS (
+        SELECT doc_id, source, n_tokens FROM (
+            SELECT *, min(doc_id) OVER (PARTITION BY ck) AS canon FROM kept
+        ) WHERE doc_id = canon
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin
+    FROM (
+        SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (
+                   PARTITION BY source, doc_id % 8
+                   ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+               ) AS cum
+        FROM dedup
+    )
+    """
+
+
+@demo("q_corpus_prep_pipeline", sql=_prep_pipeline_sql())
+def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus preparation — the operator families COMPOSED the
+    way a real pre-training data pipeline chains them: language-ID filter
+    (keep predicted 'en') → quality gate (length + lexical diversity) →
+    exact dedup (first-writer-wins on the order-insensitive content key)
+    → sequence packing (per-(source, shard) running token offset → 2048-
+    token training bins). Every stage is the same column algebra as its
+    standalone demo (q_text_langid / q_text_quality / q_dedup_exact /
+    q_text_pack), so the composition stays one declarative plan: Catalyst
+    fuses the three map-side filters into the scan projection, and the
+    only shuffles are the dedup key window and the bounded pack window."""
+    from transit_efficiency_analysis_spark.demo.textops import _LANGS
+    from transit_efficiency_analysis_spark.functions.text import (
+        LANG_STOPWORDS,
+        stopword_hits,
+        words,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    w = words("text")
+    scores = {lang: stopword_hits(w, LANG_STOPWORDS[lang]) for lang in _LANGS}
+    g = F.greatest(*scores.values())
+    pred = F.when(g == 0, F.lit("und"))
+    for lang in _LANGS:
+        pred = pred.when(scores[lang] == g, F.lit(lang))
+    n_words = F.size(w)
+    distinct_ratio = F.size(F.array_distinct(w)).cast("double") / n_words
+    kept = (
+        d.select(
+            "doc_id",
+            "source",
+            pred.alias("predicted_lang"),
+            n_words.alias("n_words"),
+            distinct_ratio.alias("distinct_ratio"),
+            F.md5(F.array_join(F.array_sort(F.array_distinct(w)), " ")).alias("ck"),
+            n_words.cast("long").alias("n_tokens"),
+        )
+        .where(
+            (F.col("predicted_lang") == "en")
+            & F.col("n_words").between(20, 90)
+            & (F.col("distinct_ratio") > 0.2)
+        )
+    )
+    canon = F.min("doc_id").over(Window.partitionBy("ck"))
+    dedup = (
+        kept.withColumn("canon", canon)
+        .where(F.col("doc_id") == F.col("canon"))
+        .select("doc_id", "source", "n_tokens")
+    )
+    pack_w = (
+        Window.partitionBy("source", F.col("doc_id") % 8)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return dedup.withColumn("cum", F.sum("n_tokens").over(pack_w)).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.expr("(cum - n_tokens) div 2048").alias("bin"),
+    )
