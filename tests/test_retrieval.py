@@ -146,3 +146,32 @@ def test_rrf_fusion_consistency(spark, sf_dir):
     # sorted by fused score descending with doc_id tiebreak
     scores = [(-r["rrf_ppm"], r["doc_id"]) for r in rows]
     assert scores == sorted(scores)
+
+
+def test_ppm_div_exact_across_magnitudes(spark):
+    """ppm_div must equal exact integer floor(num*1e6/den) over its whole
+    documented envelope — den < 9.2e12 AND num/den < 9.2e12 (the result
+    must fit int64) — one DataFrame of deterministic pseudo-random pairs,
+    compared to Python bigint math."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from transit_efficiency_analysis_spark.operators.retrieval import ppm_div
+
+    rng = random.Random(20260813)
+    pairs = []
+    for _ in range(300):
+        den = rng.randrange(1, 9_200_000_000_000)
+        num = rng.randrange(0, min(9_200_000_000_000_000_000, den * 9_200_000_000_000))
+        pairs.append((num, den))
+    # corner cases: zero numerator, num == den, ratio at the envelope edge
+    pairs += [(0, 5), (7, 7), (9_199_999_999_999, 1),
+              (9_199_999_999_999_999_999, 9_199_999_999_999)]
+    df = spark.createDataFrame(pairs, "num long, den long")
+    got = {
+        (r["num"], r["den"]): r["ppm"]
+        for r in df.select("num", "den", ppm_div(F.col("num"), F.col("den")).alias("ppm")).collect()
+    }
+    for num, den in pairs:
+        assert got[(num, den)] == (num * 1_000_000) // den, (num, den)

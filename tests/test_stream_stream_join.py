@@ -1,0 +1,92 @@
+"""Stream-stream watermarked interval join (SURVEY.md §5.4 extension).
+
+Two unbounded sources — trip updates and vehicle positions — joined on
+trip_id within an event-time interval. Both sides carry watermarks plus a
+time-range join condition, which is exactly what lets Spark BOUND the join
+state: rows older than (watermark − interval) are evicted instead of
+accumulating forever — the property that makes the join runnable against
+an infinite feed at 100 TB/day. The streamed result must equal the plain
+batch join over the same files.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+_UPD_SCHEMA = "trip_id string, upd_ts timestamp, eta_s long"
+_POS_SCHEMA = "trip_id string, pos_ts timestamp, stop_dist_m long"
+
+
+def _write(spark, path, schema, rows):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(path)
+
+
+def _interval_join(upd, pos):
+    """Inner join: position reports within [upd_ts − 2 min, upd_ts + 5 min)
+    of an update for the same trip."""
+    return upd.join(
+        pos,
+        (upd.trip_id == pos.trip_id)
+        & (pos.pos_ts >= upd.upd_ts - F.expr("INTERVAL 2 MINUTES"))
+        & (pos.pos_ts < upd.upd_ts + F.expr("INTERVAL 5 MINUTES")),
+    ).select(upd.trip_id, "upd_ts", "eta_s", "pos_ts", "stop_dist_m")
+
+
+@pytest.mark.slow
+def test_stream_stream_interval_join(spark, tmp_path):
+    upd_dir, pos_dir = str(tmp_path / "upd"), str(tmp_path / "pos")
+    ckpt = str(tmp_path / "ckpt_ssj")
+    t = lambda m: datetime(2026, 1, 1, 12, m)
+
+    _write(spark, upd_dir, _UPD_SCHEMA, [("T1", t(0), 120), ("T2", t(1), 300)])
+    _write(
+        spark,
+        pos_dir,
+        _POS_SCHEMA,
+        [
+            ("T1", t(1), 500),   # in [11:58, 12:05) → matches
+            ("T1", t(20), 90),   # far outside the interval → dropped
+            ("T2", t(0), 800),   # in [11:59, 12:06) → matches
+            ("T3", t(1), 700),   # no update for T3 → dropped
+        ],
+    )
+
+    upd = (
+        spark.readStream.schema(_UPD_SCHEMA)
+        .parquet(upd_dir)
+        .withWatermark("upd_ts", "10 minutes")
+    )
+    pos = (
+        spark.readStream.schema(_POS_SCHEMA)
+        .parquet(pos_dir)
+        .withWatermark("pos_ts", "10 minutes")
+    )
+    q = (
+        _interval_join(upd, pos)
+        .writeStream.format("memory")
+        .queryName("ssj_sink")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def tuples(df):
+        return sorted(
+            (r["trip_id"], str(r["upd_ts"]), r["eta_s"], str(r["pos_ts"]), r["stop_dist_m"])
+            for r in df.collect()
+        )
+
+    got = tuples(spark.sql("SELECT * FROM ssj_sink"))
+    want = tuples(
+        _interval_join(
+            spark.read.schema(_UPD_SCHEMA).parquet(upd_dir),
+            spark.read.schema(_POS_SCHEMA).parquet(pos_dir),
+        )
+    )
+    assert got == want
+    assert [g[0] for g in got] == ["T1", "T2"]

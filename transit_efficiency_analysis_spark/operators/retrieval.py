@@ -55,8 +55,11 @@ def ppm_div(num: Column, den: Column) -> Column:
 
     ``num * 1e6`` can overflow int64 when ``num`` nears 9.2e12, so the
     scaling is split: ``(num div den)·1e6 + ((num % den)·1e6) div den``.
-    Safe while ``num < 9.2e18`` and ``den < 9.2e12`` — corpus statistics
-    up to ~10^9 documents. Oracle twin:
+    Exact while the RESULT fits int64 — i.e. ``num/den < 9.2e12`` — and
+    ``den < 9.2e12`` (so the remainder re-scale ``(num % den)·1e6`` fits);
+    outside that Spark's ANSI mode fails loudly rather than wrapping.
+    BM25/TF-IDF ratios are idf·saturation-bounded (≈ 2N), so the envelope
+    holds to ~10^9 documents. Oracle twin:
     ``(num // den) * 1000000 + ((num % den) * 1000000) // den``.
     """
     m = F.lit(_M).cast("long")
