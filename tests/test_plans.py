@@ -105,3 +105,14 @@ def test_retrieval_plans(spark, sf_dir):
     tfidf = reg["q_retrieval_tfidf"].fn(spark, sf_dir)
     assert_broadcast_join(tfidf, min_count=2)
     assert_no_python_row_udf(tfidf)
+
+
+def test_corpus_prep_pipeline_plan(spark, sf_dir):
+    """The composed pipeline must stay ONE declarative plan: langid +
+    quality filters fuse map-side (no extra shuffle), so the only
+    exchanges are the dedup-key window and the (source, shard) pack
+    window; nothing falls back to Python."""
+    reg = load_registry()
+    df = reg["q_corpus_prep_pipeline"].fn(spark, sf_dir)
+    assert_no_python_row_udf(df)
+    assert count_shuffles(df) <= 2, "filters should fuse into the scan"
