@@ -87,6 +87,8 @@ _WINDOW_FRONT = [
     "q_retrieval_hybrid_rrf",
     "q_agg_dashboard_materialized",
     "q_corpus_prep_pipeline",
+    "q_upsert_scd2_history",
+    "q_sim_lsh_recall",
     # (c) implementation changed since last green row: the r5
     # persist(DISK_ONLY) rewrite of the reuse checkpoints touches every
     # consumer of minhash_lsh_pairs/simhash_pairs and the IVF family;
@@ -136,8 +138,6 @@ _WINDOW_FILLER = [
     "q_set_except",
     "q_set_intersect",
     "q_set_union",
-    "q_text_fingerprint",
-    "q_text_langid",
 ]
 
 _WINDOW = _WINDOW_FRONT + _WINDOW_FILLER

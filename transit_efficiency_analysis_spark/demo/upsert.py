@@ -141,3 +141,35 @@ def q_dedup_window_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("user_id", "last_type", "last_value", "n_events")
     )
+
+
+@demo(
+    "q_upsert_scd2_history",
+    sql="""
+    SELECT user_id, event_id, value,
+           ts AS eff_from,
+           lead(ts) OVER w AS eff_to,
+           lead(ts) OVER w IS NULL AS is_current
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_upsert_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 history: each change event opens a validity interval
+    [eff_from, eff_to) closed by the key's next change (lead), open-ended
+    for the current row — the full-history complement of the keep-newest
+    upsert (which is exactly the ``is_current`` slice). One window per
+    key, totally ordered by (ts, event_id), so the build is a single
+    shuffle regardless of history depth."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    eff_to = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.col("ts").alias("eff_from"),
+        eff_to.alias("eff_to"),
+        eff_to.isNull().alias("is_current"),
+    )
