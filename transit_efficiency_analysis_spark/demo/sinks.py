@@ -158,3 +158,33 @@ def q_sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li.write.mode("overwrite").orc(path)
     return spark.read.orc(path)
+
+
+@demo(
+    "q_sink_schema_evolution",
+    sql="""
+    SELECT event_id, user_id, value, CAST(NULL AS VARCHAR) AS event_type
+    FROM events WHERE event_id % 100 = 0
+    UNION ALL
+    SELECT event_id, CAST(NULL AS BIGINT), value, event_type
+    FROM events WHERE event_id % 100 = 1
+    """,
+)
+def q_sink_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sink schema evolution: a long-lived table whose writers added a
+    column over time. Batch 1 carries (event_id, user_id, value), batch 2
+    drops user_id and adds event_type; a ``mergeSchema`` read unions the
+    file schemas and null-fills the gaps — the upgrade path that lets a
+    100 TB table evolve without rewriting history. The oracle emulates
+    the same union, so the merged read must be lossless."""
+    e = load_table(spark, sf_dir, "events")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"teas_schema_evolution_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    b1 = e.where(F.col("event_id") % 100 == 0).select("event_id", "user_id", "value")
+    b2 = e.where(F.col("event_id") % 100 == 1).select("event_id", "value", "event_type")
+    b1.write.mode("overwrite").parquet(path)
+    b2.write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    return merged.select("event_id", "user_id", "value", "event_type")
