@@ -194,3 +194,64 @@ def q_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(cum - n_tokens) div 2048").alias("bin"),
         )
     )
+
+
+@demo(
+    "q_text_pack_concat",
+    sql="""
+    SELECT source, shard, bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+           string_agg(text, ' <|doc|> ' ORDER BY doc_id) AS packed_text
+    FROM (
+        SELECT doc_id, source, shard, text, n_tokens,
+               CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin
+        FROM (
+            SELECT doc_id, source, doc_id % 8 AS shard, text,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   sum(len(string_split(text, ' '))) OVER (
+                       PARTITION BY source, doc_id % 8
+                       ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS cum
+            FROM documents
+        )
+    )
+    GROUP BY source, shard, bin
+    """,
+)
+def q_text_pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sequence packing, emission step: concatenate each 2048-token bin's
+    documents (doc_id order, ``<|doc|>`` separator) into the actual
+    training sequence — the step after ``q_text_pack``'s bin assignment.
+    Ordered concatenation is done as sort_array(collect_list(struct)) so
+    the result is deterministic under any partitioning; per-bin payload is
+    bounded by the token budget, so no group ever concentrates more than
+    ~2048 tokens of text."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = (
+        d.select(
+            "doc_id",
+            "source",
+            (F.col("doc_id") % 8).alias("shard"),
+            "text",
+            n_tokens.alias("n_tokens"),
+        )
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .withColumn("bin", F.expr("(cum - n_tokens) div 2048"))
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+        lambda s: s["text"],
+    )
+    return binned.groupBy("source", "shard", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.array_join(ordered, " <|doc|> ").alias("packed_text"),
+    )
