@@ -1,0 +1,54 @@
+"""Empty-input robustness: a 100 TB pipeline constantly runs over empty
+slices (an empty date partition, a filter that matched nothing, a new
+tenant with no corpus yet). Every operator family must return an EMPTY
+result — same schema, zero rows — rather than crash (div-by-zero on
+corpus stats, window over nothing, agg on no groups)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def _empty_vecs(spark):
+    return spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+
+
+def test_dedup_operators_on_empty_corpus(spark):
+    from transit_efficiency_analysis_spark.operators.dedup import (
+        exact_dedup_groups,
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+
+    d = _empty_docs(spark)
+    assert exact_dedup_groups(d, "doc_id", F.md5("text")).count() == 0
+    assert minhash_lsh_pairs(d, "doc_id", "text", reuse=False).count() == 0
+    assert simhash_pairs(d, "doc_id", "text", checkpoint=False).count() == 0
+
+
+def test_retrieval_on_empty_corpus(spark):
+    from transit_efficiency_analysis_spark.operators.retrieval import (
+        bm25_topk,
+        tfidf_top_terms,
+    )
+
+    d = _empty_docs(spark)
+    assert bm25_topk(d, ["dup", "hash"]).count() == 0
+    assert tfidf_top_terms(d).count() == 0
+
+
+def test_similarity_on_empty_corpus(spark):
+    from transit_efficiency_analysis_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    e = _empty_vecs(spark)
+    assert brute_force_topk(e, e, k=3).count() == 0
+    assert lsh_topk(e, planes=4, dims=8, k=3).count() == 0
