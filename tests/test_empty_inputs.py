@@ -52,3 +52,23 @@ def test_similarity_on_empty_corpus(spark):
     e = _empty_vecs(spark)
     assert brute_force_topk(e, e, k=3).count() == 0
     assert lsh_topk(e, planes=4, dims=8, k=3).count() == 0
+
+
+def test_validate_on_empty_table(spark):
+    """An empty batch must pass every expectation (zero violations), not
+    crash the counter aggregation."""
+    from transit_efficiency_analysis_spark.operators.validate import (
+        uniqueness_check,
+        violation_counters,
+    )
+
+    empty = spark.createDataFrame([], "a long, b string")
+    rows = violation_counters(
+        empty, {"a_not_null": F.col("a").isNull(), "a_positive": F.col("a") <= 0}
+    ).collect()
+    assert {(r["check_name"], r["n_violations"], r["passed"]) for r in rows} == {
+        ("a_not_null", 0, True),
+        ("a_positive", 0, True),
+    }
+    u = uniqueness_check(empty, "pk", "a", "b").collect()
+    assert u[0]["n_violations"] == 0 and u[0]["passed"]

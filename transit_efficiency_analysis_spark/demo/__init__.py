@@ -91,6 +91,7 @@ _WINDOW_FRONT = [
     "q_sim_lsh_recall",
     "q_sink_schema_evolution",
     "q_text_pack_concat",
+    "q_validate_expectations",
     # (c) implementation changed since last green row: the r5
     # persist(DISK_ONLY) rewrite of the reuse checkpoints touches every
     # consumer of minhash_lsh_pairs/simhash_pairs and the IVF family;
@@ -137,7 +138,6 @@ _WINDOW_FILLER = [
     "q_proj_rename",
     "q_proj_select",
     "q_rebuild_full",
-    "q_set_except",
 ]
 
 _WINDOW = _WINDOW_FRONT + _WINDOW_FILLER

@@ -188,3 +188,73 @@ def q_sink_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     b2.write.mode("append").parquet(path)
     merged = spark.read.option("mergeSchema", "true").parquet(path)
     return merged.select("event_id", "user_id", "value", "event_type")
+
+
+@demo(
+    "q_validate_expectations",
+    sql="""
+    SELECT check_name, n_violations, n_violations = 0 AS passed
+    FROM (
+        SELECT 'lineitem_shipdate_not_null' AS check_name,
+               CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violations
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem_discount_in_range',
+               CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem_quantity_positive',
+               CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem_pk_unique',
+               CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'orders_orphaned_custkey',
+               CAST(count(*) AS BIGINT)
+        FROM orders o WHERE NOT EXISTS (
+            SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey
+        )
+    )
+    ORDER BY check_name
+    """,
+)
+def q_validate_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """data-quality expectations report — the gate a pipeline runs before
+    accepting an ingested batch: null-rate, range, positivity, PK
+    uniqueness, referential integrity. All lineitem row-level checks fold
+    into ONE aggregation pass (conditional counters + stack unpivot);
+    uniqueness is count-vs-distinct; orphan FKs are an anti-join count.
+    The oracle recomputes every counter, so the verdicts are
+    hash-verified, not asserted. Output: (check_name, n_violations,
+    passed) per check."""
+    from transit_efficiency_analysis_spark.operators.validate import (
+        referential_check,
+        uniqueness_check,
+        violation_counters,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    row_checks = violation_counters(
+        li,
+        {
+            "lineitem_shipdate_not_null": F.col("l_shipdate").isNull(),
+            "lineitem_discount_in_range": (F.col("l_discount") < 0)
+            | (F.col("l_discount") > 1),
+            "lineitem_quantity_positive": F.col("l_quantity") <= 0,
+        },
+    )
+    report = (
+        row_checks.unionByName(
+            uniqueness_check(li, "lineitem_pk_unique", "l_orderkey", "l_linenumber")
+        )
+        .unionByName(
+            referential_check(o, "o_custkey", c, "c_custkey", "orders_orphaned_custkey")
+        )
+    )
+    return report.orderBy("check_name")
