@@ -92,6 +92,7 @@ _WINDOW_FRONT = [
     "q_sink_schema_evolution",
     "q_text_pack_concat",
     "q_validate_expectations",
+    "q_clean_winsorize",
     # (c) implementation changed since last green row: the r5
     # persist(DISK_ONLY) rewrite of the reuse checkpoints touches every
     # consumer of minhash_lsh_pairs/simhash_pairs and the IVF family;
@@ -136,7 +137,6 @@ _WINDOW_FILLER = [
     "q_null_surface",
     "q_proj_concat",
     "q_proj_rename",
-    "q_proj_select",
     "q_rebuild_full",
 ]
 

@@ -264,3 +264,61 @@ def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.expr("(cum - n_tokens) div 2048").alias("bin"),
     )
+
+
+@demo(
+    "q_clean_winsorize",
+    sql="""
+    WITH ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events WHERE value IS NOT NULL
+    ),
+    bounds AS (
+        SELECT event_type,
+               max(CASE WHEN rn = greatest(1, (n * 5 + 99) // 100) THEN value END) AS lo,
+               max(CASE WHEN rn = greatest(1, (n * 95 + 99) // 100) THEN value END) AS hi
+        FROM ranked GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           greatest(b.lo, least(b.hi, e.value)) AS value_clipped,
+           (e.value < b.lo OR e.value > b.hi) AS was_clipped
+    FROM events e JOIN bounds b USING (event_type)
+    WHERE e.value IS NOT NULL
+    """,
+)
+def q_clean_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """winsorization: clip values to per-group exact [p05, p95] — the
+    outlier-capping step before metrics feed training or dashboards. The
+    percentile bounds are DISCRETE exact elements at rank ``ceil(q·n)``
+    (pure integer arithmetic, one conditional-max agg over the ranked
+    rows — bit-identical across engines, same trick as
+    ``q_approx_quantiles``); the tiny per-group bounds table broadcasts
+    back, so the clipping pass is map-side."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("value"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    lo_rn = F.expr("greatest(1, (n * 5 + 99) div 100)")
+    hi_rn = F.expr("greatest(1, (n * 95 + 99) div 100)")
+    bounds = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == lo_rn, F.col("value"))).alias("lo"),
+        F.max(F.when(F.col("rn") == hi_rn, F.col("value"))).alias("hi"),
+    )
+    return e.join(F.broadcast(bounds), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("value"))).alias(
+            "value_clipped"
+        ),
+        ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).alias(
+            "was_clipped"
+        ),
+    )
