@@ -93,6 +93,9 @@ _WINDOW_FRONT = [
     "q_text_pack_concat",
     "q_validate_expectations",
     "q_clean_winsorize",
+    "q_ts_gapfill_ffill",
+    "q_agg_incremental_maintenance",
+    "q_events_funnel",
     # (c) implementation changed since last green row: the r5
     # persist(DISK_ONLY) rewrite of the reuse checkpoints touches every
     # consumer of minhash_lsh_pairs/simhash_pairs and the IVF family;
@@ -135,9 +138,6 @@ _WINDOW_FILLER = [
     "q_join_star",
     "q_limit_topk",
     "q_null_surface",
-    "q_proj_concat",
-    "q_proj_rename",
-    "q_rebuild_full",
 ]
 
 _WINDOW = _WINDOW_FRONT + _WINDOW_FILLER

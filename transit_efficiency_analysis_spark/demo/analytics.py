@@ -232,3 +232,145 @@ def q_agg_dashboard_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("average_diff_in_minutes").alias("min_delay_min"),
         F.max("average_diff_in_minutes").alias("max_delay_min"),
     )
+
+
+_MAINT_CUTOFF = "2024-01-20"
+
+
+@demo(
+    "q_agg_incremental_maintenance",
+    sql="""
+    SELECT user_id, event_type,
+           count(*) AS n_events,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))
+                AS DOUBLE) AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))
+                AS DOUBLE) / count(*) AS avg_value
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def q_agg_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: merge a delta
+    batch into an existing per-key aggregate WITHOUT rescanning history.
+
+    The 100 TB shape: a nightly pipeline holds a materialized per-key
+    aggregate over years of events; each day it reads ONLY the new
+    partition and merges partial aggregates (count/sum/min/max are all
+    mergeable monoids; avg is re-derived from merged sum/count at the
+    end — never averaged across batches). Here "base" is the aggregate
+    over events before a cutoff day and "delta" the aggregate after;
+    the oracle recomputes the full aggregate directly, so the driver
+    hash proves the incremental merge is lossless.
+
+    Merge runs as union-of-partials -> re-aggregate: sums of exact
+    decimals are associative, so the two-step total is bit-equal to the
+    one-pass total. avg is computed as double_sum / int64_count on the
+    already-narrowed double — IEEE division of identical operands,
+    identical across engines.
+    """
+    e = load_table(spark, sf_dir, "events")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("p_cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("p_sum"),
+            F.min("value").alias("p_min"),
+            F.max("value").alias("p_max"),
+        )
+
+    cutoff = F.lit(_MAINT_CUTOFF).cast("date")
+    base = partial(e.filter(F.to_date("ts") < cutoff))
+    delta = partial(e.filter(F.to_date("ts") >= cutoff))
+    merged = base.unionByName(delta).groupBy("user_id", "event_type").agg(
+        F.sum("p_cnt").alias("n_events"),
+        F.sum("p_sum").alias("m_sum"),
+        F.min("p_min").alias("min_value"),
+        F.max("p_max").alias("max_value"),
+    )
+    sum_value = parity_double(F.col("m_sum"), 6)
+    return merged.select(
+        "user_id",
+        "event_type",
+        "n_events",
+        sum_value.alias("sum_value"),
+        "min_value",
+        "max_value",
+        (sum_value / F.col("n_events")).alias("avg_value"),
+    )
+
+
+_FUNNEL_STEPS = ["signup", "click", "purchase"]
+
+
+@demo(
+    "q_events_funnel",
+    sql="""
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY e.user_id
+    )
+    SELECT * FROM (
+        SELECT 1 AS step, 'signup' AS event_type, count(*) AS n_users FROM s1
+        UNION ALL
+        SELECT 2 AS step, 'click' AS event_type, count(*) AS n_users FROM s2
+        UNION ALL
+        SELECT 3 AS step, 'purchase' AS event_type, count(*) AS n_users FROM s3
+    )
+    """,
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order conversion funnel (signup -> click -> purchase):
+    how many users completed each step AFTER completing the previous
+    one, with per-step first-completion times.
+
+    Each step is a per-user min-timestamp aggregate joined to the
+    previous step's survivors and filtered to strictly-later events —
+    the standard distributed funnel: every join/agg is keyed on
+    ``user_id`` (one partitioning reused across all steps via AQE), the
+    survivor set shrinks monotonically, and nothing windows over the
+    whole event table. The final counts are three single-row aggregates
+    unioned — constant-size output regardless of scale.
+    """
+    e = load_table(spark, sf_dir, "events")
+    step = e.filter(F.col("event_type") == _FUNNEL_STEPS[0]).groupBy("user_id").agg(
+        F.min("ts").alias("t_prev")
+    )
+    counts = [
+        step.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(1).alias("step"),
+            F.lit(_FUNNEL_STEPS[0]).alias("event_type"),
+            "n_users",
+        )
+    ]
+    for i, name in enumerate(_FUNNEL_STEPS[1:], start=2):
+        step = (
+            e.filter(F.col("event_type") == name)
+            .join(step, "user_id")
+            .filter(F.col("ts") > F.col("t_prev"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t_prev"))
+        )
+        counts.append(
+            step.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i).alias("step"), F.lit(name).alias("event_type"), "n_users"
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out

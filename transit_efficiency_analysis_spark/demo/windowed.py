@@ -101,3 +101,84 @@ def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@demo(
+    "q_ts_gapfill_ffill",
+    sql="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               count(*) AS n_obs,
+               CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))
+                    AS DOUBLE) AS day_value
+        FROM events
+        GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    spans AS (
+        SELECT user_id,
+               min(CAST(ts AS DATE)) AS d0,
+               max(CAST(ts AS DATE)) AS d1
+        FROM events
+        GROUP BY user_id
+    ),
+    spine AS (
+        SELECT s.user_id, CAST(g.d AS DATE) AS day
+        FROM spans s,
+             LATERAL unnest(generate_series(s.d0, s.d1, INTERVAL 1 DAY)) AS g(d)
+    )
+    SELECT sp.user_id, sp.day,
+           coalesce(d.n_obs, 0) AS n_obs,
+           (d.day_value IS NULL) AS is_filled,
+           last_value(d.day_value IGNORE NULLS)
+               OVER (PARTITION BY sp.user_id ORDER BY sp.day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS filled_value
+    FROM spine sp LEFT JOIN daily d USING (user_id, day)
+    """,
+)
+def q_ts_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill + forward fill (the GTFS-RT feed-outage
+    repair shape: a vehicle feed that goes dark for a day still needs a
+    dense per-day series for downstream joins and dashboards).
+
+    Three declarative steps, all keyed on ``user_id`` so ONE shuffle
+    partitioning serves the agg, the spine join, and the fill window:
+
+    1. per-(user, day) aggregate (map-side partial agg, exact decimal);
+    2. a dense day spine per user via ``sequence(min_day, max_day)`` +
+       ``explode`` — spine width is bounded by the observed date range,
+       never by row count, so at 100 TB the explode adds at most
+       (#keys x #days) rows regardless of event volume;
+    3. ``last(value, ignorenulls=True)`` over an unbounded-preceding row
+       window carries the most recent observed value across gap days.
+
+    The spine starts at each user's first observed day, so the fill
+    column has no leading NULLs; ``is_filled`` marks repaired rows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    daily = e.groupBy("user_id", day).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        parity_double(F.sum(F.col("value").cast("decimal(18,6)")), 6).alias(
+            "day_value"
+        ),
+    )
+    spans = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = spans.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+        F.col("day_value").isNull().alias("is_filled"),
+        F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+    )
