@@ -116,3 +116,29 @@ def test_corpus_prep_pipeline_plan(spark, sf_dir):
     df = reg["q_corpus_prep_pipeline"].fn(spark, sf_dir)
     assert_no_python_row_udf(df)
     assert count_shuffles(df) <= 2, "filters should fuse into the scan"
+
+
+def test_funnel_single_pass_plan(spark, sf_dir):
+    """The funnel must stay single-pass: ONE scan of the events fact and
+    exactly one data-proportional shuffle (the user_id agg; the second
+    exchange is the single-row final count). The join-chain alternative
+    plan-audits at one fact scan PER STEP."""
+    from transit_efficiency_analysis_spark.demo.analytics import q_events_funnel
+    from transit_efficiency_analysis_spark.plans import physical_plan
+
+    df = q_events_funnel(spark, sf_dir)
+    assert physical_plan(df).count("Scan parquet") == 1
+    assert count_shuffles(df) <= 2
+
+
+def test_gapfill_plan_shape(spark, sf_dir):
+    """Gap-fill: only the (user, day) pre-aggregation may shuffle data
+    proportional to event volume; the bounded daily relation must
+    broadcast into the spine join, and the spine's explode preserves the
+    user partitioning so the fill window adds no exchange."""
+    from transit_efficiency_analysis_spark.demo.windowed import q_ts_gapfill_ffill
+
+    df = q_ts_gapfill_ffill(spark, sf_dir)
+    assert_broadcast_join(df)
+    assert count_shuffles(df) <= 2
+    assert_no_python_row_udf(df)

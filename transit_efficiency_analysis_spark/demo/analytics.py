@@ -335,42 +335,43 @@ _FUNNEL_STEPS = ["signup", "click", "purchase"]
 )
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strict-order conversion funnel (signup -> click -> purchase):
-    how many users completed each step AFTER completing the previous
-    one, with per-step first-completion times.
+    how many users completed each step strictly AFTER completing the
+    previous one.
 
-    Each step is a per-user min-timestamp aggregate joined to the
-    previous step's survivors and filtered to strictly-later events —
-    the standard distributed funnel: every join/agg is keyed on
-    ``user_id`` (one partitioning reused across all steps via AQE), the
-    survivor set shrinks monotonically, and nothing windows over the
-    whole event table. The final counts are three single-row aggregates
-    unioned — constant-size output regardless of scale.
+    Single-pass design: ONE scan of events and ONE shuffle on
+    ``user_id``. The per-user aggregate keeps the min signup time plus
+    the (null-skipping) collected timestamps of the later step types;
+    each later step's first-completion time is then
+    ``array_min(filter(arr, x -> x > t_prev))`` — a pure
+    higher-order-function fold, no joins, no windows, no re-scan. The
+    naive alternative (per-step min-agg joined to the previous step's
+    survivors) re-reads the fact table once per step — plan-audited at
+    6 parquet scans for 3 steps vs 1 here. Per-user arrays are bounded
+    by that user's own event count for the two later types; at
+    pathological per-user skew, pre-filter events to the funnel's time
+    range before aggregating. The final 3-row output comes from one
+    single-row conditional count unpivoted with ``stack``.
+
+    The oracle deliberately keeps the join-chain formulation — two
+    independent algorithms agreeing on the same counts is a stronger
+    check than a transliteration.
     """
     e = load_table(spark, sf_dir, "events")
-    step = e.filter(F.col("event_type") == _FUNNEL_STEPS[0]).groupBy("user_id").agg(
-        F.min("ts").alias("t_prev")
+    t = F.col("event_type")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(t == _FUNNEL_STEPS[0], F.col("ts"))).alias("t1"),
+        F.collect_list(F.when(t == _FUNNEL_STEPS[1], F.col("ts"))).alias("a2"),
+        F.collect_list(F.when(t == _FUNNEL_STEPS[2], F.col("ts"))).alias("a3"),
     )
-    counts = [
-        step.agg(F.count(F.lit(1)).alias("n_users")).select(
-            F.lit(1).alias("step"),
-            F.lit(_FUNNEL_STEPS[0]).alias("event_type"),
-            "n_users",
-        )
-    ]
-    for i, name in enumerate(_FUNNEL_STEPS[1:], start=2):
-        step = (
-            e.filter(F.col("event_type") == name)
-            .join(step, "user_id")
-            .filter(F.col("ts") > F.col("t_prev"))
-            .groupBy("user_id")
-            .agg(F.min("ts").alias("t_prev"))
-        )
-        counts.append(
-            step.agg(F.count(F.lit(1)).alias("n_users")).select(
-                F.lit(i).alias("step"), F.lit(name).alias("event_type"), "n_users"
-            )
-        )
-    out = counts[0]
-    for c in counts[1:]:
-        out = out.unionByName(c)
-    return out
+    t2 = F.array_min(F.filter("a2", lambda x: x > F.col("t1")))
+    steps = per_user.select(
+        "t1", t2.alias("t2"), F.array_min(F.filter("a3", lambda x: x > t2)).alias("t3")
+    )
+    totals = steps.agg(
+        F.count("t1").alias("n1"), F.count("t2").alias("n2"), F.count("t3").alias("n3")
+    )
+    return totals.select(
+        F.expr(
+            "stack(3, 1, '{0}', n1, 2, '{1}', n2, 3, '{2}', n3)".format(*_FUNNEL_STEPS)
+        ).alias("step", "event_type", "n_users")
+    )

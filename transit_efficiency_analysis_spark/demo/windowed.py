@@ -141,16 +141,18 @@ def q_ts_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     repair shape: a vehicle feed that goes dark for a day still needs a
     dense per-day series for downstream joins and dashboards).
 
-    Three declarative steps, all keyed on ``user_id`` so ONE shuffle
-    partitioning serves the agg, the spine join, and the fill window:
+    Two shuffles, only one proportional to event volume (plan-audited):
 
-    1. per-(user, day) aggregate (map-side partial agg, exact decimal);
-    2. a dense day spine per user via ``sequence(min_day, max_day)`` +
-       ``explode`` — spine width is bounded by the observed date range,
-       never by row count, so at 100 TB the explode adds at most
-       (#keys x #days) rows regardless of event volume;
-    3. ``last(value, ignorenulls=True)`` over an unbounded-preceding row
-       window carries the most recent observed value across gap days.
+    1. per-(user, day) aggregate (map-side partial agg, exact decimal)
+       — the only exchange that scales with events; its OUTPUT is
+       bounded by #keys x #days, so the planner broadcasts it into the
+       spine join (observed at test scale; at worst AQE shuffles the
+       equally-bounded spine);
+    2. a per-user shuffle for the min/max span aggregate; the spine
+       explode (``sequence(min_day, max_day)``) is a map op that
+       PRESERVES that partitioning, so the fill window
+       (``last(value, ignorenulls=True)`` over unbounded-preceding
+       rows) adds no further exchange.
 
     The spine starts at each user's first observed day, so the fill
     column has no leading NULLs; ``is_filled`` marks repaired rows.
