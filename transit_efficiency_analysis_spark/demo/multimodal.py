@@ -22,9 +22,11 @@ from transit_efficiency_analysis_spark.operators.multimodal import (
     attach_payload,
     encode_bmp,
     encode_wav,
+    encode_bmp_gradient,
     extract_audio_meta,
     extract_image_meta,
     frame_sample_plan,
+    resize_images,
 )
 from transit_efficiency_analysis_spark.sources.registry import load_table
 
@@ -151,3 +153,56 @@ def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wavs = d.mapInPandas(_encode, schema="doc_id long, payload binary")
     return extract_audio_meta(wavs)
+
+
+@demo(
+    "q_multimodal_resize",
+    sql="""
+    WITH rd AS (
+        SELECT doc_id,
+               (octet_length(encode(text)) % 64 + 1 + 1) // 2 AS nw,
+               (doc_id % 48 + 1 + 1) // 2 AS nh
+        FROM documents
+    )
+    SELECT r.doc_id,
+           CAST(r.nw AS INTEGER) AS width,
+           CAST(r.nh AS INTEGER) AS height,
+           CAST(54 + ((r.nw * 3 + 3) // 4 * 4) * r.nh AS INTEGER) AS n_bytes,
+           CAST(sum(3 * ((14 * gx.sx + 26 * gy.sy) % 256)) AS BIGINT) AS pixel_sum
+    FROM rd r,
+         LATERAL unnest(generate_series(0, r.nw - 1)) AS gx(sx),
+         LATERAL unnest(generate_series(0, r.nh - 1)) AS gy(sy)
+    GROUP BY r.doc_id, r.nw, r.nh
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize path: gradient BMPs (pixel (x,y) = (7x+13y)%256)
+    → bundled nearest-neighbor downscale-by-2 kernel via map-only
+    ``mapInPandas`` → dimensions, aligned file size, AND the pixel-byte
+    sum of the resized payload. Because nearest-neighbor sampling turns
+    the gradient into (14*sx + 26*sy)%256 over the OUTPUT grid, the
+    oracle recomputes the exact pixel sum arithmetically (double
+    generate_series) — the driver hash therefore verifies the kernel
+    emitted exactly the right pixels, not just plausible metadata."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.octet_length(F.encode("text", "utf-8")) % 64 + 1).alias("w"),
+        (F.col("doc_id") % 48 + 1).alias("h"),
+    )
+
+    def _encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_bmp_gradient(int(w), int(h))
+                        for w, h in zip(pdf["w"], pdf["h"])
+                    ],
+                }
+            )
+
+    bmps = d.mapInPandas(_encode, schema="doc_id long, payload binary")
+    return resize_images(bmps, scale=2).select(
+        "doc_id", "width", "height", "n_bytes", "pixel_sum"
+    )

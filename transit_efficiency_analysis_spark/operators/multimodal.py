@@ -206,3 +206,102 @@ def frame_sample_plan(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
         "doc_id",
         F.posexplode(offsets).alias("frame_idx", "byte_offset"),
     )
+
+
+def encode_bmp_gradient(width: int, height: int) -> bytes:
+    """24-bit BMP whose pixel at stored (x, y) has all three channels equal
+    to ``(7*x + 13*y) % 256``. The gradient makes downstream pixel
+    arithmetic SQL-predictable: a nearest-neighbor downscale by ``s``
+    samples stored coordinates (s*x, s*y), so the resized image's pixel
+    values — and therefore its channel sum — are a closed-form function of
+    the output dimensions alone (see ``q_multimodal_resize``'s oracle)."""
+    row = (width * 3 + 3) // 4 * 4
+    image_size = row * height
+    header = struct.pack("<2sIHHI", b"BM", 54 + image_size, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, image_size, 2835, 2835, 0, 0
+    )
+    pixels = bytearray(image_size)
+    for y in range(height):
+        base = y * row
+        for x in range(width):
+            v = (7 * x + 13 * y) % 256
+            o = base + x * 3
+            pixels[o] = pixels[o + 1] = pixels[o + 2] = v
+    return header + info + bytes(pixels)
+
+
+def resize_bmp_nearest(payload: bytes, scale: int) -> bytes:
+    """REAL nearest-neighbor downscale for 24-bit BMP payloads: decodes the
+    header, samples every ``scale``-th stored row/column (output dims are
+    ceil(dim/scale)), and re-encodes a valid 4-byte-row-aligned BMP.
+    Pure-Python over the public format — a production deployment swaps in
+    a vips/PIL kernel through ``resize_images``'s ``kernel`` argument; the
+    Spark plan shape is identical."""
+    width, height, _ = decode_bmp(payload)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    if bpp != 24:
+        raise ValueError(f"resize_bmp_nearest supports 24bpp only, got {bpp}")
+    row = (width * 3 + 3) // 4 * 4
+    nw, nh = (width + scale - 1) // scale, (height + scale - 1) // scale
+    nrow = (nw * 3 + 3) // 4 * 4
+    out = bytearray(nrow * nh)
+    for sy in range(nh):
+        src = 54 + (sy * scale) * row
+        dst = sy * nrow
+        for sx in range(nw):
+            o = src + (sx * scale) * 3
+            out[dst + sx * 3 : dst + sx * 3 + 3] = payload[o : o + 3]
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(out), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, nw, nh, 1, 24, 0, len(out), 2835, 2835, 0, 0
+    )
+    return header + info + bytes(out)
+
+
+#: output contract for a resize stage: the resized payload plus its
+#: decoded dimensions and the channel-value sum over its pixel bytes
+RESIZED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("pixel_sum", T.LongType(), True),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    scale: int = 2,
+    kernel: Callable[[bytes, int], bytes] | None = None,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize payloads via Arrow-batched ``mapInPandas`` (map-only — no
+    shuffle; payload I/O dominates, so size ``maxPartitionBytes`` to the
+    payload column). ``kernel`` maps (payload, scale) → resized payload;
+    the default is the bundled real BMP nearest-neighbor kernel.
+    ``pixel_sum`` totals the resized pixel bytes (row padding is zero) so
+    callers can verify the kernel produced exactly the expected pixels,
+    not just plausible dimensions."""
+    if kernel is None:
+        kernel = resize_bmp_nearest
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = pdf[payload_col].map(lambda b: kernel(bytes(b), scale))
+            dims = resized.map(decode_bmp)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": resized,
+                    "width": dims.map(lambda d: d[0]).astype("int32"),
+                    "height": dims.map(lambda d: d[1]).astype("int32"),
+                    "n_bytes": resized.map(len).astype("int32"),
+                    "pixel_sum": resized.map(lambda b: sum(b[54:])).astype("int64"),
+                }
+            )
+
+    return df.mapInPandas(_batches, schema=RESIZED_IMAGE_SCHEMA)
