@@ -142,3 +142,13 @@ def test_gapfill_plan_shape(spark, sf_dir):
     assert_broadcast_join(df)
     assert count_shuffles(df) <= 2
     assert_no_python_row_udf(df)
+
+
+def test_topk_per_group_pushes_group_limit_map_side(spark, sf_dir):
+    """rank<=k must compile to Partial+Final WindowGroupLimit so each
+    map partition keeps at most k rows per group BEFORE the shuffle."""
+    from transit_efficiency_analysis_spark.demo.setops import q_topk_per_group
+
+    df = q_topk_per_group(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan

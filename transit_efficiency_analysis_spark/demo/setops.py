@@ -3,7 +3,7 @@ engine provides beyond the reference's fixed dataflows)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from transit_efficiency_analysis_spark.demo import demo
@@ -99,4 +99,39 @@ def q_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(25)
         .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@demo(
+    "q_topk_per_group",
+    sql="""
+    SELECT source, lang, doc_id, n_chars, rk
+    FROM (
+        SELECT source, lang, doc_id, n_chars,
+               CAST(row_number() OVER (PARTITION BY source, lang
+                                       ORDER BY n_chars DESC, doc_id ASC)
+                    AS INTEGER) AS rk
+        FROM documents
+    )
+    WHERE rk <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """top-k PER GROUP (the corpus-curation shape: keep the 3 longest
+    documents of every (source, lang) slice) via rank-then-filter: one
+    shuffle on the group key, a per-partition window, and a filter that
+    Spark pushes into the window operator as a Partial+Final
+    ``WindowGroupLimit`` (plan-audited): each MAP-side partition keeps at
+    most k rows per group BEFORE the shuffle, so shuffle volume is
+    bounded by #groups x k x #map-partitions, not the table. Unlike the global ``q_limit_topk`` there is no
+    single TakeOrdered bottleneck; output is #groups x k rows.
+    Deterministic via the unique doc_id tiebreak."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source", "lang").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select("source", "lang", "doc_id", "n_chars")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
     )
