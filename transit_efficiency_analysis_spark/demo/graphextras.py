@@ -393,3 +393,66 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(
         e, lsh_bucket_expr(F.col("__q"), _PLANES, _DIMS), threshold=0.3
     )
+
+
+def _pagerank_iter_sql(prev: str, idx: int, damping: int = 850_000) -> str:
+    """One unrolled PageRank iteration as a pair of CTEs (exact BIGINT
+    ppm arithmetic — mirrors ``operators/graph.py``'s loop body)."""
+    return f"""
+    i{idx} AS (
+        SELECT e.dst, CAST(sum(r.rank_ppm // d.outdeg) AS BIGINT) AS incoming
+        FROM edges e
+        JOIN {prev} r ON e.src = r.node_id
+        JOIN deg d ON e.src = d.src
+        GROUP BY e.dst
+    ),
+    r{idx} AS (
+        SELECT n.node_id,
+               CAST({1_000_000 - damping} + {damping} * coalesce(i{idx}.incoming, 0) // 1000000
+                    AS BIGINT) AS rank_ppm
+        FROM nodes n LEFT JOIN i{idx} ON n.node_id = i{idx}.dst
+    )"""
+
+
+_PAGERANK_SQL = f"""
+    WITH pairs AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+        SELECT c AS src, 1000000000 + s AS dst FROM pairs
+        UNION ALL
+        SELECT 1000000000 + s AS src, c AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node_id FROM edges),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    r0 AS (SELECT node_id, CAST(1000000 AS BIGINT) AS rank_ppm FROM nodes),
+    {_pagerank_iter_sql('r0', 1)},
+    {_pagerank_iter_sql('r1', 2)}
+    SELECT node_id, rank_ppm FROM r2
+"""
+
+
+@demo("q_graph_pagerank", sql=_PAGERANK_SQL)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank (2 fixed iterations, exact ppm-integer
+    arithmetic) over the symmetrized customer<->supplier trade graph
+    derived from lineitem x orders. The iterative-DataFrame-loop family
+    beyond connected components: each iteration is two key-partitioned
+    shuffles over a persisted edge relation, and the all-integer rank
+    update makes a fixed-iteration run bit-identical to the oracle's
+    unrolled recursive-CTE twin (``operators/graph.py``)."""
+    from transit_efficiency_analysis_spark.operators.graph import pagerank_ppm
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    supp = (F.lit(1_000_000_000) + F.col("s")).cast("long")
+    edges = pairs.select(F.col("c").alias("src"), supp.alias("dst")).unionByName(
+        pairs.select(supp.alias("src"), F.col("c").alias("dst"))
+    )
+    return pagerank_ppm(edges, n_iters=2)

@@ -1,0 +1,91 @@
+"""Iterative graph algorithms as DataFrame loops.
+
+PageRank here runs in EXACT parts-per-million integer arithmetic (the
+same cross-engine-parity device as BM25's ``ppm_div`` —
+``operators/retrieval.py:53``): ranks are BIGINT ppm values, per-edge
+contributions are truncating integer divisions by out-degree, and the
+damping multiply-then-divide is integer too. Every intermediate is a
+plain 64-bit integer, so a fixed-iteration run is bit-identical on any
+engine — DuckDB verifies it from an unrolled-CTE oracle.
+
+Scale design: each iteration is two key-partitioned shuffles (rank join
+on ``src``, contribution aggregate on ``dst``) over the edge relation —
+the standard distributed PageRank. The edge/degree relations are
+persisted once (DISK_ONLY, lazy — the round-5 checkpoint policy) and
+reused by every iteration; each new rank frame replaces the previous
+one, and ``localCheckpoint``-free lineage stays shallow because the
+loop count is a small constant. Dangling-side nodes (no in-edges) keep
+the teleport term via the left join.
+
+Spark-first rationale: unlike the reference's row-at-a-time scripts
+(no graph code exists in the reference at all — this is part of the
+declared LLM-pipeline scope expansion), the loop is a pure DataFrame
+composition; Catalyst plans each iteration independently and AQE sizes
+the shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PPM = 1_000_000
+
+
+def pagerank_ppm(
+    edges: DataFrame,
+    n_iters: int = 2,
+    damping_ppm: int = 850_000,
+    src: str = "src",
+    dst: str = "dst",
+    persist: bool = True,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a DIRECTED edge list, exact ppm ints.
+
+    ``edges`` must already be in the direction rank flows (symmetrize
+    upstream for undirected graphs). Per iteration, for every node v:
+
+        rank'(v) = (PPM - damping_ppm)
+                   + damping_ppm * sum_{u->v}(rank(u) div outdeg(u)) div PPM
+
+    with ``div`` the truncating BIGINT division on both engines. Initial
+    rank is PPM (1.0) per node. Returns ``(node_id, rank_ppm)``.
+
+    The BIGINT range is safe far beyond any realistic graph: incoming
+    sums are bounded by n_nodes * PPM and the damping product by
+    ~n_nodes * PPM * damping_ppm (overflow at ~10^13 nodes).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node_id"))
+        .unionByName(e.select(F.col("dst").alias("node_id")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    if persist:
+        e = e.persist(StorageLevel.DISK_ONLY)
+        nodes = nodes.persist(StorageLevel.DISK_ONLY)
+        deg = deg.persist(StorageLevel.DISK_ONLY)
+
+    ranks = nodes.select("node_id", F.lit(PPM).cast("long").alias("rank_ppm"))
+    teleport = F.lit(PPM - damping_ppm).cast("long")
+    for _ in range(n_iters):
+        contrib = (
+            e.join(ranks, e.src == ranks.node_id)
+            .join(deg, "src")
+            .select("dst", F.expr("rank_ppm div outdeg").alias("c"))
+        )
+        incoming = contrib.groupBy("dst").agg(F.sum("c").alias("incoming"))
+        ranks = nodes.join(
+            incoming, nodes.node_id == incoming.dst, "left"
+        ).select(
+            "node_id",
+            (
+                teleport
+                + F.expr(
+                    f"CAST({damping_ppm} AS BIGINT) * coalesce(incoming, CAST(0 AS BIGINT)) div {PPM}"
+                )
+            ).alias("rank_ppm"),
+        )
+    return ranks
