@@ -20,6 +20,7 @@ _SENSITIVE = [
     "q_sim_lsh_buckets",    # decimal-fold hyperplane signs
     "q_dedup_minhash_lsh",  # md5 band minima + count-join Jaccard
     "q_retrieval_bm25",     # integer ppm scores + top-k tie-break
+    "q_graph_pagerank",     # iterative integer rank updates over a loop
 ]
 
 
