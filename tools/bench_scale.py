@@ -143,6 +143,73 @@ def main() -> int:
     print(f"# minhash_storm_capped: {copies}x storm corpus {ts:.1f}s ({rs} pairs, "
           f"cap=50; uncapped = all-pairs blowup)", file=sys.stderr)
 
+    # Event-keyed families (round-5): Nx disjoint-user copies — rows AND
+    # key count grow Nx, the clean "tenant base grew" experiment.
+    from transit_efficiency_analysis_spark.demo.analytics import (
+        events_funnel,
+        incremental_maintenance,
+    )
+    from transit_efficiency_analysis_spark.demo.windowed import gapfill_ffill
+
+    ev = load_table(spark, sf_dir, "events").cache()
+    ev.count()
+    ident = lambda df, i: df
+    ev_1 = _union_copies(ev, "user_id", 1, ident)
+    ev_n = _union_copies(ev, "user_id", copies, ident)
+    for name, fn in (
+        ("gapfill_ffill", gapfill_ffill),
+        ("events_funnel", events_funnel),
+        ("incr_maintenance", incremental_maintenance),
+    ):
+        t0 = time.time(); r1 = fn(ev_1).count(); t1 = time.time() - t0
+        t0 = time.time(); rn = fn(ev_n).count(); tn = time.time() - t0
+        results[name] = {
+            "t1": round(t1, 2), "tN": round(tn, 2),
+            "ratio": round(tn / t1, 2), "rows1": r1, "rowsN": rn,
+        }
+        print(f"# {name}: 1x {t1:.1f}s ({r1} rows) -> {copies}x {tn:.1f}s "
+              f"({rn} rows), ratio {tn/t1:.1f}", file=sys.stderr)
+
+    # PageRank: Nx disjoint copies of the trade graph (offset node ids)
+    from transit_efficiency_analysis_spark.operators.graph import pagerank_ppm
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    supp = (F.lit(1_000_000_000) + F.col("s")).cast("long")
+    edges = pairs.select(F.col("c").alias("src"), supp.alias("dst")).unionByName(
+        pairs.select(supp.alias("src"), F.col("c").alias("dst"))
+    ).cache()
+    edges.count()
+
+    def _edge_copies(n: int) -> DataFrame:
+        out = None
+        for i in range(n):
+            off = F.lit(i * 100_000_000_000)
+            c = edges.select(
+                (F.col("src") + off).alias("src"), (F.col("dst") + off).alias("dst")
+            )
+            out = c if out is None else out.unionByName(c)
+        return out
+
+    for tag, n in (("1", 1), ("N", copies)):
+        t0 = time.time()
+        rows = pagerank_ppm(_edge_copies(n), n_iters=2, persist=False).count()
+        dt = time.time() - t0
+        if tag == "1":
+            pr1, prr1 = dt, rows
+        else:
+            results["pagerank_2iter"] = {
+                "t1": round(pr1, 2), "tN": round(dt, 2),
+                "ratio": round(dt / pr1, 2), "rows1": prr1, "rowsN": rows,
+            }
+            print(f"# pagerank_2iter: 1x {pr1:.1f}s ({prr1} nodes) -> {copies}x "
+                  f"{dt:.1f}s ({rows} nodes), ratio {dt/pr1:.1f}", file=sys.stderr)
+
     worst = max(v["ratio"] for v in results.values() if "ratio" in v)
     print(json.dumps({
         "metric": "lsh_scale_check", "copies": copies,

@@ -271,7 +271,12 @@ def q_agg_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
     already-narrowed double — IEEE division of identical operands,
     identical across engines.
     """
-    e = load_table(spark, sf_dir, "events")
+    return incremental_maintenance(load_table(spark, sf_dir, "events"))
+
+
+def incremental_maintenance(e: DataFrame) -> DataFrame:
+    """Operator body of ``q_agg_incremental_maintenance`` over any
+    events-shaped frame — reused by the scale harness."""
 
     def partial(df: DataFrame) -> DataFrame:
         return df.groupBy("user_id", "event_type").agg(
@@ -356,7 +361,12 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent algorithms agreeing on the same counts is a stronger
     check than a transliteration.
     """
-    e = load_table(spark, sf_dir, "events")
+    return events_funnel(load_table(spark, sf_dir, "events"))
+
+
+def events_funnel(e: DataFrame) -> DataFrame:
+    """Operator body of ``q_events_funnel`` over any events-shaped
+    frame — reused by the scale harness."""
     t = F.col("event_type")
     per_user = e.groupBy("user_id").agg(
         F.min(F.when(t == _FUNNEL_STEPS[0], F.col("ts"))).alias("t1"),

@@ -157,7 +157,12 @@ def q_ts_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     The spine starts at each user's first observed day, so the fill
     column has no leading NULLs; ``is_filled`` marks repaired rows.
     """
-    e = load_table(spark, sf_dir, "events")
+    return gapfill_ffill(load_table(spark, sf_dir, "events"))
+
+
+def gapfill_ffill(e: DataFrame) -> DataFrame:
+    """Operator body of ``q_ts_gapfill_ffill`` over any events-shaped
+    frame (user_id, ts, value) — reused by the scale harness."""
     day = F.to_date("ts").alias("day")
     daily = e.groupBy("user_id", day).agg(
         F.count(F.lit(1)).alias("n_obs"),
