@@ -99,6 +99,7 @@ _WINDOW_FRONT = [
     "q_multimodal_resize",
     "q_topk_per_group",
     "q_graph_pagerank",
+    "q_text_vocab_coverage",
     # (c) implementation changed since last green row: the r5
     # persist(DISK_ONLY) rewrite of the reuse checkpoints touches every
     # consumer of minhash_lsh_pairs/simhash_pairs and the IVF family;
@@ -137,7 +138,6 @@ _WINDOW_FILLER = [
     "q_join_anti",
     "q_join_diff",
     "q_join_outer",
-    "q_join_semi",
 ]
 
 _WINDOW = _WINDOW_FRONT + _WINDOW_FILLER

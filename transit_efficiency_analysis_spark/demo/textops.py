@@ -153,3 +153,57 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         bag.alias("bag_hash"),
         min_shingle.alias("min_shingle_hash"),
     )
+
+
+_VOCAB_K = 32
+
+
+@demo(
+    "q_text_vocab_coverage",
+    sql=f"""
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    vocab AS (SELECT tok FROM freq ORDER BY c DESC, tok ASC LIMIT {_VOCAB_K})
+    SELECT t.source,
+           count(*) AS n_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           CAST(1000000 * CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                               AS BIGINT) // count(*) AS BIGINT) AS oov_ppm
+    FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.source
+    """,
+)
+def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction + out-of-vocabulary rate (the tokenizer-
+    pipeline coverage metric: how much of each source a fixed top-K
+    vocabulary explains). Three bounded stages: token frequency (one
+    groupBy with map-side partial agg), top-K vocab selection
+    (TakeOrderedAndProject — per-partition heaps, deterministic
+    count-then-token tiebreak), and a BROADCAST membership join back
+    onto the token stream (the vocab is K rows by construction, so the
+    big side never shuffles for the join; the only data-proportional
+    shuffles are the two aggregates). OOV share is exact integer ppm —
+    bit-portable, no float division."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        freq.orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(_VOCAB_K)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    joined = toks.join(F.broadcast(vocab), "tok", "left")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+    ).select(
+        "source",
+        "n_tokens",
+        "n_oov",
+        F.expr("CAST(1000000 * n_oov div n_tokens AS BIGINT)").alias("oov_ppm"),
+    )
