@@ -100,6 +100,7 @@ _WINDOW_FRONT = [
     "q_topk_per_group",
     "q_graph_pagerank",
     "q_text_vocab_coverage",
+    "q_text_bpe_merges",
     # (c) implementation changed since last green row: the r5
     # persist(DISK_ONLY) rewrite of the reuse checkpoints touches every
     # consumer of minhash_lsh_pairs/simhash_pairs and the IVF family;
@@ -137,7 +138,6 @@ _WINDOW_FILLER = [
     "q_filter_sentinel",
     "q_join_anti",
     "q_join_diff",
-    "q_join_outer",
 ]
 
 _WINDOW = _WINDOW_FRONT + _WINDOW_FILLER

@@ -207,3 +207,79 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_oov",
         F.expr("CAST(1000000 * n_oov div n_tokens AS BIGINT)").alias("oov_ppm"),
     )
+
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_round_sql(prev_rep: str, i: int) -> str:
+    """One unrolled BPE round: deterministic best-pair selection + the
+    greedy merge fold (mirrors ``operators/bpe.py`` symbol for symbol)."""
+    return f"""
+    p{i} AS (
+        SELECT s[i] AS left_sym, s[i+1] AS right_sym,
+               CAST(sum(freq) AS BIGINT) AS pair_count
+        FROM (SELECT string_split(seg, '|') AS s, freq FROM {prev_rep}),
+             LATERAL unnest(generate_series(1, len(s) - 1)) AS t(i)
+        GROUP BY 1, 2
+        ORDER BY pair_count DESC, left_sym, right_sym
+        LIMIT 1
+    ),
+    r{i} AS (
+        SELECT list_reduce(string_split(seg, '|'),
+                   (acc, x) -> CASE WHEN (acc = p.left_sym
+                                          OR ends_with(acc, '|' || p.left_sym))
+                                         AND x = p.right_sym
+                                    THEN acc || x ELSE acc || '|' || x END) AS seg,
+               freq
+        FROM {prev_rep}, p{i} p
+    )"""
+
+
+_BPE_SQL = f"""
+    WITH words AS (
+        SELECT w, count(*) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE len(w) > 0
+        GROUP BY w
+    ),
+    r0 AS (
+        SELECT array_to_string(regexp_split_to_array(w, ''), '|') AS seg, freq
+        FROM words
+    ),
+    {_bpe_round_sql('r0', 1)},
+    {_bpe_round_sql('r1', 2)},
+    {_bpe_round_sql('r2', 3)}
+    SELECT * FROM (
+        SELECT 1 AS merge_round, left_sym, right_sym,
+               left_sym || right_sym AS merged, pair_count FROM p1
+        UNION ALL
+        SELECT 2, left_sym, right_sym, left_sym || right_sym, pair_count FROM p2
+        UNION ALL
+        SELECT 3, left_sym, right_sym, left_sym || right_sym, pair_count FROM p3
+    )
+"""
+
+
+@demo("q_text_bpe_merges", sql=_BPE_SQL)
+def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer merge learning (3 rounds) over the corpus: each
+    round counts symbol pairs on the VOCABULARY-sized word-type table
+    (one shuffle per round, O(word types) not O(corpus)), picks the
+    deterministic argmax pair, and applies it with the canonical greedy
+    left-to-right string fold (``operators/bpe.py``). The oracle unrolls
+    the identical three rounds with DuckDB ``list_reduce`` — two engines
+    running the same tokenizer-training algebra must learn the same
+    merge table, counts and all."""
+    from transit_efficiency_analysis_spark.operators.bpe import learn_merges
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = learn_merges(d, _BPE_ROUNDS)
+    return spark.createDataFrame(
+        [
+            (m["merge_round"], m["left_sym"], m["right_sym"], m["merged"], m["pair_count"])
+            for m in merges
+        ],
+        "merge_round int, left_sym string, right_sym string, "
+        "merged string, pair_count long",
+    )
