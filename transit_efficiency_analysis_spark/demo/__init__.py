@@ -101,6 +101,8 @@ _WINDOW_FRONT = [
     "q_graph_pagerank",
     "q_text_vocab_coverage",
     "q_text_bpe_merges",
+    "q_join_bloom_prefilter",
+    "q_sample_split",
     # (c) implementation changed since last green row: the r5
     # persist(DISK_ONLY) rewrite of the reuse checkpoints touches every
     # consumer of minhash_lsh_pairs/simhash_pairs and the IVF family;
@@ -136,8 +138,6 @@ _WINDOW_FILLER = [
     "q_expr_math",
     "q_filter_entity",
     "q_filter_sentinel",
-    "q_join_anti",
-    "q_join_diff",
 ]
 
 _WINDOW = _WINDOW_FRONT + _WINDOW_FILLER

@@ -225,3 +225,47 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("k").alias("l_orderkey"), "l_linenumber", "l_quantity", "o_totalprice"
     )
+
+
+@demo(
+    "q_join_bloom_prefilter",
+    sql="""
+    SELECT l_returnflag,
+           count(*) AS n_items,
+           sum(l_quantity) AS sum_qty
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+)
+def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join-bloom-prefilter: pure-expression Bloom runtime filter — build a
+    one-row map<word,mask> bloom over the filtered dim keys (shuffle ≤
+    m/64 rows regardless of dim size), broadcast it, and cull the fact
+    table map-side BEFORE the exact join shuffles anything. Bloom FPs are
+    removed by the exact join, so the oracle IS the plain join — the
+    driver's value hash proves the pre-filter is transparent. At 100 TB
+    this is the difference between shuffling the whole fact table and
+    shuffling the matching sliver."""
+    from transit_efficiency_analysis_spark.operators.bloomfilter import (
+        bloom_prefilter,
+        build_bloom,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    bloom = build_bloom(keys, "o_orderkey")
+    candidates = bloom_prefilter(li, bloom, "l_orderkey")
+    return (
+        candidates.join(F.broadcast(keys), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+    )

@@ -121,3 +121,46 @@ def q_dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("edit_distance") <= 20)
     )
+
+
+@demo(
+    "q_sample_split",
+    sql="""
+    SELECT CASE WHEN h < 'cc' THEN 'train'
+                WHEN h < 'e6' THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           count(DISTINCT lang) AS n_langs
+    FROM (
+        SELECT lang, n_chars,
+               substr(md5('split1|' || CAST(doc_id AS VARCHAR)), 1, 2) AS h
+        FROM documents
+    )
+    GROUP BY 1
+    """,
+)
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deterministic train/val/test corpus split (~80/10/10) by keyed md5
+    of doc_id — membership is a pure function of the row, so the split is
+    reproducible across engines, partitionings, and re-runs, and a
+    document can never migrate between splits when the corpus grows (the
+    property that keeps eval sets uncontaminated as a 100 TB corpus is
+    re-snapshotted). Hex-prefix thresholds ('cc' = 204/256, 'e6' = 230/256)
+    keep the comparison a plain string compare on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.substring(
+        F.md5(F.concat(F.lit("split1|"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    split = (
+        F.when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars", "lang")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )

@@ -1,0 +1,119 @@
+"""Pure-expression Bloom-filter runtime pre-filter for big joins.
+
+The production pattern behind Spark's own runtime row-level filtering
+(``spark.sql.optimizer.runtime.bloomFilter.enabled``), re-built here from
+first principles as plain DataFrame expressions so it works on ANY join —
+including ones the optimizer won't inject a filter into (non-equi
+follow-ups, unions of facts, pre-aggregated dims) — and so the mechanism
+itself is testable:
+
+1. BUILD: hash every build-side key ``k`` times with ``xxhash64`` (salted
+   with the probe index), fold the bit positions into ≤ ``m/64`` (word,
+   mask) rows with a map-side-combined ``bit_or`` aggregation. The shuffle
+   moves at most ``m/64`` groups — a few KB — regardless of build-side row
+   count; one ``map_from_arrays`` then packs the words into a single-row
+   map<word, 64-bit mask>.
+2. PROBE: broadcast the one-row bloom to the fact side (broadcast
+   nested-loop join of a single row = map-only) and keep rows whose every
+   probe bit is set. No shuffle touches the fact table; the probe is a
+   per-row expression inside the scan's codegen stage.
+
+A Bloom filter admits false positives, never false negatives, so the
+pre-filter is TRANSPARENT: following it with the exact join returns
+exactly the plain join's rows. At 100 TB the win is shuffle volume — the
+exact join shuffles only the surviving sliver of the fact table. FP rate
+is ``(1 - e^(-k·n/m))^k``; the default m=65536 bits / k=3 holds ~9k keys
+at < 0.3%, and both knobs scale with the build side.
+
+Reference parity: the reference joins realtime trips to scheduled trips
+after filtering the schedule side (scripts/data_processor.py:61-77); at
+reference scale a hash join suffices, at 100 TB a dim-key pre-filter is
+what keeps the fact shuffle affordable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_M_BITS = 65536  # bits in the filter (→ m/64 = 1024 words)
+DEFAULT_K = 3  # probes per key
+
+
+def _positions(key: Column, k: int, m_bits: int) -> list[Column]:
+    """k bit positions for a key: pmod(xxhash64(i, key), m_bits).
+
+    The probe index is mixed in as a leading lit(i) (IntegerType on both
+    build and probe side — xxhash64 is type-sensitive, so the two sides
+    MUST build positions through this one helper).
+    """
+    return [
+        F.pmod(F.xxhash64(F.lit(i), key), F.lit(m_bits)).cast("long")
+        for i in range(k)
+    ]
+
+
+def build_bloom(
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Aggregate a build-side key column into a single-row Bloom map.
+
+    Returns a one-row DataFrame with column ``bloom``: map<long, long>
+    from word index (bit position div 64) to the OR of that word's set
+    bits. Partial aggregation collapses each input partition to ≤ m/64
+    rows before the (tiny) shuffle; duplicate keys are harmless (bit_or
+    is idempotent), so the caller does NOT need a distinct first.
+    """
+    probes = keys.select(
+        F.explode(F.array(*_positions(F.col(key_col), k, m_bits))).alias("pos")
+    )
+    words = (
+        probes.select(
+            F.shiftright(F.col("pos"), 6).cast("long").alias("word"),
+            F.expr("shiftleft(1L, CAST(pmod(pos, 64) AS INT))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("mask"))
+    )
+    return words.groupBy().agg(
+        F.map_from_arrays(F.collect_list("word"), F.collect_list("mask")).alias(
+            "bloom"
+        )
+    )
+
+
+def bloom_prefilter(
+    fact: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Keep fact rows whose key passes every Bloom probe (map-only).
+
+    ``bloom`` is the one-row output of :func:`build_bloom` built with the
+    same (m_bits, k). The single row is broadcast, so the probe plan is a
+    BroadcastNestedLoopJoin that degenerates to a per-row expression — no
+    shuffle, no repartitioning of the fact side. NULL keys never pass
+    (xxhash64 of NULL with a non-null seed still yields a position, but a
+    NULL key cannot equi-join anyway; callers filter nulls in the exact
+    join that follows).
+    """
+    probed = fact.crossJoin(F.broadcast(bloom))
+    positions = _positions(F.col(key_col), k, m_bits)
+    for i, pos in enumerate(positions):
+        probed = probed.withColumn(f"__bf_pos{i}", pos)
+    cond = F.lit(True)
+    for i in range(k):
+        word = F.shiftright(F.col(f"__bf_pos{i}"), 6).cast("long")
+        mask = F.expr(f"shiftleft(1L, CAST(pmod(__bf_pos{i}, 64) AS INT))")
+        hit = (
+            F.coalesce(F.element_at(F.col("bloom"), word), F.lit(0).cast("long"))
+            .bitwiseAND(mask)
+            != 0
+        )
+        cond = cond & hit
+    return probed.where(cond).drop("bloom", *[f"__bf_pos{i}" for i in range(k)])
