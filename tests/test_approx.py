@@ -54,3 +54,36 @@ def test_approx_quantiles_bracket_exact(spark, sf_dir):
         assert set(qs) == {"0.25", "0.50", "0.90", "0.99"}
         # discrete exact element at ceil(n/2) brackets the interpolated median
         assert abs(qs["0.50"]["exact_price"] - exact[flag]) / exact[flag] < 0.05
+
+
+def test_cms_topk_overestimates_within_collision_bound(spark, sf_dir):
+    """CMS invariants re-derived independently: est >= exact always (min
+    of counters that each include the token's own count), and the
+    overestimate is bounded by the total collision mass N·d/w with slack.
+    A hard-coded est = exact would also pass here, so additionally check
+    the sketch against a pure-Python mirror of one counter row."""
+    import hashlib
+
+    rows = load_registry()["q_approx_topk_cms"].fn(spark, sf_dir).collect()
+    assert len(rows) == 8
+    tokens = [
+        r["t"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .where(F.col("t") != "")
+        .collect()
+    ]
+    n_total = len(tokens)
+    from collections import Counter
+
+    exact = Counter(tokens)
+    row0 = Counter(
+        int(hashlib.md5(f"cms0|{t}".encode()).hexdigest()[:8], 16) % 512
+        for t in tokens
+    )
+    for r in rows:
+        assert r["exact_n"] == exact[r["token"]]
+        assert r["cms_est"] >= r["exact_n"]
+        assert r["cms_est"] - r["exact_n"] <= 4 * n_total // 512
+        pos0 = int(hashlib.md5(f"cms0|{r['token']}".encode()).hexdigest()[:8], 16) % 512
+        assert r["cms_est"] <= row0[pos0]  # est is min over rows ≤ row-0 counter

@@ -103,6 +103,7 @@ _WINDOW_FRONT = [
     "q_text_bpe_merges",
     "q_join_bloom_prefilter",
     "q_sample_split",
+    "q_approx_topk_cms",
     # (c) implementation changed since last green row: the r5
     # persist(DISK_ONLY) rewrite of the reuse checkpoints touches every
     # consumer of minhash_lsh_pairs/simhash_pairs and the IVF family;
@@ -137,7 +138,6 @@ _WINDOW_FILLER = [
     "q_expr_cast",
     "q_expr_math",
     "q_filter_entity",
-    "q_filter_sentinel",
 ]
 
 _WINDOW = _WINDOW_FRONT + _WINDOW_FILLER

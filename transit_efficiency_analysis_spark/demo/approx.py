@@ -140,3 +140,96 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").alias("exact_price"),
         within.alias("within_5pct"),
     )
+
+
+@demo(
+    "q_approx_topk_cms",
+    sql="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    tokens AS (SELECT t FROM tok WHERE t <> ''),
+    top8 AS (
+        SELECT t, count(*) AS exact_n
+        FROM tokens GROUP BY t
+        ORDER BY exact_n DESC, t ASC LIMIT 8
+    ),
+    probes AS (
+        SELECT t, r,
+               CAST('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || '|' || t), 1, 8)
+                    AS BIGINT) % 512 AS pos
+        FROM tokens CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS r)
+    ),
+    counters AS (
+        SELECT r, pos, count(*) AS cnt FROM probes GROUP BY r, pos
+    ),
+    est AS (
+        SELECT p.t, min(c.cnt) AS cms_est
+        FROM (
+            SELECT t, r,
+                   CAST('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || '|' || t), 1, 8)
+                        AS BIGINT) % 512 AS pos
+            FROM top8 CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS r)
+        ) p
+        JOIN counters c ON p.r = c.r AND p.pos = c.pos
+        GROUP BY p.t
+    )
+    SELECT top8.t AS token,
+           top8.exact_n,
+           CAST(est.cms_est AS BIGINT) AS cms_est
+    FROM top8 JOIN est ON top8.t = est.t
+    """,
+)
+def q_approx_topk_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters: token frequencies folded into a
+    fixed d=3 × w=512 counter grid — the shuffle moves at most d·w = 1536
+    groups regardless of corpus size (vs a full per-token distinct-count
+    shuffle), which is the sketch's 100 TB selling point. Estimates are
+    min over the d hashed counters, so ``cms_est >= exact_n`` always and
+    the overestimate is bounded by collisions (~2N/w per row w.h.p.).
+
+    Unlike HLL/GK (engine-specific internals), this CMS is built from
+    md5 arithmetic both engines evaluate identically, so the ORACLE
+    RECOMPUTES THE WHOLE SKETCH — the driver hash verifies the estimate
+    itself, not just a bounds boolean. Probe set = exact top-8 tokens
+    (deterministic count-desc, token-asc tie-break)."""
+    d_rows = 3
+    w = 512
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("t"))
+        .where(F.col("t") != "")
+    )
+
+    def pos(r):
+        hx = F.md5(F.concat(F.lit(f"cms{r}|"), F.col("t")))
+        return (
+            F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % w
+        ).alias("pos")
+
+    probes = tokens.select(
+        "t",
+        F.explode(
+            F.array(*[F.struct(F.lit(r).alias("r"), pos(r)) for r in range(d_rows)])
+        ).alias("rp"),
+    ).select("t", F.col("rp.r").alias("r"), F.col("rp.pos").alias("pos"))
+    counters = probes.groupBy("r", "pos").agg(F.count(F.lit(1)).alias("cnt"))
+    top8 = (
+        tokens.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("t").asc())
+        .limit(8)
+    )
+    top8_probes = top8.select(
+        "t",
+        "exact_n",
+        F.explode(
+            F.array(*[F.struct(F.lit(r).alias("r"), pos(r)) for r in range(d_rows)])
+        ).alias("rp"),
+    ).select("t", "exact_n", F.col("rp.r").alias("r"), F.col("rp.pos").alias("pos"))
+    return (
+        F.broadcast(top8_probes)
+        .join(counters, ["r", "pos"])
+        .groupBy(F.col("t").alias("token"), "exact_n")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
