@@ -21,6 +21,8 @@ _SENSITIVE = [
     "q_dedup_minhash_lsh",  # md5 band minima + count-join Jaccard
     "q_retrieval_bm25",     # integer ppm scores + top-k tie-break
     "q_graph_pagerank",     # iterative integer rank updates over a loop
+    "q_approx_topk_cms",    # md5 counter grid + count-desc/token-asc tie-break
+    "q_stats_regression",   # decimal-exact OLS sums, one closing division
 ]
 
 

@@ -104,6 +104,7 @@ _WINDOW_FRONT = [
     "q_join_bloom_prefilter",
     "q_sample_split",
     "q_approx_topk_cms",
+    "q_stats_regression",
     # (c) implementation changed since last green row: the r5
     # persist(DISK_ONLY) rewrite of the reuse checkpoints touches every
     # consumer of minhash_lsh_pairs/simhash_pairs and the IVF family;
@@ -136,7 +137,6 @@ _WINDOW_FILLER = [
     "q_dedup_window_latest",
     "q_distinct_agg",
     "q_expr_cast",
-    "q_expr_math",
     "q_filter_entity",
 ]
 

@@ -385,3 +385,64 @@ def events_funnel(e: DataFrame) -> DataFrame:
             "stack(3, 1, '{0}', n1, 2, '{1}', n2, 3, '{2}', n3)".format(*_FUNNEL_STEPS)
         ).alias("step", "event_type", "n_users")
     )
+
+
+@demo(
+    "q_stats_regression",
+    sql="""
+    WITH b AS (
+        SELECT event_type,
+               CAST(EXTRACT(hour FROM ts) AS BIGINT) AS x,
+               CAST(value AS DECIMAL(18,6)) AS y
+        FROM events
+    )
+    SELECT event_type,
+           count(*) AS n,
+           round(CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE)
+                 / CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE), 6)
+               AS slope_per_hour,
+           round((CAST(sum(y) AS DOUBLE)
+                  - (CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE)
+                     / CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE))
+                    * CAST(sum(x) AS DOUBLE))
+                 / count(*), 6) AS intercept
+    FROM b
+    GROUP BY event_type
+    """,
+)
+def q_stats_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend fit (value vs hour-of-day) — the drift-detection
+    shape (is error volume creeping up over the day? is engagement value
+    decaying?) run as ONE partial-aggregated pass: slope and intercept are
+    derived from five commutative sums (n, Σx, Σy, Σxy, Σx²), so the
+    shuffle carries five numbers per group no matter how many billions of
+    rows feed the fit — there is no per-group sort, window, or second
+    scan. Cross-engine parity: x is integral, y is DECIMAL(18,6), so the
+    four sums are EXACT and partition-invariant; the closing
+    slope/intercept division happens once per group on identical exact
+    inputs, rounded to 6 decimals (the q_agg_stats convention)."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("x"),
+        F.col("value").cast("decimal(18,6)").alias("y"),
+    )
+    agg = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n")
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope_per_hour"),
+        F.round(intercept, 6).alias("intercept"),
+    )
