@@ -105,6 +105,7 @@ _WINDOW_FRONT = [
     "q_sample_split",
     "q_approx_topk_cms",
     "q_stats_regression",
+    "q_text_collocations",
     # (c) implementation changed since last green row: the r5
     # persist(DISK_ONLY) rewrite of the reuse checkpoints touches every
     # consumer of minhash_lsh_pairs/simhash_pairs and the IVF family;
@@ -133,7 +134,6 @@ _WINDOW_FILLER = [
     "q_case_avg",
     "q_case_bucket",
     "q_case_diff",
-    "q_case_null",
     "q_dedup_window_latest",
     "q_distinct_agg",
     "q_expr_cast",

@@ -283,3 +283,96 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merge_round int, left_sym string, right_sym string, "
         "merged string, pair_count long",
     )
+
+
+@demo(
+    "q_text_collocations",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    bigrams AS (
+        SELECT unnest([w[i] || ' ' || w[i+1]
+                       FOR i IN generate_series(1, greatest(len(w) - 1, 0))]) AS bg
+        FROM toks
+    ),
+    bg_counts AS (
+        SELECT bg, count(*) AS c_xy FROM bigrams GROUP BY bg HAVING count(*) >= 10
+    ),
+    unigrams AS (
+        SELECT unnest(w) AS t FROM toks
+    ),
+    uni AS (
+        SELECT t, count(*) AS c FROM unigrams WHERE t <> '' GROUP BY t
+    ),
+    totals AS (SELECT count(*) AS n FROM unigrams WHERE t <> ''),
+    lifted AS (
+        SELECT b.bg, b.c_xy, ux.c AS c_x, uy.c AS c_y,
+               (b.c_xy * n // (ux.c * uy.c)) * 1000000
+                   + ((b.c_xy * n % (ux.c * uy.c)) * 1000000) // (ux.c * uy.c)
+                   AS lift_ppm
+        FROM bg_counts b
+        JOIN uni ux ON ux.t = string_split(b.bg, ' ')[1]
+        JOIN uni uy ON uy.t = string_split(b.bg, ' ')[2]
+        CROSS JOIN totals
+    )
+    SELECT bg AS bigram, c_xy, c_x, c_y, CAST(lift_ppm AS BIGINT) AS lift_ppm
+    FROM lifted
+    ORDER BY lift_ppm DESC, bigram ASC LIMIT 20
+    """,
+)
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top bigrams by PMI-style lift
+    ``P(xy)/(P(x)·P(y)) = c_xy·N/(c_x·c_y)`` in exact ppm integers
+    (monotone in PMI, so the ranking is identical without a float log).
+    The shape is the corpus-statistics pass every tokenizer/phrase-table
+    build runs at 100 TB: bigram and unigram counts partial-aggregate
+    map-side, the ``c_xy >= 10`` support floor prunes the long tail
+    BEFORE the two token-keyed joins, the corpus total rides in as a
+    1-row broadcast, and top-20 is TakeOrderedAndProject — no global
+    sort. ppm_div envelope: c_xy·N < 9.2e18 holds to ~10^9-token corpora
+    per ppm_div's documented bound; beyond that the same formula runs in
+    DECIMAL(38,0)."""
+    from transit_efficiency_analysis_spark.operators.retrieval import ppm_div
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(words("text").alias("w"))
+    bigrams = toks.select(
+        F.explode(
+            F.when(
+                F.size("w") < 2, F.array().cast("array<string>")
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 1),
+                    lambda i: F.concat_ws(" ", F.element_at("w", i), F.element_at("w", i + 1)),
+                )
+            )
+        ).alias("bg")
+    )
+    bg_counts = (
+        bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("c_xy")).where(F.col("c_xy") >= 10)
+    )
+    unigrams = toks.select(F.explode("w").alias("t")).where(F.col("t") != "")
+    uni = unigrams.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    totals = unigrams.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    split_bg = F.split(F.col("bg"), " ")
+    withx = bg_counts.withColumn("tx", F.element_at(split_bg, 1)).withColumn(
+        "ty", F.element_at(split_bg, 2)
+    )
+    ux = uni.select(F.col("t").alias("tx"), F.col("c").alias("c_x"))
+    uy = uni.select(F.col("t").alias("ty"), F.col("c").alias("c_y"))
+    lifted = (
+        withx.join(ux, "tx")
+        .join(uy, "ty")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("bg").alias("bigram"),
+            "c_xy",
+            "c_x",
+            "c_y",
+            ppm_div(F.col("c_xy") * F.col("n"), F.col("c_x") * F.col("c_y")).alias(
+                "lift_ppm"
+            ),
+        )
+    )
+    return lifted.orderBy(F.col("lift_ppm").desc(), F.col("bigram").asc()).limit(20)
