@@ -106,6 +106,7 @@ _WINDOW_FRONT = [
     "q_approx_topk_cms",
     "q_stats_regression",
     "q_text_collocations",
+    "q_sink_jsonl",
     # (c) implementation changed since last green row: the r5
     # persist(DISK_ONLY) rewrite of the reuse checkpoints touches every
     # consumer of minhash_lsh_pairs/simhash_pairs and the IVF family;
@@ -133,7 +134,6 @@ _WINDOW_FILLER = [
     "q_agg_stats",
     "q_case_avg",
     "q_case_bucket",
-    "q_case_diff",
     "q_dedup_window_latest",
     "q_distinct_agg",
     "q_expr_cast",

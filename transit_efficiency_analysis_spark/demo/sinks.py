@@ -258,3 +258,32 @@ def q_validate_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return report.orderBy("check_name")
+
+
+@demo(
+    "q_sink_jsonl",
+    sql="""
+    SELECT event_id, user_id, ts, event_type, value
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_sink_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sink/src-jsonl: newline-delimited JSON round-trip — the interchange
+    format data vendors actually ship. Write a slice as JSONL, read it
+    back with an explicit schema (schema-on-read: no inference pass over
+    100 TB), and return it; the oracle reads the ORIGINAL table, so the
+    driver hash proves the round-trip lossless including timestamp
+    fidelity (ISO-8601 micros, UTC session zone on both legs)."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "event_type", "value")
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"teas_sink_jsonl_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"  # default JSON format drops micros
+    e.write.mode("overwrite").option("timestampFormat", ts_fmt).json(path)
+    back = spark.read.schema(e.schema).option("timestampFormat", ts_fmt).json(path)
+    return back
