@@ -107,6 +107,7 @@ _WINDOW_FRONT = [
     "q_stats_regression",
     "q_text_collocations",
     "q_sink_jsonl",
+    "q_window_ohlc",
     # (c) implementation changed since last green row: the r5
     # persist(DISK_ONLY) rewrite of the reuse checkpoints touches every
     # consumer of minhash_lsh_pairs/simhash_pairs and the IVF family;
@@ -132,7 +133,6 @@ _WINDOW_FILLER = [
     "q_agg_pivot",
     "q_agg_rollup",
     "q_agg_stats",
-    "q_case_avg",
     "q_case_bucket",
     "q_dedup_window_latest",
     "q_distinct_agg",

@@ -189,3 +189,49 @@ def gapfill_ffill(e: DataFrame) -> DataFrame:
         F.col("day_value").isNull().alias("is_filled"),
         F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+@demo(
+    "q_window_ohlc",
+    sql="""
+    SELECT DISTINCT
+           date_trunc('hour', ts) AS bucket,
+           event_type,
+           first_value(value) OVER w AS open,
+           max(value) OVER w AS high,
+           min(value) OVER w AS low,
+           last_value(value) OVER w AS close,
+           CAST(count(*) OVER w AS BIGINT) AS n_events
+    FROM events
+    WINDOW w AS (
+        PARTITION BY date_trunc('hour', ts), event_type
+        ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    """,
+)
+def q_window_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """time-series downsample to OHLC bars (open/high/low/close per hour
+    per series) — the resample shape every metrics store runs. Spark side
+    is ONE aggregation pass with struct-ordered min/max picking open and
+    close (min/max over struct(ts, event_id, value) — event_id breaks ts
+    ties, so the bar is deterministic under any partitioning), NO window
+    sort: the shuffle carries one 5-field row per (bucket, series) from
+    each map partition. The oracle takes the classical windowed-SQL
+    route (first_value/last_value over an ordered frame) — two
+    independent algorithms, one hash."""
+    e = load_table(spark, sf_dir, "events")
+    ordered = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.min(ordered).getField("value").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(ordered).getField("value").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
