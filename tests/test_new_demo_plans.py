@@ -1,0 +1,67 @@
+"""Plan-shape budgets for the round-5 late additions: the scale claims in
+docs/SCALE.md must be visible in the physical plan (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+from transit_efficiency_analysis_spark.demo import load_registry
+from transit_efficiency_analysis_spark.plans import (
+    assert_no_python_row_udf,
+    count_shuffles,
+    physical_plan,
+)
+
+
+def test_regression_is_single_shuffle(spark, sf_dir):
+    df = load_registry()["q_stats_regression"].fn(spark, sf_dir)
+    assert count_shuffles(df) == 1, "OLS must be one partial-aggregated pass"
+    plan = physical_plan(df)
+    assert "HashAggregate" in plan
+    assert_no_python_row_udf(df)
+
+
+def test_ohlc_is_single_shuffle_no_sort(spark, sf_dir):
+    df = load_registry()["q_window_ohlc"].fn(spark, sf_dir)
+    assert count_shuffles(df) == 1, "OHLC must be one aggregation pass"
+    assert "Window" not in physical_plan(df), "OHLC must not use a window sort"
+
+
+def test_collocations_topk_is_take_ordered(spark, sf_dir):
+    df = load_registry()["q_text_collocations"].fn(spark, sf_dir)
+    assert "TakeOrderedAndProject" in physical_plan(df), (
+        "top-20 must compile to per-partition heaps, not a global sort"
+    )
+
+
+def test_cms_counter_shuffle_is_bounded(spark, sf_dir):
+    """The sketch's counter aggregation groups on (r, pos) — at most
+    d·w = 1536 groups; verify the aggregate output really is bounded."""
+    from pyspark.sql import functions as F
+
+    from transit_efficiency_analysis_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(F.explode(F.split("text", " ")).alias("t")).where(
+        F.col("t") != ""
+    )
+    counters = tokens.select(
+        (
+            F.conv(F.substring(F.md5(F.concat(F.lit("cms0|"), F.col("t"))), 1, 8), 16, 10)
+            .cast("long")
+            % 512
+        ).alias("pos")
+    ).groupBy("pos").count()
+    assert counters.count() <= 512
+
+
+def test_split_assignment_is_map_only(spark, sf_dir):
+    """Split membership must be computable without any exchange — the
+    only shuffles are the summary agg's own two phases (count(distinct
+    lang) expands to a (split, lang) pre-agg), both grouped on ≤ 3×#langs
+    keys. Nothing exchanges before the split column exists."""
+    df = load_registry()["q_sample_split"].fn(spark, sf_dir)
+    assert count_shuffles(df) <= 2
+    plan = physical_plan(df)
+    # the split CASE expression must be computed in the scan's project,
+    # i.e. before the first Exchange (map-side assignment)
+    first_exchange = plan.index("Exchange")
+    assert "CASE WHEN" in plan[first_exchange:], "split assigned pre-shuffle"
