@@ -54,3 +54,30 @@ def test_greedy_fold_handles_adjacent_repeats(spark):
     )
     got = sorted(r.seg for r in apply_merge(reps, "a", "b").collect())
     assert got == sorted(["a|ab", "ab|ab", "ab|b|a"])
+
+
+def test_encode_compression_is_monotone(spark, sf_dir):
+    """Each merge can only shrink symbol sequences, so corpus_symbols is
+    non-increasing per round while word-type count is constant; round 0
+    equals total character count of all corpus words."""
+    from transit_efficiency_analysis_spark.demo import load_registry
+    from transit_efficiency_analysis_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    rows = sorted(
+        (r.merge_round, r.corpus_symbols, r.n_word_types)
+        for r in load_registry()["q_text_bpe_encode"].fn(spark, sf_dir).collect()
+    )
+    assert [r[0] for r in rows] == [0, 1, 2, 3]
+    syms = [r[1] for r in rows]
+    assert all(a >= b for a, b in zip(syms, syms[1:]))
+    assert syms[0] > syms[3], "three merges must compress a text corpus"
+    assert len({r[2] for r in rows}) == 1, "merges never change word-type count"
+    total_chars = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") > 0)
+        .agg(F.sum(F.length("w")))
+        .collect()[0][0]
+    )
+    assert syms[0] == total_chars

@@ -108,6 +108,7 @@ _WINDOW_FRONT = [
     "q_text_collocations",
     "q_sink_jsonl",
     "q_window_ohlc",
+    "q_text_bpe_encode",
     # (c) implementation changed since last green row: the r5
     # persist(DISK_ONLY) rewrite of the reuse checkpoints touches every
     # consumer of minhash_lsh_pairs/simhash_pairs and the IVF family;
@@ -127,7 +128,6 @@ _WINDOW_FRONT = [
 # Prior-green re-verification filler (all last green in r2 — the oldest
 # verdicts on the books).
 _WINDOW_FILLER = [
-    "q_agg_cube",
     "q_agg_dashboard",
     "q_agg_dashboard_weather",
     "q_agg_pivot",

@@ -376,3 +376,75 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return lifted.orderBy(F.col("lift_ppm").desc(), F.col("bigram").asc()).limit(20)
+
+
+def _bpe_encode_round_sql(rep: str, i: int) -> str:
+    return f"""
+        SELECT {i} AS merge_round,
+               CAST(sum(freq * len(string_split(seg, '|'))) AS BIGINT)
+                   AS corpus_symbols,
+               count(*) AS n_word_types
+        FROM {rep}"""
+
+
+_BPE_ENCODE_SQL = f"""
+    WITH words AS (
+        SELECT w, count(*) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE len(w) > 0
+        GROUP BY w
+    ),
+    r0 AS (
+        SELECT array_to_string(regexp_split_to_array(w, ''), '|') AS seg, freq
+        FROM words
+    ),
+    {_bpe_round_sql('r0', 1)},
+    {_bpe_round_sql('r1', 2)},
+    {_bpe_round_sql('r2', 3)}
+    {_bpe_encode_round_sql('r0', 0)}
+    UNION ALL {_bpe_encode_round_sql('r1', 1)}
+    UNION ALL {_bpe_encode_round_sql('r2', 2)}
+    UNION ALL {_bpe_encode_round_sql('r3', 3)}
+"""
+
+
+@demo("q_text_bpe_encode", sql=_BPE_ENCODE_SQL)
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE — the other half of the tokenizer loop: apply the
+    learned merge table to the corpus and measure what tokenization
+    actually buys, per round. Encoding stays on the word-type table
+    (apply each merge once per distinct word, weight by frequency), so
+    the per-round cost is O(vocabulary) with the corpus total recovered
+    as Σ freq·symbols — the same trick that makes learning distributed.
+    Output: (merge_round, corpus_symbols, n_word_types) for rounds 0-3;
+    corpus_symbols is monotonically non-increasing (each merge can only
+    shrink sequences), which tests/test_bpe.py asserts independently.
+    The oracle re-learns AND re-applies the merges via the unrolled
+    DuckDB CTE chain — both engines run the full learn→encode loop."""
+    from transit_efficiency_analysis_spark.operators.bpe import (
+        apply_merge,
+        learn_merges,
+        word_types,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = learn_merges(d, _BPE_ROUNDS)
+    reps = word_types(d)
+    stages = [reps]
+    for m in merges:
+        stages.append(apply_merge(stages[-1], m["left_sym"], m["right_sym"]))
+    summaries = []
+    for i, rep in enumerate(stages):
+        summaries.append(
+            rep.groupBy().agg(
+                F.lit(i).alias("merge_round"),
+                F.sum(
+                    F.col("freq") * F.size(F.split("seg", "[|]"))
+                ).alias("corpus_symbols"),
+                F.count(F.lit(1)).alias("n_word_types"),
+            ).select("merge_round", "corpus_symbols", "n_word_types")
+        )
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.unionAll(s)
+    return out
