@@ -109,6 +109,7 @@ _WINDOW_FRONT = [
     "q_sink_jsonl",
     "q_window_ohlc",
     "q_text_bpe_encode",
+    "q_sink_dynamic_overwrite",
     # (c) implementation changed since last green row: the r5
     # persist(DISK_ONLY) rewrite of the reuse checkpoints touches every
     # consumer of minhash_lsh_pairs/simhash_pairs and the IVF family;
@@ -130,7 +131,6 @@ _WINDOW_FRONT = [
 _WINDOW_FILLER = [
     "q_agg_dashboard",
     "q_agg_dashboard_weather",
-    "q_agg_pivot",
     "q_agg_rollup",
     "q_agg_stats",
     "q_case_bucket",

@@ -287,3 +287,40 @@ def q_sink_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     e.write.mode("overwrite").option("timestampFormat", ts_fmt).json(path)
     back = spark.read.schema(e.schema).option("timestampFormat", ts_fmt).json(path)
     return back
+
+
+@demo(
+    "q_sink_dynamic_overwrite",
+    sql="""
+    SELECT event_id, user_id, value, event_type
+    FROM events
+    WHERE event_type <> 'click' OR value >= 100
+    """,
+)
+def q_sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sink-dynamic-partition-overwrite: ``partitionOverwriteMode=dynamic``
+    rewrites ONLY the partitions present in the incoming batch — the
+    idempotent-backfill primitive at 100 TB (re-running one bad day must
+    not truncate the other 3,649). Full table written partitioned by
+    event_type, then a 'click'-only batch (filtered to value >= 100)
+    overwrites just that partition; the oracle states the expected final
+    table, so the driver hash proves the other partitions survived
+    untouched and the target partition was fully replaced."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"teas_sink_dynover_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    e.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    backfill = e.where((F.col("event_type") == "click") & (F.col("value") >= 100))
+    (
+        backfill.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type")
+        .parquet(path)
+    )
+    return spark.read.parquet(path).select(
+        "event_id", "user_id", "value", "event_type"
+    )
