@@ -110,6 +110,9 @@ _WINDOW_FRONT = [
     "q_window_ohlc",
     "q_text_bpe_encode",
     "q_sink_dynamic_overwrite",
+    "q_agg_mode",
+    "q_agg_share",
+    "q_join_nullsafe",
     # (c) implementation changed since last green row: the r5
     # persist(DISK_ONLY) rewrite of the reuse checkpoints touches every
     # consumer of minhash_lsh_pairs/simhash_pairs and the IVF family;
@@ -132,9 +135,6 @@ _WINDOW_FILLER = [
     "q_agg_dashboard",
     "q_agg_dashboard_weather",
     "q_agg_rollup",
-    "q_agg_stats",
-    "q_case_bucket",
-    "q_dedup_window_latest",
     "q_distinct_agg",
     "q_expr_cast",
     "q_filter_entity",

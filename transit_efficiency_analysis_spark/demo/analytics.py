@@ -446,3 +446,64 @@ def q_stats_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("slope_per_hour"),
         F.round(intercept, 6).alias("intercept"),
     )
+
+
+@demo(
+    "q_agg_mode",
+    sql="""
+    SELECT source, lang AS modal_lang, n_docs
+    FROM (
+        SELECT source, lang, count(*) AS n_docs,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY count(*) DESC, lang DESC) AS rn
+        FROM documents
+        GROUP BY source, lang
+    )
+    WHERE rn = 1
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: the most frequent lang per source.
+    Engine-native ``mode()`` breaks ties arbitrarily on BOTH engines, so
+    this uses the exact two-phase shape instead: count per (group, value)
+    — partial-aggregated, so the shuffle carries one row per distinct
+    pair per map partition — then ``max(struct(count, value))`` picks
+    (highest count, lexicographically-largest value) with NO second
+    shuffle and no window sort. Partition-invariant by construction."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    best = counts.groupBy("source").agg(
+        F.max(F.struct("n_docs", "lang")).alias("m")
+    )
+    return best.select(
+        "source",
+        F.col("m.lang").alias("modal_lang"),
+        F.col("m.n_docs").alias("n_docs"),
+    )
+
+
+@demo(
+    "q_agg_share",
+    sql="""
+    WITH c AS (SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type),
+    t AS (SELECT sum(n_events) AS total FROM c)
+    SELECT event_type, n_events,
+           CAST((n_events * 1000000) // total AS BIGINT) AS share_ppm
+    FROM c CROSS JOIN t
+    """,
+)
+def q_agg_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total in exact ppm: the grand total rides in as a
+    ONE-ROW broadcast cross join, NOT an unpartitioned window — a
+    ``sum() over ()`` would funnel every row through a single window
+    partition, the classic 100 TB anti-pattern this demo exists to
+    replace. Two tiny aggregations (both bounded by #groups) and a
+    broadcast; integer ppm keeps the share hash-exact."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    t = c.groupBy().agg(F.sum("n_events").alias("total"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "event_type",
+        "n_events",
+        F.expr("CAST((n_events * 1000000) div total AS BIGINT)").alias("share_ppm"),
+    )

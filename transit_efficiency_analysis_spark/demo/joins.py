@@ -269,3 +269,55 @@ def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("l_quantity").alias("sum_qty"),
         )
     )
+
+
+@demo(
+    "q_join_nullsafe",
+    sql="""
+    WITH keyed AS (
+        SELECT nullif(event_type, 'view') AS k, value FROM events
+    ),
+    dim AS (
+        SELECT * FROM (VALUES ('click', 'interactive'), ('purchase', 'revenue'),
+                              ('signup', 'growth'), ('error', 'reliability'),
+                              (NULL, 'passive')) AS t(k, label)
+    )
+    SELECT d.label, count(*) AS n_events,
+           CAST(CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE)
+               AS sum_value
+    FROM keyed e JOIN dim d ON e.k IS NOT DISTINCT FROM d.k
+    GROUP BY d.label
+    """,
+)
+def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    match NULL dim rows instead of silently dropping — the semantics a
+    sentinel-encoded feed needs when "no category" is itself a category.
+    Stays a broadcast HASH join (null-safe equality is still an equi-key
+    to Spark), not the nested-loop a ``coalesce``-rewrite inequality
+    would force."""
+    from transit_efficiency_analysis_spark.functions.parity import parity_double
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.nullif("event_type", F.lit("view")).alias("k"), "value"
+    )
+    dim = spark.createDataFrame(
+        [
+            ("click", "interactive"),
+            ("purchase", "revenue"),
+            ("signup", "growth"),
+            ("error", "reliability"),
+            (None, "passive"),
+        ],
+        "k string, label string",
+    )
+    return (
+        e.join(F.broadcast(dim), e.k.eqNullSafe(dim.k))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            parity_double(F.sum(F.col("value").cast("decimal(18,6)")), 6).alias(
+                "sum_value"
+            ),
+        )
+    )
