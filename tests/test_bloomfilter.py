@@ -72,3 +72,20 @@ def test_bloom_is_bounded_and_small(spark):
     keys = spark.range(0, 20_000).select(F.col("id").alias("k"))
     row = build_bloom(keys, "k").collect()[0]
     assert len(row.bloom) <= 1024
+
+
+def test_sized_m_bits_envelope():
+    from transit_efficiency_analysis_spark.operators.bloomfilter import (
+        DEFAULT_M_BITS,
+        MAX_M_BITS,
+        sized_m_bits,
+    )
+
+    assert sized_m_bits(0) == DEFAULT_M_BITS
+    assert sized_m_bits(1000) == DEFAULT_M_BITS  # floor
+    assert sized_m_bits(30_076) == 1 << 19  # the measured sf0.1 case
+    assert sized_m_bits(10**9) == MAX_M_BITS  # broadcast budget cap
+    for n in (5000, 50_000, 500_000):
+        m = sized_m_bits(n)
+        assert m >= min(16 * n, MAX_M_BITS)
+        assert m & (m - 1) == 0  # power of two

@@ -259,8 +259,14 @@ def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("o_orderpriority") == "1-URGENT")
         .select("o_orderkey")
     )
-    bloom = build_bloom(keys, "o_orderkey")
-    candidates = bloom_prefilter(li, bloom, "l_orderkey")
+    # one tiny dim-side count sizes the filter (16 bits/key ≈ 0.5% FP);
+    # the dim is the cheap side — same pattern as the IVF family's
+    # statistics-derived centroid count
+    from transit_efficiency_analysis_spark.operators.bloomfilter import sized_m_bits
+
+    m_bits = sized_m_bits(keys.count())
+    bloom = build_bloom(keys, "o_orderkey", m_bits=m_bits)
+    candidates = bloom_prefilter(li, bloom, "l_orderkey", m_bits=m_bits)
     return (
         candidates.join(F.broadcast(keys), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_returnflag")

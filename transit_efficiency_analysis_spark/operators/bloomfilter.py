@@ -38,6 +38,27 @@ from pyspark.sql import functions as F
 
 DEFAULT_M_BITS = 65536  # bits in the filter (→ m/64 = 1024 words)
 DEFAULT_K = 3  # probes per key
+MAX_M_BITS = 1 << 26  # 8 MB of words — the broadcast budget cap
+
+
+def sized_m_bits(
+    n_keys: int, bits_per_key: int = 16, max_bits: int = MAX_M_BITS
+) -> int:
+    """Filter size for a known build-side key count: next power of two
+    ≥ 16·n (k=3 probes at 16 bits/key → ~0.5% FP), clamped to
+    [DEFAULT_M_BITS, max_bits]. The cap is the broadcast budget: past it
+    (≈ 4M keys at 16 b/key) FP rate degrades gracefully instead of the
+    bloom outgrowing what a one-row broadcast should carry — at that
+    point the filter still culls, it just culls less, and the exact join
+    keeps the result correct. Measured at sf0.1 (30,076 urgent keys,
+    600k lineitem): default m=65536 passes 53.5% of fact rows (20.1%
+    true matches + 33.4% FPs); sized m=2^19 passes 20.4% (0.34% FPs) —
+    a 2.6× cut in exact-join shuffle volume for 56 KB more broadcast.
+    """
+    m = DEFAULT_M_BITS
+    while m < n_keys * bits_per_key and m < max_bits:
+        m <<= 1
+    return m
 
 
 def _positions(key: Column, k: int, m_bits: int) -> list[Column]:
