@@ -113,6 +113,7 @@ _WINDOW_FRONT = [
     "q_agg_mode",
     "q_agg_share",
     "q_join_nullsafe",
+    "q_join_incremental_maintenance",
     # (c) implementation changed since last green row: the r5
     # persist(DISK_ONLY) rewrite of the reuse checkpoints touches every
     # consumer of minhash_lsh_pairs/simhash_pairs and the IVF family;
@@ -134,7 +135,6 @@ _WINDOW_FRONT = [
 _WINDOW_FILLER = [
     "q_agg_dashboard",
     "q_agg_dashboard_weather",
-    "q_agg_rollup",
     "q_distinct_agg",
     "q_expr_cast",
     "q_filter_entity",
