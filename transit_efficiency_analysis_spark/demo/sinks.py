@@ -324,3 +324,36 @@ def q_sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path).select(
         "event_id", "user_id", "value", "event_type"
     )
+
+
+@demo(
+    "q_sink_codec_zstd",
+    sql="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
+    FROM lineitem WHERE l_orderkey % 13 = 6
+    """,
+)
+def q_sink_codec_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sink-codec: parquet compression is a per-write knob
+    (``compression=zstd`` vs the snappy default) — at 100 TB the codec
+    choice is a double-digit-percent storage and scan-IO decision, and
+    it must be transparent to readers. Writes the same slice with zstd
+    AND snappy, verifies both round-trip to identical content, returns
+    the zstd read; the oracle reads the original table."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 13 == 6)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate")
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"teas_sink_codec_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    zstd_path, snappy_path = base + "_zstd", base + "_snappy"
+    li.write.mode("overwrite").option("compression", "zstd").parquet(zstd_path)
+    li.write.mode("overwrite").option("compression", "snappy").parquet(snappy_path)
+    z = spark.read.parquet(zstd_path)
+    s = spark.read.parquet(snappy_path)
+    if z.exceptAll(s).count() != 0 or s.exceptAll(z).count() != 0:
+        raise AssertionError("zstd and snappy round-trips disagree")
+    return z
