@@ -115,6 +115,7 @@ _WINDOW_FRONT = [
     "q_join_nullsafe",
     "q_join_incremental_maintenance",
     "q_sink_codec_zstd",
+    "q_window_ntile",
     # (c) implementation changed since last green row: the r5
     # persist(DISK_ONLY) rewrite of the reuse checkpoints touches every
     # consumer of minhash_lsh_pairs/simhash_pairs and the IVF family;
@@ -135,7 +136,6 @@ _WINDOW_FRONT = [
 # verdicts on the books).
 _WINDOW_FILLER = [
     "q_agg_dashboard",
-    "q_agg_dashboard_weather",
     "q_expr_cast",
     "q_filter_entity",
 ]

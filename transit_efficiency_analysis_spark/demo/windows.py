@@ -122,3 +122,38 @@ def q_window_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w).alias("cheapest_order"),
         F.last("o_orderkey").over(w_full).alias("priciest_order"),
     )
+
+
+@demo(
+    "q_window_ntile",
+    sql="""
+    SELECT decile, count(*) AS n_orders,
+           min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+    FROM (
+        SELECT o_totalprice,
+               ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+        FROM orders
+    )
+    GROUP BY decile
+    """,
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """equi-depth binning via ntile(10) — the feature-bucketing shape
+    (both engines implement the SQL-standard ceil-division tile split,
+    and the o_orderkey tie-break makes bin membership total-ordered and
+    deterministic). The unpartitioned window is the honest cost of a
+    GLOBAL equi-depth split; at 100 TB the same contract is served by
+    `q_clean_winsorize`-style rank arithmetic per partition key or the
+    approx-quantile cutpoints — this demo pins the exact semantics those
+    approximations are judged against."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
