@@ -116,6 +116,7 @@ _WINDOW_FRONT = [
     "q_join_incremental_maintenance",
     "q_sink_codec_zstd",
     "q_window_ntile",
+    "q_events_retention",
     # (c) implementation changed since last green row: the r5
     # persist(DISK_ONLY) rewrite of the reuse checkpoints touches every
     # consumer of minhash_lsh_pairs/simhash_pairs and the IVF family;
@@ -137,7 +138,6 @@ _WINDOW_FRONT = [
 _WINDOW_FILLER = [
     "q_agg_dashboard",
     "q_expr_cast",
-    "q_filter_entity",
 ]
 
 _WINDOW = _WINDOW_FRONT + _WINDOW_FILLER

@@ -507,3 +507,71 @@ def q_agg_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.expr("CAST((n_events * 1000000) div total AS BIGINT)").alias("share_ppm"),
     )
+
+
+@demo(
+    "q_events_retention",
+    sql="""
+    WITH activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    ),
+    firsts AS (
+        SELECT user_id, min(wk) AS cohort_wk FROM activity GROUP BY user_id
+    ),
+    joined AS (
+        SELECT f.cohort_wk,
+               CAST((epoch(a.wk) - epoch(f.cohort_wk)) / 604800 AS BIGINT)
+                   AS weeks_since,
+               a.user_id
+        FROM activity a JOIN firsts f ON a.user_id = f.user_id
+    ),
+    cells AS (
+        SELECT cohort_wk, weeks_since, count(*) AS n_active
+        FROM joined GROUP BY cohort_wk, weeks_since
+    ),
+    sizes AS (
+        SELECT cohort_wk, n_active AS cohort_size FROM cells WHERE weeks_since = 0
+    )
+    SELECT c.cohort_wk, c.weeks_since, c.n_active, s.cohort_size,
+           CAST((c.n_active * 1000000) // s.cohort_size AS BIGINT) AS retention_ppm
+    FROM cells c JOIN sizes s ON c.cohort_wk = s.cohort_wk
+    """,
+)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active week, tracked by
+    weeks-since-cohort — the growth-analytics shape next to the funnel.
+    One distinct (user, week) pass, one per-user min (both shuffle on
+    user_id, and AQE reuses the partitioning for the self-join), then
+    the (cohort, week) matrix is BOUNDED BY #cohorts × #weeks — tiny —
+    so the closing size join broadcasts. Weeks are UTC Monday-truncated
+    on both engines; `weeks_since` is exact epoch arithmetic (no DST in
+    UTC), retention in exact integer ppm."""
+    e = load_table(spark, sf_dir, "events")
+    activity = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    firsts = activity.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    joined = activity.join(firsts, "user_id").select(
+        "cohort_wk",
+        (
+            (F.unix_timestamp("wk") - F.unix_timestamp("cohort_wk")) / 604800
+        ).cast("long").alias("weeks_since"),
+        "user_id",
+    )
+    cells = joined.groupBy("cohort_wk", "weeks_since").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    sizes = cells.where(F.col("weeks_since") == 0).select(
+        "cohort_wk", F.col("n_active").alias("cohort_size")
+    )
+    return cells.join(F.broadcast(sizes), "cohort_wk").select(
+        # DuckDB's date_trunc('week') yields DATE; weeks are day-aligned
+        # in UTC so the cast is lossless on both engines
+        F.col("cohort_wk").cast("date").alias("cohort_wk"),
+        "weeks_since",
+        "n_active",
+        "cohort_size",
+        F.expr("CAST((n_active * 1000000) div cohort_size AS BIGINT)").alias(
+            "retention_ppm"
+        ),
+    )
