@@ -149,7 +149,9 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return (
-        o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        # DuckDB's ntile returns BIGINT; match it (the driver hash is
+        # dtype-sensitive — the q_text_pack lesson)
+        o.select("o_totalprice", F.ntile(10).over(w).cast("long").alias("decile"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
