@@ -175,9 +175,15 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
             continue
-        for tm in type_report(df, duck_cols, duck_types):
+        type_mismatches = list(type_report(df, duck_cols, duck_types))
+        for tm in type_mismatches:
             print(f"  TYPE {name}: {tm}")
         ok, msg = compare(spark_rows, spark_cols, duck_rows, duck_cols)
+        # the driver's value hash is dtype-sensitive (the r4 q_text_pack
+        # red row was a HUGEINT-vs-BIGINT slip with identical values), so
+        # a dtype mismatch is a hard failure here too
+        if ok and type_mismatches:
+            ok, msg = False, f"dtype mismatch: {'; '.join(type_mismatches)}"
         status = "pass" if ok else "FAIL"
         if not ok:
             failures.append(name)
