@@ -14,6 +14,7 @@ from transit_efficiency_analysis_spark.demo.analytics import (
     q_agg_incremental_maintenance,
     q_events_funnel,
 )
+from transit_efficiency_analysis_spark.demo import load_registry
 from transit_efficiency_analysis_spark.demo.windowed import q_ts_gapfill_ffill
 from transit_efficiency_analysis_spark.sources.registry import load_table
 
@@ -78,3 +79,42 @@ def test_funnel_counts_shrink_and_step1_is_distinct_users(spark, sf_dir):
         e.filter(F.col("event_type") == "signup").select("user_id").distinct().count()
     )
     assert rows[1].n_users == n_signup_users
+
+
+def test_retention_invariants(spark, sf_dir):
+    """Week-0 retention is exactly 1e6 ppm; no cell exceeds its cohort
+    size; weeks_since is non-negative."""
+    rows = load_registry()["q_events_retention"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.weeks_since >= 0
+        assert 0 < r.n_active <= r.cohort_size
+        if r.weeks_since == 0:
+            assert r.n_active == r.cohort_size
+            assert r.retention_ppm == 1_000_000
+        else:
+            assert r.retention_ppm <= 1_000_000
+
+
+def test_incremental_join_maintenance_equals_full(spark):
+    """Delta-join algebra on constructed data: maintained view ==
+    full recompute, including keys that exist only in a delta."""
+    from pyspark.sql import functions as F
+
+    a = spark.createDataFrame(
+        [(k, f"a{k}") for k in range(20)], "k long, av string"
+    )
+    da = spark.createDataFrame(
+        [(k, f"da{k}") for k in range(15, 25)], "k long, av string"
+    )
+    b = spark.createDataFrame([(k, k * 10) for k in range(0, 22, 2)], "k long, bv long")
+    db = spark.createDataFrame([(k, k * 100) for k in range(1, 23, 4)], "k long, bv long")
+    full = a.unionByName(da).join(b.unionByName(db), "k")
+    maintained = (
+        a.join(b, "k")
+        .unionByName(da.join(b, "k"))
+        .unionByName(a.join(db, "k"))
+        .unionByName(da.join(db, "k"))
+    )
+    assert maintained.exceptAll(full).count() == 0
+    assert full.exceptAll(maintained).count() == 0
