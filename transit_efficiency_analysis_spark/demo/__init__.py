@@ -117,6 +117,7 @@ _WINDOW_FRONT = [
     "q_sink_codec_zstd",
     "q_window_ntile",
     "q_events_retention",
+    "q_sim_centroid_outliers",
     # (c) implementation changed since last green row: the r5
     # persist(DISK_ONLY) rewrite of the reuse checkpoints touches every
     # consumer of minhash_lsh_pairs/simhash_pairs and the IVF family;
@@ -137,7 +138,6 @@ _WINDOW_FRONT = [
 # verdicts on the books).
 _WINDOW_FILLER = [
     "q_agg_dashboard",
-    "q_expr_cast",
 ]
 
 _WINDOW = _WINDOW_FRONT + _WINDOW_FILLER
