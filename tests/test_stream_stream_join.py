@@ -90,3 +90,75 @@ def test_stream_stream_interval_join(spark, tmp_path):
     )
     assert got == want
     assert [g[0] for g in got] == ["T1", "T2"]
+
+
+@pytest.mark.slow
+def test_stream_stream_left_outer_join_emits_unmatched_after_watermark(
+    spark, tmp_path
+):
+    """LEFT OUTER stream-stream join: an update with no position report
+    can only be emitted null-padded once the watermark proves no match
+    can still arrive — so the null row needs a LATER batch to advance
+    event time past (upd_ts + interval + watermark). State is evicted on
+    the same clock, which is what bounds an infinite feed's join state."""
+    upd_dir, pos_dir = str(tmp_path / "upd_lo"), str(tmp_path / "pos_lo")
+    t = lambda m: datetime(2026, 1, 1, 12, m)
+
+    _write(spark, upd_dir, _UPD_SCHEMA, [("T1", t(0), 120), ("T2", t(1), 300)])
+    _write(spark, pos_dir, _POS_SCHEMA, [("T1", t(1), 500)])  # T2 never reports
+
+    def run(name):
+        # one file per micro-batch: outer-join eviction uses the watermark
+        # computed from the PREVIOUS batch, so the null-padded row can only
+        # surface in a batch after the one that advanced event time
+        upd = (
+            spark.readStream.schema(_UPD_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(upd_dir)
+            .withWatermark("upd_ts", "10 minutes")
+        )
+        pos = (
+            spark.readStream.schema(_POS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(pos_dir)
+            .withWatermark("pos_ts", "10 minutes")
+        )
+        j = upd.join(
+            pos,
+            (upd.trip_id == pos.trip_id)
+            & (pos.pos_ts >= upd.upd_ts - F.expr("INTERVAL 2 MINUTES"))
+            & (pos.pos_ts < upd.upd_ts + F.expr("INTERVAL 5 MINUTES")),
+            "left_outer",
+        ).select(upd.trip_id, "upd_ts", "eta_s", "pos_ts", "stop_dist_m")
+        q = (
+            j.writeStream.format("memory")
+            .queryName(name)
+            # memory sinks can't recover a checkpoint; each run gets its
+            # own and replays the full feed (AvailableNow), which is the
+            # semantics under test: what the watermark lets it emit
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r["trip_id"], r["stop_dist_m"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+
+    first = run("ssj_lo1")
+    assert ("T1", 500) in first
+    assert ("T2", None) not in first, (
+        "null-padded row emitted before the watermark could prove no match"
+    )
+
+    # the GLOBAL watermark is the min over both sources, so BOTH feeds
+    # must advance past T2's interval end; a trailing pos file then gives
+    # the post-advance batch in which the evicted T2 row surfaces
+    _write(spark, upd_dir, _UPD_SCHEMA, [("T9", t(50), 1)])
+    _write(spark, pos_dir, _POS_SCHEMA, [("T9", t(59), 1)])
+    _write(spark, pos_dir, _POS_SCHEMA, [("T9", t(59), 2)])
+    second = run("ssj_lo2")
+    assert ("T2", None) in second
+    assert ("T1", 500) in second
