@@ -23,6 +23,8 @@ _SENSITIVE = [
     "q_graph_pagerank",     # iterative integer rank updates over a loop
     "q_approx_topk_cms",    # md5 counter grid + count-desc/token-asc tie-break
     "q_stats_regression",   # decimal-exact OLS sums, one closing division
+    "q_sim_centroid_outliers",  # milli-integer sums + (d2, vec_id) tie-break
+    "q_events_retention",   # epoch-week integers + ppm division
 ]
 
 
