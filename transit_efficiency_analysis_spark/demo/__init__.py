@@ -30,6 +30,7 @@ REGISTRY: dict[str, Demo] = {}
 
 _DEMO_MODULES = [
     "approx",
+    "layout",
     "retrieval",
     "graphextras",
     "tpchx",
@@ -118,27 +119,31 @@ _WINDOW_FRONT = [
     "q_window_ntile",
     "q_events_retention",
     "q_sim_centroid_outliers",
+    # (b2) new late in round 5: triangle counting, Z-order layout,
+    # last-touch attribution, MAD outliers (each verify_local-green at
+    # sf0.001+sf0.01 when added)
+    "q_graph_triangles",
+    "q_layout_zorder",
+    "q_events_attribution",
+    "q_clean_mad_outliers",
     # (c) implementation changed since last green row: the r5
     # persist(DISK_ONLY) rewrite of the reuse checkpoints touches every
     # consumer of minhash_lsh_pairs/simhash_pairs and the IVF family;
     # minhash demos also carry the r4 Kirsch-Mitzenmacher rewrite the
-    # driver should re-record
+    # driver should re-record. One representative per changed code path
+    # (the banded/h3/lloyd variants share their representative's path
+    # and were displaced by the (b2) additions).
     "q_dedup_minhash_lsh",
     "q_dedup_clusters",
     "q_dedup_simhash_pairs",
     "q_dedup_clusters_twophase",
-    "q_dedup_minhash_banded",
-    "q_dedup_simhash_pairs_h3",
     "q_sim_ivf_topk",
-    "q_sim_ivf_lloyd_topk",
     "q_sim_ivf_pq_topk",
 ]
 
-# Prior-green re-verification filler (all last green in r2 — the oldest
-# verdicts on the books).
-_WINDOW_FILLER = [
-    "q_agg_dashboard",
-]
+# Prior-green re-verification filler: none this round — every slot is
+# taken by fixes, first-verdict entries, and changed-since-green rows.
+_WINDOW_FILLER: list[str] = []
 
 _WINDOW = _WINDOW_FRONT + _WINDOW_FILLER
 

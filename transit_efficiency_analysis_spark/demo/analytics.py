@@ -575,3 +575,61 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention_ppm"
         ),
     )
+
+
+@demo(
+    "q_events_attribution",
+    sql="""
+    WITH ordered AS (
+        SELECT user_id, event_type, value,
+               last_value(
+                   CASE WHEN event_type <> 'purchase' THEN event_type END
+                   IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS touch
+        FROM events
+    )
+    SELECT coalesce(touch, 'direct') AS channel,
+           count(*) AS n_conversions,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))
+                AS DOUBLE) AS attributed_value
+    FROM ordered
+    WHERE event_type = 'purchase'
+    GROUP BY coalesce(touch, 'direct')
+    """,
+)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each purchase's value is
+    credited to the user's most recent non-purchase event (``'direct'``
+    when the purchase is the user's first event) — the
+    marketing-analytics shape that, like the funnel, needs ONE scan and
+    ONE ``user_id`` shuffle: the ignore-nulls running ``last`` over the
+    per-user event stream replaces the self-join-per-touchpoint
+    formulation, so no task ever holds more than one user's ordered
+    events. Ties in ``ts`` break on ``event_id`` for cross-engine
+    determinism; value totals go through the DECIMAL(18,6) parity cast
+    (the q_agg_stats convention)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        e.select("event_type", "value", touch.alias("touch"))
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("touch"), F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            parity_double(
+                F.sum(F.col("value").cast("decimal(18,6)")), 6
+            ).alias("attributed_value"),
+        )
+    )

@@ -322,3 +322,101 @@ def q_clean_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "was_clipped"
         ),
     )
+
+
+@demo(
+    "q_clean_mad_outliers",
+    sql="""
+    WITH ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events WHERE value IS NOT NULL
+    ),
+    med AS (
+        SELECT event_type, max(n) AS n_rows,
+               max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS median_value
+        FROM ranked GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, m.n_rows, m.median_value,
+               abs(e.value - m.median_value) AS absdev,
+               row_number() OVER (PARTITION BY e.event_type
+                                  ORDER BY abs(e.value - m.median_value)) AS rn
+        FROM events e JOIN med m USING (event_type)
+        WHERE e.value IS NOT NULL
+    )
+    ,
+    mad AS (
+        SELECT event_type,
+               max(CASE WHEN rn = (n_rows + 1) // 2 THEN absdev END) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(max(d.n_rows) AS BIGINT) AS n_rows,
+           max(d.median_value) AS median_value,
+           max(m.mad) AS mad,
+           CAST(sum(CASE WHEN d.absdev > 3 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def q_clean_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection by median absolute deviation: per group,
+    the exact discrete median (rank ``(n+1) div 2`` — integer-exact
+    element selection, the q_clean_winsorize device), then the exact
+    median of ``|value - median|``, then the count of rows beyond
+    3 x MAD. Median/MAD resist the very outliers they hunt (unlike
+    mean/stddev), which is why corpus quality gates prefer them. Two
+    key-partitioned ranking passes and two broadcast joins of per-group
+    scalars — the per-group sort is the unavoidable cost of EXACT
+    medians (the approximate path is ``q_approx_quantiles``); both
+    ranked elements are selected by value order, so ties cannot change
+    the selected value and the result is partition-invariant."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("value"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    med = ranked.groupBy("event_type").agg(
+        F.max("n").alias("n_rows"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("value"))
+        ).alias("median_value"),
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "n_rows",
+        "median_value",
+        F.abs(F.col("value") - F.col("median_value")).alias("absdev"),
+    )
+    dev_ranked = dev.select(
+        "*",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("absdev"))
+        .alias("rn"),
+    )
+    mad = dev_ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(n_rows + 1) div 2"), F.col("absdev"))
+        ).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n_rows").alias("n_rows"),
+            F.max("median_value").alias("median_value"),
+            F.max("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("absdev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )

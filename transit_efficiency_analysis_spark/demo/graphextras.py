@@ -456,3 +456,74 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(supp.alias("src"), F.col("c").alias("dst"))
     )
     return pagerank_ppm(edges, n_iters=2)
+
+
+# Oracle deliberately uses a DIFFERENT algorithm (id-ordered triple
+# self-join: x < y < z enumerates each triangle exactly once) from the
+# Spark side's degree-ordered wedge closure — algorithm-independent
+# ground truth, the q_dedup_clusters convention.
+_TRIANGLES_SQL = """
+    WITH ls AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, count(*) AS support
+        FROM ls a
+        JOIN ls b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        GROUP BY a.l_suppkey, b.l_suppkey
+    ),
+    e AS (SELECT sa AS a, sb AS b FROM pairs WHERE support >= 3),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    member AS (
+        SELECT x AS node_id FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    )
+    SELECT node_id, count(*) AS tri_count
+    FROM member
+    GROUP BY node_id
+    ORDER BY tri_count DESC, node_id
+    LIMIT 10
+"""
+
+
+@demo("q_graph_triangles", sql=_TRIANGLES_SQL)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting (degree-ordered wedge closure) over the
+    supplier co-supply graph: suppliers are adjacent when they co-supply
+    >= 3 distinct orders, and a node's triangle count measures how
+    clique-like its neighborhood is — the community-density signal used
+    for graph cleaning and cluster validation. The co-occurrence
+    self-join is keyed on the order (per-order fan-out is bounded by
+    items-per-order), the support floor prunes the edge relation before
+    any wedge is generated, and the degree-ordered orientation caps
+    every node's wedge fan-out at O(sqrt(m)) regardless of hub skew —
+    the property that makes exact triangle counting feasible at 100 TB
+    (``operators/graph.py:triangle_counts``). Top-10 by count with a
+    node-id tie-break; all counting is integer-exact."""
+    from transit_efficiency_analysis_spark.operators.graph import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ls = li.select("l_orderkey", "l_suppkey").distinct()
+    a, b = ls.alias("a"), ls.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("sa"), F.col("b.l_suppkey").alias("sb")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 3)
+    )
+    edges = pairs.select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+    return (
+        triangle_counts(edges)
+        .orderBy(F.col("tri_count").desc(), F.col("node_id"))
+        .limit(10)
+    )
