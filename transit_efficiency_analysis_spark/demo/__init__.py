@@ -31,6 +31,7 @@ REGISTRY: dict[str, Demo] = {}
 _DEMO_MODULES = [
     "approx",
     "layout",
+    "streamingdemo",
     "retrieval",
     "graphextras",
     "tpchx",
@@ -120,8 +121,8 @@ _WINDOW_FRONT = [
     "q_events_retention",
     "q_sim_centroid_outliers",
     # (b2) new late in round 5: triangle counting, Z-order layout,
-    # last-touch attribution, MAD outliers (each verify_local-green at
-    # sf0.001+sf0.01 when added)
+    # last-touch attribution, MAD outliers, and the streaming catch-up
+    # demo below (each verify_local-green at sf0.001+sf0.01 when added)
     "q_graph_triangles",
     "q_layout_zorder",
     "q_events_attribution",
@@ -136,7 +137,7 @@ _WINDOW_FRONT = [
     "q_dedup_minhash_lsh",
     "q_dedup_clusters",
     "q_dedup_simhash_pairs",
-    "q_dedup_clusters_twophase",
+    "q_stream_daily_agg",
     "q_sim_ivf_topk",
     "q_sim_ivf_pq_topk",
 ]
