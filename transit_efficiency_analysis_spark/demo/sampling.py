@@ -164,3 +164,74 @@ def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("lang").alias("n_langs"),
         )
     )
+
+
+@demo(
+    "q_sample_temperature",
+    sql="""
+    WITH counts AS (
+        SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    floor_n AS (SELECT min(n_docs) AS n_min FROM counts),
+    fracs AS (
+        SELECT lang, n_docs,
+               sqrt(CAST(n_min AS DOUBLE) / n_docs) AS keep_frac
+        FROM counts CROSS JOIN floor_n
+    ),
+    kept AS (
+        SELECT d.lang,
+               CASE WHEN CAST('0x' || substr(md5('temp1|' ||
+                            CAST(d.doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+                    < f.keep_frac * 4503599627370496 THEN 1 ELSE 0 END AS k
+        FROM documents d JOIN fracs f USING (lang)
+    )
+    SELECT f.lang, f.n_docs, f.keep_frac,
+           CAST(sum(k.k) AS BIGINT) AS n_sampled
+    FROM kept k JOIN fracs f USING (lang)
+    GROUP BY f.lang, f.n_docs, f.keep_frac
+    """,
+)
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled corpus mixing (alpha = 0.5): per-language keep
+    fraction ``sqrt(n_min / n_lang)`` — the smallest language is kept in
+    full, dominant languages are downsampled toward a flatter mixture
+    (the standard pre-training reweighting that stops one language or
+    domain from swamping the mix). Membership is a pure row predicate —
+    a 52-bit keyed-md5 uniform compared against the fraction — so the
+    sampled corpus is REPRODUCIBLE under any partitioning and stable
+    under corpus growth (q_sample_split's device, here with per-stratum
+    rates). The fraction arithmetic is one IEEE division and one sqrt
+    (both correctly rounded -> bit-identical across engines), the
+    threshold ``frac * 2^52`` compares against an exact dyadic integer,
+    and the per-language fraction table is a broadcast join; nothing
+    shuffles the documents themselves."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    floor_n = counts.agg(F.min("n_docs").alias("n_min"))
+    fracs = counts.crossJoin(F.broadcast(floor_n)).select(
+        "lang",
+        "n_docs",
+        F.sqrt(F.col("n_min").cast("double") / F.col("n_docs")).alias(
+            "keep_frac"
+        ),
+    )
+    u52 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("temp1|"), F.col("doc_id").cast("string"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    kept = d.join(F.broadcast(fracs), "lang").select(
+        "lang",
+        "n_docs",
+        "keep_frac",
+        F.when(
+            u52 < F.col("keep_frac") * F.lit(float(2**52)), 1
+        ).otherwise(0).alias("k"),
+    )
+    return kept.groupBy("lang", "n_docs", "keep_frac").agg(
+        F.sum("k").alias("n_sampled")
+    )
