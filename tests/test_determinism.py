@@ -25,6 +25,12 @@ _SENSITIVE = [
     "q_stats_regression",   # decimal-exact OLS sums, one closing division
     "q_sim_centroid_outliers",  # milli-integer sums + (d2, vec_id) tie-break
     "q_events_retention",   # epoch-week integers + ppm division
+    "q_graph_triangles",    # degree-ordered orientation + top-k tie-break
+    "q_layout_zorder",      # global rank -> chunk boundaries
+    "q_events_attribution", # ignore-nulls running last over (ts, event_id)
+    "q_clean_mad_outliers", # two exact rank selections + 3xMAD threshold
+    "q_sample_temperature", # IEEE sqrt fractions + md5 membership
+    "q_sim_int8_quantize",  # decimal->nano-integer codes and error sums
 ]
 
 
