@@ -65,3 +65,43 @@ def test_split_assignment_is_map_only(spark, sf_dir):
     # i.e. before the first Exchange (map-side assignment)
     first_exchange = plan.index("Exchange")
     assert "CASE WHEN" in plan[first_exchange:], "split assigned pre-shuffle"
+
+
+def test_attribution_single_event_shuffle(spark, sf_dir):
+    """One scan + one user_id shuffle (the window), then the bounded
+    channel aggregate — no self-join per touchpoint."""
+    df = load_registry()["q_events_attribution"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1, "attribution must scan events once"
+    # window exchange (user_id) + final channel agg exchange, nothing else
+    assert count_shuffles(df) <= 2
+    assert_no_python_row_udf(df)
+
+
+def test_triangles_joins_are_equi_joins(spark, sf_dir):
+    """Wedge generation and closure must be hash equi-joins — a
+    nested-loop (cartesian) anywhere breaks the O(m^{3/2}) bound."""
+    df = load_registry()["q_graph_triangles"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan, "top-10 must be a bounded take"
+
+
+def test_int8_encode_is_broadcast_mapside(spark, sf_dir):
+    """The per-dimension range table must broadcast back to the flat
+    relation: the vectors themselves are never shuffled for encoding
+    (the only exchanges belong to the two per-dimension aggregates)."""
+    df = load_registry()["q_sim_int8_quantize"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan, "range table must broadcast"
+    assert "SortMergeJoin" not in plan, "vectors must not shuffle for encoding"
+
+
+def test_temperature_membership_is_broadcast_mapside(spark, sf_dir):
+    """Per-language fractions broadcast; membership is a row predicate."""
+    df = load_registry()["q_sample_temperature"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert_no_python_row_udf(df)
