@@ -210,6 +210,52 @@ def main() -> int:
             print(f"# pagerank_2iter: 1x {pr1:.1f}s ({prr1} nodes) -> {copies}x "
                   f"{dt:.1f}s ({rows} nodes), ratio {dt/pr1:.1f}", file=sys.stderr)
 
+    # Triangle counting: Nx disjoint copies of the co-supply graph.
+    # Rows, edges, and triangles all grow Nx; degree-ordered wedge
+    # closure should track it ~linearly (disjoint components never
+    # produce cross-copy wedges).
+    from transit_efficiency_analysis_spark.operators.graph import triangle_counts
+
+    ls = li.distinct()
+    a, b = ls.alias("a"), ls.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 3)
+        .select("src", "dst")
+        .cache()
+    )
+    co.count()
+
+    def _tri_copies(n: int) -> DataFrame:
+        out = None
+        for i in range(n):
+            off = F.lit(i * 100_000_000_000)
+            c = co.select(
+                (F.col("src") + off).alias("src"), (F.col("dst") + off).alias("dst")
+            )
+            out = c if out is None else out.unionByName(c)
+        return out
+
+    for tag, n in (("1", 1), ("N", copies)):
+        t0 = time.time()
+        rows = triangle_counts(_tri_copies(n)).count()
+        dt = time.time() - t0
+        if tag == "1":
+            tr1, trr1 = dt, rows
+        else:
+            results["triangles"] = {
+                "t1": round(tr1, 2), "tN": round(dt, 2),
+                "ratio": round(dt / tr1, 2), "rows1": trr1, "rowsN": rows,
+            }
+            print(f"# triangles: 1x {tr1:.1f}s ({trr1} nodes) -> {copies}x "
+                  f"{dt:.1f}s ({rows} nodes), ratio {dt/tr1:.1f}", file=sys.stderr)
+
     worst = max(v["ratio"] for v in results.values() if "ratio" in v)
     print(json.dumps({
         "metric": "lsh_scale_check", "copies": copies,
