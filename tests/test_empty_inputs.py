@@ -72,3 +72,20 @@ def test_validate_on_empty_table(spark):
     }
     u = uniqueness_check(empty, "pk", "a", "b").collect()
     assert u[0]["n_violations"] == 0 and u[0]["passed"]
+
+
+def test_triangles_on_empty_graph(spark):
+    from transit_efficiency_analysis_spark.operators.graph import triangle_counts
+
+    e = spark.createDataFrame([], "src long, dst long")
+    assert triangle_counts(e).count() == 0
+    # edges but no triangles is also an "empty result" path
+    line = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    assert triangle_counts(line).count() == 0
+
+
+def test_pagerank_on_empty_graph(spark):
+    from transit_efficiency_analysis_spark.operators.graph import pagerank_ppm
+
+    e = spark.createDataFrame([], "src long, dst long")
+    assert pagerank_ppm(e, n_iters=1, persist=False).count() == 0
