@@ -633,3 +633,98 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("attributed_value"),
         )
     )
+
+
+@demo(
+    "q_stats_drift_tvd",
+    sql="""
+    WITH bucketed AS (
+        SELECT event_type,
+               CASE WHEN EXTRACT(day FROM ts) <= 15 THEN 'a' ELSE 'b' END
+                   AS period,
+               -- explicit floor: DuckDB's DOUBLE->BIGINT cast rounds,
+               -- Spark's truncates; floor() is identical on both
+               least(CAST(floor(value / 50) AS BIGINT), 9) AS bucket
+        FROM events WHERE value IS NOT NULL
+    ),
+    cells AS (
+        SELECT event_type, period, bucket, count(*) AS n
+        FROM bucketed GROUP BY event_type, period, bucket
+    ),
+    totals AS (
+        SELECT event_type, period, sum(n) AS total
+        FROM cells GROUP BY event_type, period
+    ),
+    shares AS (
+        SELECT c.event_type, c.bucket,
+               sum(CASE WHEN c.period = 'a'
+                        THEN (c.n * 1000000) // t.total ELSE 0 END)
+                   AS share_a_ppm,
+               sum(CASE WHEN c.period = 'b'
+                        THEN (c.n * 1000000) // t.total ELSE 0 END)
+                   AS share_b_ppm
+        FROM cells c JOIN totals t
+          ON c.event_type = t.event_type AND c.period = t.period
+        GROUP BY c.event_type, c.bucket
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(abs(share_a_ppm - share_b_ppm)) // 2 AS BIGINT)
+               AS tvd_ppm,
+           (CAST(sum(abs(share_a_ppm - share_b_ppm)) // 2 AS BIGINT)
+            > 100000) AS drift_alert
+    FROM shares
+    GROUP BY event_type
+    """,
+)
+def q_stats_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detection between two time slices (first vs
+    second half of the month) by total-variation distance over a fixed
+    value-bucket histogram — the retrain/alert trigger a production
+    pipeline runs per feature. TVD = ½ Σ_b |p_b − q_b| computed in exact
+    ppm integers (per-cell ``n·1e6 div N`` shares, so the statistic is
+    bit-identical across engines and partitionings — no float log, the
+    PSI alternative). Shuffle shape: one (type, period, bucket) cell agg
+    (bounded at #types × 2 × 10 cells), totals broadcast back, final agg
+    over the bounded cell table — the event scan is the only
+    data-proportional pass no matter the corpus size."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    bucketed = e.select(
+        "event_type",
+        F.when(F.dayofmonth("ts") <= 15, F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("period"),
+        F.least(F.floor(F.col("value") / 50), F.lit(9).cast("long")).alias(
+            "bucket"
+        ),
+    )
+    cells = bucketed.groupBy("event_type", "period", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = cells.groupBy("event_type", "period").agg(
+        F.sum("n").alias("total")
+    )
+    shares = (
+        cells.join(F.broadcast(totals), ["event_type", "period"])
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("period") == "a",
+                    F.expr("(n * 1000000) div total"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("share_a_ppm"),
+            F.sum(
+                F.when(
+                    F.col("period") == "b",
+                    F.expr("(n * 1000000) div total"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("share_b_ppm"),
+        )
+    )
+    tvd = F.expr("sum(abs(share_a_ppm - share_b_ppm)) div 2")
+    return shares.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        tvd.alias("tvd_ppm"),
+        (tvd > 100_000).alias("drift_alert"),
+    )
