@@ -31,6 +31,7 @@ _SENSITIVE = [
     "q_clean_mad_outliers", # two exact rank selections + 3xMAD threshold
     "q_sample_temperature", # IEEE sqrt fractions + md5 membership
     "q_sim_int8_quantize",  # decimal->nano-integer codes and error sums
+    "q_stats_drift_tvd",    # ppm-share histogram L1 gap
 ]
 
 

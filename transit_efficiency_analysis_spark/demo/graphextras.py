@@ -470,7 +470,12 @@ _TRIANGLES_SQL = """
         JOIN ls b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
         GROUP BY a.l_suppkey, b.l_suppkey
     ),
-    e AS (SELECT sa AS a, sb AS b FROM pairs WHERE support >= 3),
+    -- scale-invariant support floor: expected co-supply count grows with
+    -- order volume, so a FIXED floor densifies as the corpus grows (at
+    -- 10x orders a floor of 3 kept 43% of ALL possible pairs); tying it
+    -- to n_orders keeps the graph sparse at every scale
+    e AS (SELECT sa AS a, sb AS b FROM pairs
+          WHERE support >= greatest(3, (SELECT count(*) FROM orders) // 25000)),
     tri AS (
         SELECT e1.a AS x, e1.b AS y, e2.b AS z
         FROM e e1
@@ -519,9 +524,15 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_suppkey").alias("sa"), F.col("b.l_suppkey").alias("sb")
         )
         .agg(F.count(F.lit(1)).alias("support"))
-        .where(F.col("support") >= 3)
     )
-    edges = pairs.select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+    n_ord = load_table(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).alias("n_ord")
+    )
+    edges = (
+        pairs.crossJoin(F.broadcast(n_ord))
+        .where(F.col("support") >= F.greatest(F.lit(3), F.expr("n_ord div 25000")))
+        .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+    )
     return (
         triangle_counts(edges)
         .orderBy(F.col("tri_count").desc(), F.col("node_id"))

