@@ -92,7 +92,10 @@ def pagerank_ppm(
 
 
 def triangle_counts(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    persist: bool = True,
 ) -> DataFrame:
     """Per-node triangle counts by degree-ordered adjacency intersection.
 
@@ -113,8 +116,13 @@ def triangle_counts(
     the intersection happens in-memory per edge row (``array_intersect``
     over two bounded sorted arrays). Per-node attribution: edge (u, v)
     with c closures credits u and v with c and each w in the
-    intersection with 1. Returns ``(node_id, tri_count)`` for nodes in
-    >= 1 triangle.
+    intersection with 1, emitted as ONE exploded struct array so the
+    closure relation is referenced exactly once (a 3-way union here
+    re-expanded the whole upstream plan multiplicatively). ``persist``
+    (DISK_ONLY, lazy — the round-5 checkpoint policy) pins the canonical
+    and oriented relations, which the plan otherwise recomputes per
+    reference. Returns ``(node_id, tri_count)`` for nodes in >= 1
+    triangle.
     """
     lo, hi = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
     canon = (
@@ -122,6 +130,8 @@ def triangle_counts(
         .select(lo.alias("a"), hi.alias("b"))
         .distinct()
     )
+    if persist:
+        canon = canon.persist(StorageLevel.DISK_ONLY)
     deg = (
         canon.select(F.col("a").alias("node_id"))
         .unionByName(canon.select(F.col("b").alias("node_id")))
@@ -138,6 +148,8 @@ def triangle_counts(
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
     )
+    if persist:
+        oriented = oriented.persist(StorageLevel.DISK_ONLY)
     adj = oriented.groupBy(F.col("u").alias("node")).agg(
         F.sort_array(F.collect_list("v")).alias("nbrs")
     )
@@ -149,15 +161,24 @@ def triangle_counts(
         .select("u", "v", F.array_intersect("nu", "nv").alias("ws"))
         .where(F.size("ws") > 0)
     )
-    member = (
-        closed.select(F.col("u").alias("node_id"), F.size("ws").alias("c"))
-        .unionByName(
-            closed.select(F.col("v").alias("node_id"), F.size("ws").alias("c"))
-        )
-        .unionByName(
-            closed.select(
-                F.explode("ws").alias("node_id"), F.lit(1).alias("c")
+    member = closed.select(
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(
+                        F.col("u").alias("node_id"), F.size("ws").alias("c")
+                    ),
+                    F.struct(
+                        F.col("v").alias("node_id"), F.size("ws").alias("c")
+                    ),
+                ),
+                F.transform(
+                    "ws",
+                    lambda w: F.struct(
+                        w.alias("node_id"), F.lit(1).alias("c")
+                    ),
+                ),
             )
-        )
-    )
+        ).alias("m")
+    ).select("m.node_id", "m.c")
     return member.groupBy("node_id").agg(F.sum("c").alias("tri_count"))
