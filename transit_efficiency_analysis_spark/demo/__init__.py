@@ -127,19 +127,23 @@ _WINDOW_FRONT = [
     "q_layout_zorder",
     "q_events_attribution",
     "q_clean_mad_outliers",
+    "q_sim_int8_quantize",
+    "q_stats_drift_tvd",
+    "q_stream_daily_agg",
     # (c) implementation changed since last green row: the r5
     # persist(DISK_ONLY) rewrite of the reuse checkpoints touches every
     # consumer of minhash_lsh_pairs/simhash_pairs and the IVF family;
     # minhash demos also carry the r4 Kirsch-Mitzenmacher rewrite the
-    # driver should re-record. One representative per changed code path
-    # (the banded/h3/lloyd variants share their representative's path
-    # and were displaced by the (b2) additions).
+    # driver should re-record. One representative per changed persist
+    # path: minhash_lsh (shingle persist + KM hashing), simhash_pairs
+    # (fingerprint persist + one-pass votes), ivf_topk (IVF persist).
+    # The banded/h3/lloyd/pq/clusters variants share these paths and
+    # were displaced by the (b2) additions; all are green in the
+    # session's full-registry sweeps at sf0.01 and rotate back next
+    # round.
     "q_dedup_minhash_lsh",
-    "q_dedup_clusters",
     "q_dedup_simhash_pairs",
-    "q_stream_daily_agg",
     "q_sim_ivf_topk",
-    "q_sim_ivf_pq_topk",
 ]
 
 # Prior-green re-verification filler: none this round — every slot is
