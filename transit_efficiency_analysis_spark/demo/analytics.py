@@ -643,8 +643,13 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN EXTRACT(day FROM ts) <= 15 THEN 'a' ELSE 'b' END
                    AS period,
                -- explicit floor: DuckDB's DOUBLE->BIGINT cast rounds,
-               -- Spark's truncates; floor() is identical on both
-               least(CAST(floor(value / 50) AS BIGINT), 9) AS bucket
+               -- Spark's truncates; floor() is identical on both.
+               -- clamp BOTH ends so the "#types x 2 x 10 cells" bound
+               -- holds for any data (negative values otherwise mint
+               -- unbounded negative bucket ids)
+               greatest(CAST(0 AS BIGINT),
+                        least(CAST(floor(value / 50) AS BIGINT), 9))
+                   AS bucket
         FROM events WHERE value IS NOT NULL
     ),
     cells AS (
@@ -694,9 +699,11 @@ def q_stats_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.dayofmonth("ts") <= 15, F.lit("a"))
         .otherwise(F.lit("b"))
         .alias("period"),
-        F.least(F.floor(F.col("value") / 50), F.lit(9).cast("long")).alias(
-            "bucket"
-        ),
+        # clamp both ends — bounded 10-bucket histogram for any data
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.least(F.floor(F.col("value") / 50), F.lit(9).cast("long")),
+        ).alias("bucket"),
     )
     cells = bucketed.groupBy("event_type", "period", "bucket").agg(
         F.count(F.lit(1)).alias("n")

@@ -25,7 +25,15 @@ from transit_efficiency_analysis_spark.demo import demo
 from transit_efficiency_analysis_spark.functions.parity import parity_double
 from transit_efficiency_analysis_spark.sources.registry import load_table
 
-_MEMORY_TABLE = "stream_daily_events"
+# per-invocation memory-sink names: a fixed queryName would collide if two
+# demo invocations ever ran concurrently on one SparkSession (each start()
+# registers the sink as a temp view under its queryName)
+_RUN_SEQ = [0]
+
+
+def _sink_name(prefix: str) -> str:
+    _RUN_SEQ[0] += 1
+    return f"{prefix}_{_RUN_SEQ[0]}"
 
 
 @demo(
@@ -83,11 +91,12 @@ def q_stream_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+    sink = _sink_name("stream_daily_events")
     try:
         with tempfile.TemporaryDirectory(prefix="stream_demo_ckpt_") as ckpt:
             q = (
                 agg.writeStream.format("memory")
-                .queryName(_MEMORY_TABLE)
+                .queryName(sink)
                 .outputMode("complete")
                 .option("checkpointLocation", ckpt)
                 .trigger(availableNow=True)
@@ -102,8 +111,10 @@ def q_stream_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
         # materialize off the memory sink (bounded: days x event types)
         # before the temp feed/checkpoint dirs vanish
-        rows = spark.table(_MEMORY_TABLE)
-        return spark.createDataFrame(rows.collect(), rows.schema)
+        rows = spark.table(sink)
+        out = spark.createDataFrame(rows.collect(), rows.schema)
+        spark.catalog.dropTempView(sink)
+        return out
     finally:
         shutil.rmtree(feed_dir, ignore_errors=True)
 

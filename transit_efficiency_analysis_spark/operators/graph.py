@@ -32,6 +32,30 @@ from pyspark.sql import functions as F
 
 PPM = 1_000_000
 
+#: persisted helper relations from the MOST RECENT call of each operator,
+#: keyed by operator name. The result DataFrames are lazy, so the callee
+#: cannot unpersist before the caller's action; instead each new call
+#: releases the previous call's pins (sequential use — registry sweeps,
+#: bench loops — therefore holds at most one call's worth of blocks per
+#: operator for the session lifetime), and ``release_persisted()`` lets a
+#: caller drop everything once results are materialized.
+_LIVE_PERSISTS: dict[str, list[DataFrame]] = {}
+
+
+def release_persisted(op: str | None = None) -> None:
+    """Unpersist helper relations pinned by ``pagerank_ppm`` /
+    ``triangle_counts`` (all operators, or just ``op``). Safe to call
+    before a dependent action — Spark simply recomputes."""
+    for key in [op] if op else list(_LIVE_PERSISTS):
+        for df in _LIVE_PERSISTS.pop(key, []):
+            df.unpersist()
+
+
+def _pin(op: str, df: DataFrame) -> DataFrame:
+    df = df.persist(StorageLevel.DISK_ONLY)
+    _LIVE_PERSISTS.setdefault(op, []).append(df)
+    return df
+
 
 def pagerank_ppm(
     edges: DataFrame,
@@ -64,9 +88,10 @@ def pagerank_ppm(
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     if persist:
-        e = e.persist(StorageLevel.DISK_ONLY)
-        nodes = nodes.persist(StorageLevel.DISK_ONLY)
-        deg = deg.persist(StorageLevel.DISK_ONLY)
+        release_persisted("pagerank")  # drop the previous call's pins
+        e = _pin("pagerank", e)
+        nodes = _pin("pagerank", nodes)
+        deg = _pin("pagerank", deg)
 
     ranks = nodes.select("node_id", F.lit(PPM).cast("long").alias("rank_ppm"))
     teleport = F.lit(PPM - damping_ppm).cast("long")
@@ -121,8 +146,10 @@ def triangle_counts(
     re-expanded the whole upstream plan multiplicatively). ``persist``
     (DISK_ONLY, lazy — the round-5 checkpoint policy) pins the canonical
     and oriented relations, which the plan otherwise recomputes per
-    reference. Returns ``(node_id, tri_count)`` for nodes in >= 1
-    triangle.
+    reference; each call releases the previous call's pins and
+    ``release_persisted()`` drops them explicitly, so repeated calls in
+    one session don't accumulate persisted blocks. Returns
+    ``(node_id, tri_count)`` for nodes in >= 1 triangle.
     """
     lo, hi = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
     canon = (
@@ -131,7 +158,8 @@ def triangle_counts(
         .distinct()
     )
     if persist:
-        canon = canon.persist(StorageLevel.DISK_ONLY)
+        release_persisted("triangles")  # drop the previous call's pins
+        canon = _pin("triangles", canon)
     deg = (
         canon.select(F.col("a").alias("node_id"))
         .unionByName(canon.select(F.col("b").alias("node_id")))
@@ -149,7 +177,7 @@ def triangle_counts(
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
     )
     if persist:
-        oriented = oriented.persist(StorageLevel.DISK_ONLY)
+        oriented = _pin("triangles", oriented)
     adj = oriented.groupBy(F.col("u").alias("node")).agg(
         F.sort_array(F.collect_list("v")).alias("nbrs")
     )
