@@ -15,8 +15,11 @@ converges to the batch answer).
 
 from __future__ import annotations
 
+import glob
+import os
 import shutil
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -121,3 +124,136 @@ def q_stream_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: observability for tests: data-carrying batch count of the last run
 _LAST_RUN_BATCHES = [0]
+
+
+@demo(
+    "q_stream_daily_agg_append",
+    sql="""
+    WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+    SELECT CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS window_start,
+           e.event_type,
+           count(*) AS n_events,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))
+                AS DOUBLE) AS sum_value
+    FROM events e CROSS JOIN wm
+    WHERE date_trunc('day', e.ts) + INTERVAL 1 DAY <= wm.w
+    GROUP BY date_trunc('day', e.ts), e.event_type
+    """,
+)
+def q_stream_daily_agg_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode watermarked daily rollup — the unbounded-production
+    shape of ``q_stream_daily_agg``, under the driver hash.
+
+    Complete mode re-emits all state each trigger (bounded harness);
+    append mode is what a 100 TB stream actually runs: a 1-hour
+    watermark, each window EMITTED ONCE when the watermark passes its
+    end, closed-window state evicted, too-late rows dropped. The
+    oracle-checkable contract: the emitted set equals the batch GROUP BY
+    restricted to CLOSED windows — ``window_end <= max(ts) - 1 hour``
+    (the final watermark); the open last-day window stays in state
+    unemitted, exactly as in production until later data closes it.
+
+    Protocol notes, each load-bearing:
+
+    * The feed is range-partitioned BY EVENT TIME with strictly
+      increasing file mtimes, so arrival order = event-time order (the
+      shape of a real poll feed, ``realtime_stream.py``'s contract). An
+      arbitrary file order is NOT a correctness bug to this operator —
+      it is genuinely late data, and append mode correctly DROPS rows
+      older than the watermark; but it makes the emitted set depend on
+      the file schedule, which no oracle can express.
+    * Sink is the FILE sink (parquet + ``_spark_metadata`` commit log:
+      exactly-once, restart-recoverable — the memory sink refuses
+      checkpoint recovery). The result is read back through the commit
+      log.
+    * Spark plans batch N with the watermark derived from batches
+      <= N-1, and the trailing no-data finalization batch is RACY under
+      ``AvailableNow`` (observed both present and absent on identical
+      input). So after the catch-up run, the demo appends two 1-row
+      "clock tick" sentinel files carrying ``ts = max(real ts)`` and
+      RESTARTS the query from the same checkpoint: the first tick's
+      batch re-establishes the event-time stats, the second tick's batch
+      plans with watermark = max(ts) - 1h and flushes every closed
+      window the first run had not yet emitted. Emit-once across the
+      restart is the file sink's commit-log guarantee (tests assert no
+      duplicate windows). The sentinels themselves land in the open
+      last-day window, which never emits — so they cannot contaminate
+      the output. Event ts granularity is microseconds mid-day, so
+      watermark-vs-window-end boundary equality — where Spark's strict
+      ``<`` vs the oracle's ``<=`` could diverge — cannot occur on this
+      feed.
+    """
+    batch = load_table(spark, sf_dir, "events")
+    feed_dir = tempfile.mkdtemp(prefix="stream_append_feed_")
+    out_dir = tempfile.mkdtemp(prefix="stream_append_out_")
+    ckpt_dir = tempfile.mkdtemp(prefix="stream_append_ckpt_")
+
+    def _touch_in_order() -> None:
+        t0 = time.time() - 3600
+        for i, p in enumerate(sorted(glob.glob(os.path.join(feed_dir, "part-*")))):
+            os.utime(p, (t0 + i, t0 + i))
+
+    def _run_catchup() -> int:
+        events = (
+            spark.readStream.format("parquet")
+            .schema(batch.schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(feed_dir)
+        )
+        agg = (
+            events.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                parity_double(
+                    F.sum(F.col("value").cast("decimal(18,6)")), 6
+                ).alias("sum_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n_batches = len(q.recentProgress)
+        q.stop()
+        return n_batches
+
+    try:
+        batch.repartitionByRange(4, "ts").write.mode("overwrite").parquet(
+            feed_dir
+        )
+        _touch_in_order()
+        run1 = _run_catchup()
+        # clock ticks: two 1-row files at ts = max(real ts), each its own
+        # micro-batch on restart (see docstring)
+        max_ts = batch.agg(F.max("ts")).first()[0]
+        tick = spark.createDataFrame([batch.first()], batch.schema).withColumn(
+            "ts", F.lit(max_ts)
+        )
+        for _ in range(2):
+            tick.coalesce(1).write.mode("append").parquet(feed_dir)
+        _touch_in_order()
+        run2 = _run_catchup()
+        _LAST_APPEND_BATCHES[0] = run1 + run2
+        # materialize through the sink's commit log before temp dirs go
+        rows = spark.read.parquet(out_dir)
+        return spark.createDataFrame(rows.collect(), rows.schema)
+    finally:
+        for d in (feed_dir, out_dir, ckpt_dir):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+#: observability for tests: total micro-batch count across both catch-up
+#: runs (>= 4 data + 2 sentinel batches; no-data batches may add more)
+_LAST_APPEND_BATCHES = [0]
