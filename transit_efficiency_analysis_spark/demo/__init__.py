@@ -75,80 +75,75 @@ _DEMO_MODULES = [
 # CORRECTNESS row (guards the round-4 mislabel: q_text_pack was filed as
 # "r3-green filler" while actually new-and-red in r4).
 _WINDOW_FRONT = [
-    # (a) round-4 red rows, now fixed: q_text_pack (oracle HUGEINT→BIGINT
-    # cast), the approx sketches (scalar rows + exact-side bounds
-    # oracles), q_ts_now_audit (injected fixed clock per SURVEY §2.3)
-    "q_text_pack",
-    "q_approx_distinct",
-    "q_approx_quantiles",
-    "q_ts_now_audit",
-    # (b) new in round 5: BM25/TF-IDF retrieval (built+pytested in r4,
-    # never driver-checked), materialized-dashboard BI shape
-    "q_retrieval_bm25",
-    "q_retrieval_tfidf",
-    "q_retrieval_hybrid_rrf",
-    "q_agg_dashboard_materialized",
-    "q_corpus_prep_pipeline",
-    "q_upsert_scd2_history",
-    "q_sim_lsh_recall",
-    "q_sink_schema_evolution",
-    "q_text_pack_concat",
-    "q_validate_expectations",
-    "q_clean_winsorize",
-    "q_ts_gapfill_ffill",
-    "q_agg_incremental_maintenance",
-    "q_events_funnel",
-    "q_multimodal_resize",
-    "q_topk_per_group",
-    "q_graph_pagerank",
-    "q_text_vocab_coverage",
-    "q_text_bpe_merges",
-    "q_join_bloom_prefilter",
-    "q_sample_split",
-    "q_approx_topk_cms",
-    "q_stats_regression",
-    "q_text_collocations",
-    "q_sink_jsonl",
-    "q_window_ohlc",
-    "q_text_bpe_encode",
-    "q_sink_dynamic_overwrite",
-    "q_agg_mode",
-    "q_agg_share",
-    "q_join_nullsafe",
-    "q_join_incremental_maintenance",
-    "q_sink_codec_zstd",
-    "q_window_ntile",
-    "q_events_retention",
-    "q_sim_centroid_outliers",
-    # (b2) new late in round 5: triangle counting, Z-order layout,
-    # last-touch attribution, MAD outliers, and the streaming catch-up
-    # demo below (each verify_local-green at sf0.001+sf0.01 when added)
-    "q_graph_triangles",
-    "q_layout_zorder",
-    "q_events_attribution",
-    "q_clean_mad_outliers",
+    # (a) new in round 6: the scale-safe equi-depth split (closes the
+    # r5 q_window_ntile `weak`) and the append-mode watermark demo
+    # (closes "streaming eviction semantics under the driver hash")
+    "q_window_ntile_approx",
+    "q_stream_daily_agg_append",
+    # (b) registered in r5 after the sweep — never driver-checked
+    "q_sample_temperature",
+    # (c) implementation changed since last green row (r6 advice fixes):
+    # int8 degenerate-range guard, drift-bucket lower clamp, graph
+    # persist lifecycle (pagerank + triangles), streaming sink naming
     "q_sim_int8_quantize",
     "q_stats_drift_tvd",
+    "q_graph_pagerank",
+    "q_graph_triangles",
     "q_stream_daily_agg",
-    # (c) implementation changed since last green row: the r5
-    # persist(DISK_ONLY) rewrite of the reuse checkpoints touches every
-    # consumer of minhash_lsh_pairs/simhash_pairs and the IVF family;
-    # minhash demos also carry the r4 Kirsch-Mitzenmacher rewrite the
-    # driver should re-record. One representative per changed persist
-    # path: minhash_lsh (shingle persist + KM hashing), simhash_pairs
-    # (fingerprint persist + one-pass votes), ivf_topk (IVF persist).
-    # The banded/h3/lloyd/pq/clusters variants share these paths and
-    # were displaced by the (b2) additions; all are green in the
-    # session's full-registry sweeps at sf0.01 and rotate back next
-    # round.
-    "q_dedup_minhash_lsh",
-    "q_dedup_simhash_pairs",
-    "q_sim_ivf_topk",
+    # (d) the five consumers of the r5 persist(DISK_ONLY) rewrite whose
+    # last driver rows predate it (displaced from the r5 window)
+    "q_dedup_minhash_banded",
+    "q_dedup_simhash_pairs_h3",
+    "q_sim_ivf_lloyd_topk",
+    "q_sim_ivf_pq_topk",
+    "q_dedup_clusters_twophase",
 ]
 
-# Prior-green re-verification filler: none this round — every slot is
-# taken by fixes, first-verdict entries, and changed-since-green rows.
-_WINDOW_FILLER: list[str] = []
+# Prior-green re-verification filler, least-recently-verified first: the
+# r1/r2-era driver rows (49 of them after round 5), §2 core prioritized —
+# the flagship rebuild, star/diff/semi/anti/outer joins, the ts-* and
+# case-* families, upserts, window family, set-ops. The 12 still left
+# out (agg cube/rollup/pivot/stats/weather variants, the four text-ops,
+# q_null_surface, q_upsert_replay, q_window_pctrank) rotate in round 7.
+_WINDOW_FILLER: list[str] = [
+    "q_rebuild_full",
+    "q_join_star",
+    "q_join_diff",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_outer",
+    "q_agg_dashboard",
+    "q_upsert_ignore",
+    "q_upsert_cond",
+    "q_dedup_window_latest",
+    "q_ts_gtfs_parse",
+    "q_ts_unix",
+    "q_ts_date_parse",
+    "q_ts_epoch",
+    "q_ts_sub_min",
+    "q_ts_dow_name",
+    "q_ts_hour_local",
+    "q_ts_tz_localize",
+    "q_proj_select",
+    "q_proj_rename",
+    "q_proj_concat",
+    "q_filter_entity",
+    "q_filter_sentinel",
+    "q_case_null",
+    "q_case_diff",
+    "q_case_avg",
+    "q_case_bucket",
+    "q_expr_math",
+    "q_expr_cast",
+    "q_window_running",
+    "q_window_rank",
+    "q_window_lag",
+    "q_set_union",
+    "q_set_intersect",
+    "q_set_except",
+    "q_distinct_agg",
+    "q_limit_topk",
+]
 
 _WINDOW = _WINDOW_FRONT + _WINDOW_FILLER
 
