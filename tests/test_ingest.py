@@ -273,3 +273,33 @@ def test_bmp_wav_decoders_roundtrip():
     patched = wav[:12] + junk + wav[12:]
     patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
     assert decode_wav_header(patched) == (1, 8000, 16, 10)
+
+
+def test_protobuf_auto_dispatch_and_jvm_gate(spark):
+    """decode_protobuf_payloads_auto: on this container the JVM
+    spark-protobuf connector is absent, so the probe must say so, the
+    auto path must fall back to the wire decoder with identical output,
+    and the JVM path must fail with the documented deployment error (on
+    a real cluster with the jar + a protoc descriptor set, the same call
+    dispatches JVM-side)."""
+    import pytest
+
+    from transit_efficiency_analysis_spark.sources.gtfs_realtime import (
+        decode_protobuf_payloads,
+        decode_protobuf_payloads_auto,
+        decode_protobuf_payloads_jvm,
+        jvm_protobuf_available,
+    )
+
+    payload = _feed_bytes(int(POLL.timestamp()), PB_TRIPS)
+    df = spark.createDataFrame(
+        [(POLL, bytearray(payload))], "poll_ts timestamp, payload binary"
+    )
+    if jvm_protobuf_available(spark):  # pragma: no cover - real clusters
+        pytest.skip("spark-protobuf present: JVM path would dispatch")
+    assert not jvm_protobuf_available(spark)
+    auto = decode_feed(decode_protobuf_payloads_auto(df)).collect()
+    wire = decode_feed(decode_protobuf_payloads(df)).collect()
+    assert sorted(auto) == sorted(wire) and len(auto) == 2
+    with pytest.raises(RuntimeError, match="spark-protobuf connector"):
+        decode_protobuf_payloads_jvm(df, "/nonexistent/gtfs_rt.desc")

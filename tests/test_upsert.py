@@ -242,3 +242,79 @@ def test_updated_at_set_when_previous_value_null(spark):
     by_key = {r["key"]: r for r in out}
     assert by_key[1]["updated_at"] == datetime(2026, 2, 1)
     assert by_key[2]["updated_at"] == datetime(2026, 2, 1)
+
+
+def test_merge_into_rewrite_backend_parity(spark, tmp_path):
+    """merge_into(backend='rewrite') through real storage == merge_batch
+    folded in memory (merge_batch IS the specification), batch-split
+    invariant, first batch bootstraps the table."""
+    from transit_efficiency_analysis_spark.operators.upsert import merge_into
+
+    rows = _mk_rows([(k % 4, (k * 37) % 500, k % 6) for k in range(30)])
+    batches = [rows[:10], rows[10:18], rows[18:]]
+    target = str(tmp_path / "state_tbl")
+
+    state_mem = spark.createDataFrame([], SCHEMA)
+    for b in batches:
+        inc = spark.createDataFrame(b, SCHEMA)
+        stored = merge_into(
+            target, inc, keys=["key"], order_by=["ts", "seq"], backend="rewrite"
+        )
+        state_mem = merge_batch(state_mem, inc, keys=["key"], order_by=["ts", "seq"])
+
+    got = sorted(tuple(r) for r in stored.collect())
+    want = sorted(tuple(r) for r in state_mem.collect())
+    assert got == want
+    # and both equal the single-shot latest-per-key on the full stream
+    exp = _expected_latest(rows)
+    assert {r[0]: (r[1], r[2], r[3]) for r in got} == exp
+    # storage really is the carrier: a fresh read sees the same state
+    again = sorted(tuple(r) for r in spark.read.parquet(target).collect())
+    assert again == want
+
+
+def test_merge_into_rewrite_tracked_replay(spark, tmp_path):
+    """tracked-change mode through storage: unchanged re-deliveries keep
+    the stored row; parity vs replay_conflict_update over the union."""
+    from transit_efficiency_analysis_spark.operators.upsert import merge_into
+
+    rows = _mk_rows(
+        [(0, 10, 1), (0, 20, 1), (0, 30, 2), (1, 5, 3), (1, 6, 3)]
+    )
+    target = str(tmp_path / "tracked_tbl")
+    stored = None
+    for b in (rows[:2], rows[2:]):
+        inc = spark.createDataFrame(b, SCHEMA)
+        stored = merge_into(
+            target, inc, keys=["key"], order_by=["ts", "seq"],
+            tracked=["value"], ts_col="ts", backend="rewrite",
+        )
+    want_df = replay_conflict_update(
+        spark.createDataFrame(rows, SCHEMA).withColumn(
+            "created_at", F.lit(None).cast("timestamp")
+        ).withColumn("updated_at", F.lit(None).cast("timestamp")),
+        keys=["key"], order_by=["ts", "seq"], tracked=["value"], ts_col="ts",
+    )
+    key = lambda r: r["key"]
+    got = sorted(stored.collect(), key=key)
+    want = sorted(want_df.collect(), key=key)
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_merge_into_delta_backend_parity(spark, tmp_path):
+    """Delta MERGE backend vs the window-dedup specification — runs only
+    where delta-spark is deployed (skipped in this container)."""
+    import pytest
+
+    pytest.importorskip("delta")
+    from transit_efficiency_analysis_spark.operators.upsert import merge_into
+
+    rows = _mk_rows([(k % 3, (k * 29) % 400, k % 5) for k in range(20)])
+    target = str(tmp_path / "delta_tbl")
+    for b in (rows[:8], rows[8:]):
+        inc = spark.createDataFrame(b, SCHEMA)
+        stored = merge_into(
+            target, inc, keys=["key"], order_by=["ts", "seq"], backend="delta"
+        )
+    got = {r[0]: (r[1], r[2], r[3]) for r in stored.collect()}
+    assert got == _expected_latest(rows)

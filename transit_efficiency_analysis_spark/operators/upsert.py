@@ -184,3 +184,103 @@ def merge_batch(
         return df
     unioned = _with_audit(existing).unionByName(_with_audit(incoming))
     return replay_conflict_update(unioned, keys, order_by, tracked, ts_col)
+
+
+def delta_available() -> bool:
+    """True when the delta-spark package (and its JVM jars) can drive
+    ``DeltaTable.merge``. Absent in this repo's container — the rewrite
+    backend below is the tested path; on a Delta deployment the same
+    ``merge_into`` call dispatches to real ``MERGE INTO``."""
+    try:
+        import delta  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def merge_into(
+    target: str,
+    incoming: DataFrame,
+    keys: list[str],
+    order_by: list[str],
+    tracked: list[str] | None = None,
+    ts_col: str | None = None,
+    backend: str = "auto",
+) -> DataFrame:
+    """Persisted upsert: apply ``incoming`` onto the TABLE at ``target``
+    and return a DataFrame over the committed state — the storage-backed
+    face of :func:`merge_batch` (SURVEY §1.3's "or Delta ``MERGE`` where
+    upsert semantics are needed").
+
+    Backends, same semantics either way (parity is the test contract —
+    ``merge_batch`` IS the specification):
+
+    - ``"rewrite"`` — read current state, :func:`merge_batch`, commit
+      with the atomic versioned-dir overwrite (``sinks.overwrite_table``,
+      readers never see a partial table). O(table) per batch, which is
+      the honest cost without a transactional table format; at 100 TB
+      partition the table (e.g. by ``start_date``) and rewrite only the
+      partitions the batch touches.
+    - ``"delta"`` — ``DeltaTable.merge``: the transactional
+      ``whenMatchedUpdateAll / whenNotMatchedInsertAll`` path, touching
+      only files holding matched keys (+ the txn log). Last-writer-wins
+      mode only: the batch is first collapsed per key with
+      :func:`upsert_keep_newest`, then matched rows update only when the
+      source is LEXICOGRAPHICALLY NEWER on ``order_by`` (ties keep the
+      stored row, matching window-dedup's row_number tie-break only when
+      ``order_by`` is a total order — same determinism requirement as
+      ``merge_batch``). The conditional ``tracked`` replay keeps its
+      audit-column semantics through the rewrite backend.
+    - ``"auto"`` — delta when importable, else rewrite.
+    """
+    spark = incoming.sparkSession
+    if backend == "auto":
+        backend = "delta" if delta_available() else "rewrite"
+    if backend == "delta":
+        if tracked is not None:
+            raise NotImplementedError(
+                "tracked-change replay with audit columns routes through "
+                "backend='rewrite'; the Delta path implements "
+                "last-writer-wins MERGE"
+            )
+        return _merge_into_delta(spark, target, incoming, keys, order_by)
+    if backend != "rewrite":
+        raise ValueError(f"unknown backend {backend!r}")
+
+    from transit_efficiency_analysis_spark.sinks import overwrite_table
+
+    try:
+        existing = spark.read.parquet(target)
+    except Exception:  # first batch: nothing at target yet
+        existing = spark.createDataFrame([], incoming.schema)
+    merged = merge_batch(existing, incoming, keys, order_by, tracked, ts_col)
+    return overwrite_table(merged, target)
+
+
+def _merge_into_delta(
+    spark, target: str, incoming: DataFrame, keys: list[str], order_by: list[str]
+) -> DataFrame:  # pragma: no cover - exercised only on Delta deployments
+    from delta.tables import DeltaTable
+
+    collapsed = upsert_keep_newest(incoming, keys, order_by)
+    if not DeltaTable.isDeltaTable(spark, target):
+        collapsed.write.format("delta").save(target)
+        return spark.read.format("delta").load(target)
+    dt = DeltaTable.forPath(spark, target)
+    match = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in keys)
+    # lexicographic "source strictly newer" on order_by
+    newer_terms = []
+    for i, c in enumerate(order_by):
+        eqs = " AND ".join(f"t.`{p}` <=> s.`{p}`" for p in order_by[:i])
+        term = f"s.`{c}` > t.`{c}`"
+        newer_terms.append(f"({eqs} AND {term})" if eqs else f"({term})")
+    newer = " OR ".join(newer_terms)
+    (
+        dt.alias("t")
+        .merge(collapsed.alias("s"), match)
+        .whenMatchedUpdateAll(condition=newer)
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    return spark.read.format("delta").load(target)
