@@ -112,3 +112,33 @@ def test_temperature_membership_is_broadcast_mapside(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert_no_python_row_udf(df)
+
+
+def test_salted_distinct_equals_direct_aggregate(spark, sf_dir):
+    """The salt is pure plumbing: the two-stage result must equal the
+    direct countDistinct/count per type, and every salt partial must be
+    bounded (16 per type at most)."""
+    from pyspark.sql import functions as F
+
+    from transit_efficiency_analysis_spark.sources.registry import load_table
+
+    got = {
+        r["event_type"]: (r["n_users"], r["n_events"], r["n_salt_parts"])
+        for r in load_registry()["q_agg_salted_distinct"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    want = {
+        r["event_type"]: (r["n_users"], r["n_events"])
+        for r in e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for t, (nu, ne, parts) in got.items():
+        assert (nu, ne) == want[t]
+        assert 1 <= parts <= 16

@@ -76,10 +76,13 @@ _DEMO_MODULES = [
 # "r3-green filler" while actually new-and-red in r4).
 _WINDOW_FRONT = [
     # (a) new in round 6: the scale-safe equi-depth split (closes the
-    # r5 q_window_ntile `weak`) and the append-mode watermark demo
-    # (closes "streaming eviction semantics under the driver hash")
+    # r5 q_window_ntile `weak`), the append-mode watermark demo
+    # (closes "streaming eviction semantics under the driver hash"),
+    # and the salted-distinct skew pattern (exercises the same distinct
+    # machinery as q_distinct_agg, which yields its slot this round)
     "q_window_ntile_approx",
     "q_stream_daily_agg_append",
+    "q_agg_salted_distinct",
     # (b) registered in r5 after the sweep — never driver-checked
     "q_sample_temperature",
     # (c) implementation changed since last green row (r6 advice fixes):
@@ -102,9 +105,11 @@ _WINDOW_FRONT = [
 # Prior-green re-verification filler, least-recently-verified first: the
 # r1/r2-era driver rows (49 of them after round 5), §2 core prioritized —
 # the flagship rebuild, star/diff/semi/anti/outer joins, the ts-* and
-# case-* families, upserts, window family, set-ops. The 12 still left
+# case-* families, upserts, window family, set-ops. The 13 still left
 # out (agg cube/rollup/pivot/stats/weather variants, the four text-ops,
-# q_null_surface, q_upsert_replay, q_window_pctrank) rotate in round 7.
+# q_null_surface, q_upsert_replay, q_window_pctrank, and q_distinct_agg
+# — which yielded its slot to q_agg_salted_distinct, the new demo
+# exercising the same distinct-aggregation machinery) rotate in round 7.
 _WINDOW_FILLER: list[str] = [
     "q_rebuild_full",
     "q_join_star",
@@ -141,7 +146,6 @@ _WINDOW_FILLER: list[str] = [
     "q_set_union",
     "q_set_intersect",
     "q_set_except",
-    "q_distinct_agg",
     "q_limit_topk",
 ]
 

@@ -510,6 +510,64 @@ def q_agg_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @demo(
+    "q_agg_salted_distinct",
+    sql="""
+    WITH s1 AS (
+        SELECT event_type,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2)
+                    AS BIGINT) % 16 AS salt,
+               count(DISTINCT user_id) AS du,
+               count(*) AS n
+        FROM events GROUP BY event_type, salt
+    )
+    SELECT event_type,
+           CAST(sum(du) AS BIGINT) AS n_users,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           count(*) AS n_salt_parts
+    FROM s1 GROUP BY event_type
+    """,
+)
+def q_agg_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual two-stage SALTED aggregation over a hot key, proven
+    exactly equal to the direct aggregate — the hot-reducer escape hatch
+    for skewed group-bys.
+
+    ``event_type`` has a handful of values over the whole corpus (the
+    classic hot key); the salt (keyed md5 of the DISTINCT column, so
+    every user lands in exactly ONE salt bucket and per-bucket distinct
+    counts add up losslessly) fans each hot group out over 16 reducers
+    in stage 1, and stage 2 folds the 16 bounded partials. Honest
+    scope note: for algebraic aggregates (count/sum/min/max) Spark's
+    map-side partial aggregation already bounds reducer load, and
+    count(DISTINCT) gets the expand rewrite — the MANUAL salt is the
+    tool for holistic payload aggregates (collect_list of heavy
+    payloads, exact per-key medians, custom UDAFs) and for engines or
+    UDAF paths without those rewrites; this demo pins the pattern's
+    exactness contract (salt-invariant result, oracle recomputes the
+    identical salted plan including per-salt-part counts) so the
+    variant can be swapped in wherever skew bites. Shuffle shape: one
+    (type, salt, user)-keyed distinct stage, one (type, salt) partial,
+    one bounded (type) fold — nothing funnels a hot group through a
+    single task."""
+    e = load_table(spark, sf_dir, "events")
+    salt = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 2), 16, 10
+        ).cast("long"),
+        F.lit(16),
+    )
+    s1 = e.groupBy("event_type", salt.alias("salt")).agg(
+        F.countDistinct("user_id").alias("du"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return s1.groupBy("event_type").agg(
+        F.sum("du").alias("n_users"),
+        F.sum("n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_salt_parts"),
+    )
+
+
+@demo(
     "q_events_retention",
     sql="""
     WITH activity AS (
