@@ -45,13 +45,24 @@ HEADLINE = [
 
 #: measured with the SAME median-of-N + warm-up protocol as the headline
 #: but reported separately (the headline list is frozen for
-#: round-over-round comparability). q_agg_dashboard_materialized is the
-#: BI-representative shape of q_agg_dashboard: it reads the materialized
-#: pipeline table instead of recomputing the flagship join — the number
-#: that scales to a 100x dashboard load (round-5 verdict ask #3).
+#: round-over-round comparability). The BI-representative dashboard
+#: number (round-5 verdict ask #3): the same aggregate as
+#: q_agg_dashboard_materialized over a table materialized ONCE per
+#: process — the untimed warm-up pass pays the write, the timed runs
+#: measure what a dashboard actually costs at 100x (scan+agg over the
+#: materialized table). The registry demo keeps the write in its own
+#: timing because its oracle contract is "materialization is lossless".
 EXTRAS = [
-    "q_agg_dashboard_materialized",
+    "q_agg_dashboard_materialized_read",
 ]
+
+
+def _extra_fns():
+    from transit_efficiency_analysis_spark.demo.analytics import (
+        dashboard_read_materialized,
+    )
+
+    return {"q_agg_dashboard_materialized_read": dashboard_read_materialized}
 
 
 def main() -> None:
@@ -76,20 +87,20 @@ def main() -> None:
     # minute doesn't bias all three samples of the same query; the spread
     # (max-min across runs) is reported per query for honesty.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    samples: dict[str, list[float]] = {
-        n: [] for n in HEADLINE + EXTRAS if n in registry
-    }
+    fns = {n: registry[n].fn for n in HEADLINE if n in registry}
+    fns.update(_extra_fns())
+    samples: dict[str, list[float]] = {n: [] for n in fns}
     # one untimed warm-up pass (round-4 ask #7): cache fills (the dedup
     # operators persist their shared shingle/fingerprint relations) and
     # any other one-time materialization land OUTSIDE the timed region,
     # so medians measure the query and spreads measure the machine.
     for name in samples:
-        n = registry[name].fn(spark, sf_dir).count()
+        n = fns[name](spark, sf_dir).count()
         print(f"# {name} warmup: {n} rows", file=sys.stderr)
     for r in range(runs):
         for name in samples:
             t0 = time.time()
-            df = registry[name].fn(spark, sf_dir)
+            df = fns[name](spark, sf_dir)
             n = df.count()
             dt = round(time.time() - t0, 3)
             samples[name].append(dt)

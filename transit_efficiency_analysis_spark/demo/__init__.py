@@ -110,6 +110,10 @@ _WINDOW_FRONT = [
 # q_null_surface, q_upsert_replay, q_window_pctrank, and q_distinct_agg
 # — which yielded its slot to q_agg_salted_distinct, the new demo
 # exercising the same distinct-aggregation machinery) rotate in round 7.
+# Post-freeze note: q_agg_dashboard_materialized (green r5) had a
+# result-identical extract-method refactor after this window was set
+# (the agg body moved to _dashboard_agg, shared with the bench-only BI
+# read shape); oracle re-verified locally at sf0.001 — not re-slotted.
 _WINDOW_FILLER: list[str] = [
     "q_rebuild_full",
     "q_join_star",
