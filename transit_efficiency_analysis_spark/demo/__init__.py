@@ -83,6 +83,12 @@ _WINDOW_FRONT = [
     "q_window_ntile_approx",
     "q_stream_daily_agg_append",
     "q_agg_salted_distinct",
+    # late r6 additions: native session_window (batch) and streaming
+    # sessionization with watermark eviction (append protocol); they take
+    # the q_ts_sub_min / q_ts_epoch filler slots (the ts family keeps 6
+    # of its 8 representatives this round — the two defer to round 7)
+    "q_window_session_native",
+    "q_stream_sessionize_append",
     # (b) registered in r5 after the sweep — never driver-checked
     "q_sample_temperature",
     # (c) implementation changed since last green row (r6 advice fixes):
@@ -107,9 +113,10 @@ _WINDOW_FRONT = [
 # the flagship rebuild, star/diff/semi/anti/outer joins, the ts-* and
 # case-* families, upserts, window family, set-ops. The 13 still left
 # out (agg cube/rollup/pivot/stats/weather variants, the four text-ops,
-# q_null_surface, q_upsert_replay, q_window_pctrank, and q_distinct_agg
-# — which yielded its slot to q_agg_salted_distinct, the new demo
-# exercising the same distinct-aggregation machinery) rotate in round 7.
+# q_null_surface, q_upsert_replay, q_window_pctrank, q_ts_epoch,
+# q_ts_sub_min, and q_distinct_agg — the last three yielded their slots
+# to the late-r6 demos q_agg_salted_distinct / q_window_session_native /
+# q_stream_sessionize_append) rotate in round 7.
 # Post-freeze note: q_agg_dashboard_materialized (green r5) had a
 # result-identical extract-method refactor after this window was set
 # (the agg body moved to _dashboard_agg, shared with the bench-only BI
@@ -128,8 +135,6 @@ _WINDOW_FILLER: list[str] = [
     "q_ts_gtfs_parse",
     "q_ts_unix",
     "q_ts_date_parse",
-    "q_ts_epoch",
-    "q_ts_sub_min",
     "q_ts_dow_name",
     "q_ts_hour_local",
     "q_ts_tz_localize",

@@ -183,6 +183,36 @@ def q_stream_daily_agg_append(spark: SparkSession, sf_dir: str) -> DataFrame:
       ``<`` vs the oracle's ``<=`` could diverge — cannot occur on this
       feed.
     """
+    def build_agg(events: DataFrame) -> DataFrame:
+        return (
+            events.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                parity_double(
+                    F.sum(F.col("value").cast("decimal(18,6)")), 6
+                ).alias("sum_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+        )
+
+    return _append_catchup_protocol(spark, sf_dir, build_agg)
+
+
+def _append_catchup_protocol(
+    spark: SparkSession, sf_dir: str, build_agg
+) -> DataFrame:
+    """The deterministic append-mode harness shared by the watermarked
+    streaming demos (see ``q_stream_daily_agg_append``'s docstring for
+    why each step is load-bearing): event-time-ordered 4-file feed →
+    AvailableNow catch-up into a parquet file sink → two clock-tick
+    sentinel files at ``ts = max(real ts)`` → checkpoint-recovered
+    second catch-up that flushes every still-held closed window."""
     batch = load_table(spark, sf_dir, "events")
     feed_dir = tempfile.mkdtemp(prefix="stream_append_feed_")
     out_dir = tempfile.mkdtemp(prefix="stream_append_out_")
@@ -200,24 +230,9 @@ def q_stream_daily_agg_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", "1")
             .load(feed_dir)
         )
-        agg = (
-            events.withWatermark("ts", "1 hour")
-            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
-            .agg(
-                F.count(F.lit(1)).alias("n_events"),
-                parity_double(
-                    F.sum(F.col("value").cast("decimal(18,6)")), 6
-                ).alias("sum_value"),
-            )
-            .select(
-                F.col("w.start").alias("window_start"),
-                "event_type",
-                "n_events",
-                "sum_value",
-            )
-        )
         q = (
-            agg.writeStream.format("parquet")
+            build_agg(events)
+            .writeStream.format("parquet")
             .option("path", out_dir)
             .outputMode("append")
             .option("checkpointLocation", ckpt_dir)
@@ -236,7 +251,7 @@ def q_stream_daily_agg_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         _touch_in_order()
         run1 = _run_catchup()
         # clock ticks: two 1-row files at ts = max(real ts), each its own
-        # micro-batch on restart (see docstring)
+        # micro-batch on restart (see q_stream_daily_agg_append docstring)
         max_ts = batch.agg(F.max("ts")).first()[0]
         tick = spark.createDataFrame([batch.first()], batch.schema).withColumn(
             "ts", F.lit(max_ts)
@@ -257,3 +272,83 @@ def q_stream_daily_agg_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: observability for tests: total micro-batch count across both catch-up
 #: runs (>= 4 data + 2 sentinel batches; no-data batches may add more)
 _LAST_APPEND_BATCHES = [0]
+
+
+#: inactivity gap for streaming sessionization (minutes) — matches the
+#: batch demos in demo/windowed.py
+_SESSION_GAP_MIN = 30
+
+
+@demo(
+    "q_stream_sessionize_append",
+    sql="""
+    WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+    flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) IS NULL THEN 1
+                    WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                                         ORDER BY ts, event_id))
+                         > {gap} * 60 THEN 1
+                    ELSE 0 END AS is_new
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    ),
+    sessions AS (
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL {gap} MINUTE AS session_end,
+               count(*) AS n_events
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT s.user_id, s.session_start,
+           CAST(s.session_end AS TIMESTAMP) AS session_end, s.n_events
+    FROM sessions s CROSS JOIN wm
+    WHERE s.session_end <= wm.w
+    """.replace("{gap}", str(_SESSION_GAP_MIN)),
+)
+def q_stream_sessionize_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SESSIONIZATION under the driver hash: ``session_window``
+    (the merging gap window — Spark's custom-session operator, state
+    merged as events arrive) + 1-hour watermark in append mode, run
+    through the same deterministic catch-up protocol as
+    ``q_stream_daily_agg_append``.
+
+    A session closes when the watermark passes ``last_ts + gap`` (no
+    later event can merge into it); the emitted set therefore equals the
+    batch gap-sessionization restricted to sessions with
+    ``session_end <= max(ts) - 1h``. ``session_window`` merges at a gap
+    of EXACTLY 30:00 and splits strictly above (probed, pinned in
+    tests/test_session_native.py), so the oracle's lag-based split uses
+    strict ``>``; ``session_end`` is ``last_ts + gap`` (the window end),
+    matching the oracle's ``max(ts) + INTERVAL 30 MINUTE``. The clock
+    ticks land at ``ts = max(real ts)``: any session they could touch
+    has ``last_ts > max(ts) - 1.5h``, whose window end strictly exceeds
+    the final watermark — so ticks only ever touch OPEN (unemitted)
+    sessions and cannot contaminate the output; the oracle mirrors this
+    by computing sessions over the tick-free events table."""
+
+    def build_agg(events: DataFrame) -> DataFrame:
+        return (
+            events.withWatermark("ts", "1 hour")
+            .groupBy(
+                "user_id",
+                F.session_window(
+                    "ts", f"{_SESSION_GAP_MIN} minutes"
+                ).alias("w"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events",
+            )
+        )
+
+    return _append_catchup_protocol(spark, sf_dir, build_agg)

@@ -104,6 +104,63 @@ def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @demo(
+    "q_window_session_native",
+    sql=f"""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) IS NULL THEN 1
+                    WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                                         ORDER BY ts, event_id))
+                         > {_SESSION_GAP_MIN} * 60 THEN 1
+                    ELSE 0 END AS is_new
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           CAST(max(ts) + INTERVAL {_SESSION_GAP_MIN} MINUTE AS TIMESTAMP)
+               AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_window_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE ``session_window`` — the same
+    30-min-gap contract as ``q_window_session`` (lag-flag + running sum),
+    proven equivalent through the independent lag-based oracle. The
+    built-in is the streaming-ready form (merging session state,
+    watermark eviction — ``q_stream_sessionize_append`` runs this exact
+    aggregate unbounded); in batch it compiles to one key shuffle + sort
+    with the merge done inside the aggregate, no second window pass for
+    the running session-id sum. Boundary semantics pinned by probe and
+    test: a gap of EXACTLY the session gap merges (the window end is
+    ``last_ts + gap``, exclusive), strictly-greater splits — hence the
+    oracle's strict ``>``. ``session_end`` is ``last_ts + gap`` (the
+    eviction horizon), not ``max(ts)`` as in ``q_window_session`` — both
+    conventions exist in the wild; the pair documents the difference."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "user_id",
+            F.session_window("ts", f"{_SESSION_GAP_MIN} minutes").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@demo(
     "q_ts_gapfill_ffill",
     sql="""
     WITH daily AS (
