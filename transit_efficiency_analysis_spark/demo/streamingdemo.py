@@ -1,16 +1,20 @@
-"""Driver-checkable Structured Streaming demo.
+"""Driver-checkable Structured Streaming demos.
 
 The streaming family (SURVEY §2's ``src-state-json`` successor: checkpointed
-micro-batch ingest, watermarked windowed aggregation, stateful upsert) has
-so far been pytest-only — streams have no one-shot SQL twin *while
-running*. This demo closes that gap with the one contract that IS
-oracle-checkable: a bounded catch-up run. ``Trigger.AvailableNow`` over a
-static file source processes every pending file and stops, and a
-complete-mode windowed aggregation then equals the batch recompute
-EXACTLY — which a DuckDB oracle can verify. The equality is the
-correctness claim that matters for the production path too: it is the
-replay/backfill guarantee (a stream restarted over the full history
-converges to the batch answer).
+micro-batch ingest, watermarked windowed aggregation, stateful upsert) was
+pytest-only through round 4 — streams have no one-shot SQL twin *while
+running*. These demos close that gap with the contracts that ARE
+oracle-checkable as bounded catch-up runs:
+
+- ``q_stream_daily_agg`` (complete mode): after an ``AvailableNow``
+  catch-up, the windowed aggregation equals the batch recompute EXACTLY —
+  the replay/backfill guarantee.
+- ``q_stream_daily_agg_append`` / ``q_stream_sessionize_append`` (append
+  mode + watermark): the emitted set equals the batch recompute restricted
+  to CLOSED windows/sessions — eviction, emit-once, and late-data
+  semantics under the driver hash, made deterministic by
+  ``_append_catchup_protocol`` (event-time-ordered feed, file-sink commit
+  log, clock-tick restart flush).
 """
 
 from __future__ import annotations
