@@ -357,3 +357,69 @@ def q_sink_codec_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
     if z.exceptAll(s).count() != 0 or s.exceptAll(z).count() != 0:
         raise AssertionError("zstd and snappy round-trips disagree")
     return z
+
+
+@demo(
+    "q_sink_compaction",
+    sql="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))
+                AS DOUBLE) AS sum_value,
+           TRUE AS was_fragmented,
+           TRUE AS is_compacted
+    FROM events GROUP BY event_type
+    """,
+)
+def q_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the operational task every 100 TB lake
+    runs nightly: poll/streaming ingest lands one small file per
+    micro-batch (here: a 64-way fragmented copy of the events table),
+    and the compactor rewrites each table slice into few large,
+    time-clustered files (``repartitionByRange`` on ``ts`` → ~target
+    file sizes AND range-clustered row groups, so time-predicate scans
+    prune whole files afterwards). Content must be byte-preserved: the
+    demo returns per-type aggregates computed FROM THE COMPACTED copy
+    while the oracle reads the original table — the driver hash IS the
+    losslessness proof. ``was_fragmented`` / ``is_compacted`` pin the
+    file-count mechanics (>= 32 fragments in, <= 8 files out) as
+    hash-checked verdicts. At scale this runs per partition-directory
+    (only partitions whose small-file count crossed a threshold are
+    rewritten) behind the atomic versioned-dir overwrite of
+    ``sinks.overwrite_table`` — or a Delta OPTIMIZE, which this is the
+    storage-agnostic form of."""
+    from transit_efficiency_analysis_spark.functions.parity import parity_double
+
+    e = load_table(spark, sf_dir, "events")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"teas_compaction_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    frag_path, compact_path = base + "_frag", base + "_compact"
+    e.repartition(64).write.mode("overwrite").parquet(frag_path)
+
+    def _n_parts(path: str) -> int:
+        return sum(
+            1
+            for name in os.listdir(path)
+            if name.startswith("part-") and name.endswith(".parquet")
+        )
+
+    frag = spark.read.parquet(frag_path)
+    frag.repartitionByRange(4, "ts").write.mode("overwrite").parquet(
+        compact_path
+    )
+    n_before, n_after = _n_parts(frag_path), _n_parts(compact_path)
+    compacted = spark.read.parquet(compact_path)
+    return compacted.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        parity_double(
+            F.sum(F.col("value").cast("decimal(18,6)")), 6
+        ).alias("sum_value"),
+    ).select(
+        "event_type",
+        "n_events",
+        "sum_value",
+        F.lit(n_before >= 32).alias("was_fragmented"),
+        F.lit(n_after <= 8).alias("is_compacted"),
+    )
