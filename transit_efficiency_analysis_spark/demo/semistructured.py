@@ -74,3 +74,55 @@ def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("trailing_1h_sum"),
         F.count(F.lit(1)).over(w).alias("trailing_1h_events"),
     )
+
+
+@demo(
+    "q_semi_xml_parse",
+    sql="""
+    SELECT o_orderkey,
+           o_custkey AS cust,
+           o_orderpriority AS priority,
+           o_totalprice AS total,
+           TRUE AS missing_is_null
+    FROM orders
+    """,
+)
+def q_semi_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML parsing (``from_xml``, built into Spark 4 — the
+    spark-xml package merged upstream): each order is rendered as an XML
+    fragment with an ATTRIBUTE id (``_o`` rebinding) and nested child
+    elements, parsed back through a typed schema, fields extracted and
+    cast. The oracle reads the original columns directly, so the driver
+    hash proves render → parse is lossless; an absent element surfaces
+    as NULL (``missing_is_null``). Safe-by-construction input: attribute
+    and element payloads here are numerics and the enum-like priority
+    strings (``1-URGENT`` …) — no XML metacharacters, so concat-rendering
+    needs no escaping (the file-sink demo covers writer-side escaping
+    for arbitrary text). Pure map-side expressions: render, parse, and
+    extract all fuse into the scan projection — zero shuffles."""
+    o = load_table(spark, sf_dir, "orders")
+    xml = F.concat(
+        F.lit('<order o="'),
+        F.col("o_orderkey"),
+        F.lit('"><cust>'),
+        F.col("o_custkey"),
+        F.lit("</cust><priority>"),
+        F.col("o_orderpriority"),
+        F.lit("</priority><total>"),
+        F.format_number(F.col("o_totalprice").cast("decimal(18,2)"), 2),
+        F.lit("</total></order>"),
+    )
+    schema = (
+        "_o BIGINT, cust BIGINT, priority STRING, total STRING, nope STRING"
+    )
+    p = F.from_xml(xml, schema).alias("p")
+    return o.select("o_orderkey", p).select(
+        "o_orderkey",
+        F.col("p._o").alias("oid"),
+        F.col("p.cust").alias("cust"),
+        F.col("p.priority").alias("priority"),
+        F.regexp_replace("p.total", ",", "").cast("double").alias("total"),
+        F.col("p.nope").isNull().alias("missing_is_null"),
+    ).where(
+        F.col("oid") == F.col("o_orderkey")  # attribute round-trip check
+    ).drop("oid")

@@ -423,3 +423,45 @@ def q_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_before >= 32).alias("was_fragmented"),
         F.lit(n_after <= 8).alias("is_compacted"),
     )
+
+
+@demo(
+    "q_sink_xml_roundtrip",
+    sql="""
+    SELECT doc_id, source, lang, text
+    FROM documents WHERE doc_id % 7 = 3
+    """,
+)
+def q_sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML file source/sink (native in Spark 4): write a documents slice
+    as row-tagged XML, read it back with an explicit schema. The writer
+    escapes XML metacharacters in arbitrary corpus text and the reader
+    unescapes them, so the oracle reading the ORIGINAL table proves the
+    interchange is byte-lossless — the complement of
+    ``q_semi_xml_parse`` (expression-level ``from_xml`` on
+    metacharacter-free fragments). XML is the slowest interchange format
+    here (row-tag parsing, no columnar projection, no predicate
+    pushdown) — it exists for feed interop, not as a lake format; the
+    demo pins semantics, SCALE.md points bulk storage at parquet."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 7 == 3)
+        .select("doc_id", "source", "lang", "text")
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"teas_sink_xml_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    (
+        docs.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "documents")
+        .option("rowTag", "doc")
+        .save(path)
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .schema("doc_id BIGINT, source STRING, lang STRING, text STRING")
+        .load(path)
+    )
