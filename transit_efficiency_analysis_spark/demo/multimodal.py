@@ -206,3 +206,67 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_images(bmps, scale=2).select(
         "doc_id", "width", "height", "n_bytes", "pixel_sum"
     )
+
+
+@demo(
+    "q_src_binary_files",
+    sql="""
+    SELECT doc_id,
+           CAST(54 + ((w * 3 + 3) // 4 * 4) * h AS INTEGER) AS n_bytes,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS n_channels
+    FROM (SELECT doc_id, octet_length(encode(text)) % 64 + 1 AS w,
+                 doc_id % 48 + 1 AS h
+          FROM documents)
+    WHERE doc_id < 24
+    """,
+)
+def q_src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` source — the missing first link of the multimodal
+    chain: raw media FILES on disk/object store → (path, length,
+    content) rows → the binary-column world every other multimodal demo
+    operates in. A bounded BMP subset (doc_id < 24; the bounded
+    driver-side materialization convention of ``demo/ingest.py``) is
+    written one file per image, read back distributed via
+    ``spark.read.format("binaryFile")`` with a ``*.bmp`` glob, the
+    doc id recovered from the filename (``regexp_extract`` on the
+    source's path column — the standard partition-by-filename idiom),
+    and the REAL BITMAPINFOHEADER parser decodes the content column.
+    The demo cross-checks the source's ``length`` against the decoded
+    byte count in-plan; the oracle predicts every field from the public
+    format's arithmetic. At 100 TB this source is how petabytes of
+    images/audio enter: file listing parallelizes across executors,
+    content is read at the task, nothing funnels through the driver."""
+    import os
+    import tempfile
+
+    corpus = _bmp_corpus(spark, sf_dir).where(F.col("doc_id") < 24)
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"teas_binfiles_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    os.makedirs(out, exist_ok=True)
+    for name in os.listdir(out):
+        os.unlink(os.path.join(out, name))
+    for r in corpus.collect():  # bounded: 24 rows
+        with open(os.path.join(out, f"img_{r['doc_id']}.bmp"), "wb") as f:
+            f.write(bytes(r["payload"]))
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bmp")
+        .load(out)
+        .select(
+            F.regexp_extract(F.col("path"), r"img_(\d+)\.bmp$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("length").alias("src_length"),
+            F.col("content").alias("payload"),
+        )
+    )
+    meta = extract_image_meta(files.select("doc_id", "payload"))
+    return (
+        meta.join(files.select("doc_id", "src_length"), "doc_id")
+        .where(F.col("n_bytes") == F.col("src_length"))  # source-length check
+        .select("doc_id", "n_bytes", "width", "height", "n_channels")
+    )
