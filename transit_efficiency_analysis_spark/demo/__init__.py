@@ -116,10 +116,11 @@ _WINDOW_FRONT = [
 # q_null_surface, q_upsert_replay, q_window_pctrank, q_ts_epoch,
 # q_ts_sub_min, and q_distinct_agg — the last three yielded their slots
 # to the late-r6 demos q_agg_salted_distinct / q_window_session_native /
-# q_stream_sessionize_append) rotate in round 7, as do the four demos
+# q_stream_sessionize_append) rotate in round 7, as do the five demos
 # registered after the r6 window froze (q_sink_compaction,
-# q_semi_xml_parse, q_sink_xml_roundtrip, q_src_binary_files — each
-# verified locally at sf0.001 + sf0.01 when added).
+# q_semi_xml_parse, q_sink_xml_roundtrip, q_src_binary_files,
+# q_multimodal_features — each verified locally at sf0.001 + sf0.01
+# when added).
 # Post-freeze note: q_agg_dashboard_materialized (green r5) had a
 # result-identical extract-method refactor after this window was set
 # (the agg body moved to _dashboard_agg, shared with the bench-only BI

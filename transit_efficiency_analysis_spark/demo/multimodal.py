@@ -270,3 +270,80 @@ def q_src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_bytes") == F.col("src_length"))  # source-length check
         .select("doc_id", "n_bytes", "width", "height", "n_channels")
     )
+
+
+@demo(
+    "q_multimodal_features",
+    sql="""
+    WITH d AS (
+        SELECT doc_id, octet_length(encode(text)) % 64 + 1 AS w,
+               doc_id % 48 + 1 AS h
+        FROM documents
+    ),
+    px AS (
+        SELECT d.doc_id, d.w, d.h, (7 * gx.x + 13 * gy.y) % 256 AS v
+        FROM d,
+             LATERAL unnest(generate_series(0, d.w - 1)) AS gx(x),
+             LATERAL unnest(generate_series(0, d.h - 1)) AS gy(y)
+    )
+    SELECT doc_id,
+           CAST(w * h * 3 AS BIGINT) AS n_samples,
+           CAST((sum(v) * 3 * 1000000) // (w * h * 3) AS BIGINT) AS mean_ppm,
+           CAST(min(v) AS BIGINT) AS min_v,
+           CAST(max(v) AS BIGINT) AS max_v,
+           CAST(sum(CASE WHEN v // 32 = 0 THEN 3 ELSE 0 END) AS BIGINT) AS bin_0,
+           CAST(sum(CASE WHEN v // 32 = 1 THEN 3 ELSE 0 END) AS BIGINT) AS bin_1,
+           CAST(sum(CASE WHEN v // 32 = 2 THEN 3 ELSE 0 END) AS BIGINT) AS bin_2,
+           CAST(sum(CASE WHEN v // 32 = 3 THEN 3 ELSE 0 END) AS BIGINT) AS bin_3,
+           CAST(sum(CASE WHEN v // 32 = 4 THEN 3 ELSE 0 END) AS BIGINT) AS bin_4,
+           CAST(sum(CASE WHEN v // 32 = 5 THEN 3 ELSE 0 END) AS BIGINT) AS bin_5,
+           CAST(sum(CASE WHEN v // 32 = 6 THEN 3 ELSE 0 END) AS BIGINT) AS bin_6,
+           CAST(sum(CASE WHEN v // 32 = 7 THEN 3 ELSE 0 END) AS BIGINT) AS bin_7
+    FROM px
+    GROUP BY doc_id, w, h
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multimodal FEATURE EXTRACTION — the binary → numeric-vector step
+    of an image pipeline (the brief's decode / feature-extract / resize /
+    frame-sample quartet): gradient BMPs decoded by the bundled real
+    parser into per-image features (sample count, exact ppm mean
+    intensity, min/max, 8-bin histogram), numpy-vectorized inside a
+    map-only ``mapInPandas`` with BMP row padding correctly excluded
+    (the off-by-stride class of bug the oracle would catch). Because the
+    gradient pixel at (x, y) is (7x+13y)%256, the oracle recomputes
+    every feature — including all 8 histogram bins — arithmetically
+    over the coordinate grid, so the driver hash verifies the exact
+    extracted vector, not plausible-looking statistics."""
+    from transit_efficiency_analysis_spark.operators.multimodal import (
+        bmp_pixel_features,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.octet_length(F.encode("text", "utf-8")) % 64 + 1).alias("w"),
+        (F.col("doc_id") % 48 + 1).alias("h"),
+    )
+
+    def _extract(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"]):
+                f = bmp_pixel_features(encode_bmp_gradient(int(w), int(h)))
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_samples": f["n_samples"],
+                        "mean_ppm": f["mean_ppm"],
+                        "min_v": f["min_v"],
+                        "max_v": f["max_v"],
+                        **{f"bin_{i}": f["hist"][i] for i in range(8)},
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    schema = (
+        "doc_id long, n_samples long, mean_ppm long, min_v long, max_v long, "
+        + ", ".join(f"bin_{i} long" for i in range(8))
+    )
+    return d.mapInPandas(_extract, schema=schema)
