@@ -119,8 +119,9 @@ _WINDOW_FRONT = [
 # q_stream_sessionize_append) rotate in round 7, as do the five demos
 # registered after the r6 window froze (q_sink_compaction,
 # q_semi_xml_parse, q_sink_xml_roundtrip, q_src_binary_files,
-# q_multimodal_features — each verified locally at sf0.001 + sf0.01
-# when added).
+# q_multimodal_features, and q_approx_sketch_union — each verified
+# locally at sf0.001 + sf0.01 when added; the sketch union also at
+# sf0.1).
 # Post-freeze note: q_agg_dashboard_materialized (green r5) had a
 # result-identical extract-method refactor after this window was set
 # (the agg body moved to _dashboard_agg, shared with the bench-only BI

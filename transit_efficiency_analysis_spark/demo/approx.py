@@ -233,3 +233,54 @@ def q_approx_topk_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("t").alias("token"), "exact_n")
         .agg(F.min("cnt").alias("cms_est"))
     )
+
+
+@demo(
+    "q_approx_sketch_union",
+    sql="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS du
+        FROM events GROUP BY CAST(ts AS DATE)
+    )
+    SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
+           CAST((SELECT count(DISTINCT user_id) FROM events) AS BIGINT)
+               AS monthly_exact,
+           CAST((SELECT sum(du) FROM daily) AS BIGINT) AS sum_daily_exact,
+           TRUE AS monthly_within_5pct
+    """,
+)
+def q_approx_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (Apache DataSketches HLL, new
+    in Spark 4: ``hll_sketch_agg`` / ``hll_union_agg`` /
+    ``hll_sketch_estimate``) — the pattern that makes 100 TB rollups
+    incremental: each day materializes a fixed-size sketch COLUMN
+    alongside its aggregates, and any period's distinct count comes from
+    unioning stored sketches — no rescan of history, unlike exact
+    distinct counts, which don't merge (``sum_daily_exact`` >
+    ``monthly_exact`` whenever users span days: the double-counting this
+    sketch exists to avoid). Register-max merging is commutative and
+    associative, so the unioned estimate is deterministic under any
+    partitioning or merge order. Oracle contract per the sketch
+    convention (``q_approx_distinct``): exact sides recomputed by
+    DuckDB, the estimate pinned by a within-5%-of-exact verdict
+    (default lgConfigK=12 → ~1.6% rsd)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("du"),
+    )
+    rollup = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("du").alias("sum_daily_exact"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    exact = e.agg(F.countDistinct("user_id").alias("monthly_exact"))
+    return rollup.crossJoin(F.broadcast(exact)).select(
+        "n_days",
+        "monthly_exact",
+        "sum_daily_exact",
+        (
+            F.abs(F.col("est") - F.col("monthly_exact")).cast("double")
+            <= F.lit(0.05) * F.col("monthly_exact").cast("double")
+        ).alias("monthly_within_5pct"),
+    )
