@@ -273,6 +273,26 @@ def test_merge_into_rewrite_backend_parity(spark, tmp_path):
     assert again == want
 
 
+def test_merge_into_rewrite_corrupt_target_raises(spark, tmp_path):
+    """A read failure on an EXISTING target must re-raise, never be treated
+    as 'first batch' (which would silently replace the committed table with
+    just the incoming rows). Absence is probed explicitly, not inferred
+    from exceptions."""
+    import pytest
+
+    from transit_efficiency_analysis_spark.operators.upsert import merge_into
+
+    target = tmp_path / "corrupt_tbl"
+    target.mkdir()
+    (target / "part-00000.parquet").write_bytes(b"this is not a parquet file")
+    inc = spark.createDataFrame(_mk_rows([(0, 10, 1)]), SCHEMA)
+    with pytest.raises(Exception):
+        merge_into(str(target), inc, keys=["key"], order_by=["ts", "seq"],
+                   backend="rewrite")
+    # the corrupt table was NOT overwritten
+    assert (target / "part-00000.parquet").read_bytes().startswith(b"this is")
+
+
 def test_merge_into_rewrite_tracked_replay(spark, tmp_path):
     """tracked-change mode through storage: unchanged re-deliveries keep
     the stored row; parity vs replay_conflict_update over the union."""

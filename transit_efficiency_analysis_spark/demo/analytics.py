@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from transit_efficiency_analysis_spark.demo import demo
+from transit_efficiency_analysis_spark.demo._tmpcache import process_dir_cache
 from transit_efficiency_analysis_spark.functions.parity import parity_double
 from transit_efficiency_analysis_spark.demo.delay import q_rebuild_full
 from transit_efficiency_analysis_spark.demo.delay import DELAY_ORACLE_SQL
@@ -237,8 +238,10 @@ def _dashboard_agg(mat: DataFrame) -> DataFrame:
     )
 
 
-#: process-local materialized-table cache for the bench-facing BI read
-_MAT_CACHE: dict[str, str] = {}
+#: process-local materialized-table cache for the bench-facing BI read;
+#: directories are private to this process and rmtree'd at interpreter
+#: exit (no /tmp accumulation across bench runs)
+_MAT_CACHE = process_dir_cache()
 
 
 def dashboard_read_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:

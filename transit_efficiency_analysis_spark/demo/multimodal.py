@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from transit_efficiency_analysis_spark.demo import demo
+from transit_efficiency_analysis_spark.demo._tmpcache import process_dir_cache
 from transit_efficiency_analysis_spark.operators.multimodal import (
     _fake_decode,
     attach_payload,
@@ -29,6 +30,9 @@ from transit_efficiency_analysis_spark.operators.multimodal import (
     resize_images,
 )
 from transit_efficiency_analysis_spark.sources.registry import load_table
+
+#: per-process binaryFile feed dirs, keyed by sf_dir; rmtree'd at exit
+_BINFILES_CACHE = process_dir_cache()
 
 
 @demo(
@@ -239,19 +243,21 @@ def q_src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     images/audio enter: file listing parallelizes across executors,
     content is read at the task, nothing funnels through the driver."""
     import os
-    import tempfile
 
     corpus = _bmp_corpus(spark, sf_dir).where(F.col("doc_id") < 24)
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"teas_binfiles_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
-    os.makedirs(out, exist_ok=True)
-    for name in os.listdir(out):
-        os.unlink(os.path.join(out, name))
-    for r in corpus.collect():  # bounded: 24 rows
-        with open(os.path.join(out, f"img_{r['doc_id']}.bmp"), "wb") as f:
-            f.write(bytes(r["payload"]))
+    # Per-process private dir (the _MAT_CACHE pattern, demo/analytics.py):
+    # a fixed shared path would race two concurrent runs — one process
+    # deleting/rewriting files mid-listing of the other's binaryFile scan.
+    # The feed is deterministic per sf_dir, so write once per process.
+    out = _BINFILES_CACHE.get(sf_dir)
+    if out is None:
+        import tempfile
+
+        out = tempfile.mkdtemp(prefix="teas_binfiles_")
+        for r in corpus.collect():  # bounded: 24 rows
+            with open(os.path.join(out, f"img_{r['doc_id']}.bmp"), "wb") as f:
+                f.write(bytes(r["payload"]))
+        _BINFILES_CACHE[sf_dir] = out
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.bmp")

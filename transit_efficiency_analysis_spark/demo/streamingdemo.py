@@ -288,7 +288,7 @@ _SESSION_GAP_MIN = 30
     sql="""
     WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
     flagged AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER (PARTITION BY user_id
                                        ORDER BY ts, event_id) IS NULL THEN 1
                     WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
@@ -299,7 +299,7 @@ _SESSION_GAP_MIN = 30
     ),
     sess AS (
         SELECT user_id, ts,
-               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS sid
         FROM flagged
     ),

@@ -107,7 +107,7 @@ def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_session_native",
     sql=f"""
     WITH flagged AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER (PARTITION BY user_id
                                        ORDER BY ts, event_id) IS NULL THEN 1
                     WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
@@ -118,7 +118,7 @@ def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
         SELECT user_id, ts,
-               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS sid
         FROM flagged
     )

@@ -199,6 +199,24 @@ def delta_available() -> bool:
         return False
 
 
+def _target_exists(spark, target: str) -> bool:
+    """True iff the table path exists — local ``os.path`` probe for
+    file-scheme targets, Hadoop ``FileSystem.exists`` for object-store URIs
+    (the same FS abstraction the read would use, so the probe and the read
+    agree on path resolution)."""
+    import os
+
+    from transit_efficiency_analysis_spark.sinks import _local_path
+
+    local = _local_path(target)
+    if local is not None:
+        return os.path.exists(local)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(target)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def merge_into(
     target: str,
     incoming: DataFrame,
@@ -250,9 +268,14 @@ def merge_into(
 
     from transit_efficiency_analysis_spark.sinks import overwrite_table
 
-    try:
-        existing = spark.read.parquet(target)
-    except Exception:  # first batch: nothing at target yet
+    # "First batch" means TRUE ABSENCE of the target, probed explicitly —
+    # never inferred from a read failure. A bare except here would turn any
+    # transient read error (permissions, flaky FS, corrupt footer) into
+    # "first batch" and the subsequent overwrite_table would silently
+    # replace the committed table with just the incoming rows.
+    if _target_exists(spark, target):
+        existing = spark.read.parquet(target)  # read errors re-raise
+    else:
         existing = spark.createDataFrame([], incoming.schema)
     merged = merge_batch(existing, incoming, keys, order_by, tracked, ts_col)
     return overwrite_table(merged, target)
