@@ -29,6 +29,7 @@ class Demo:
 REGISTRY: dict[str, Demo] = {}
 
 _DEMO_MODULES = [
+    "recursion",
     "approx",
     "layout",
     "streamingdemo",

@@ -1,0 +1,119 @@
+"""Recursive-CTE demos (``WITH RECURSIVE`` — iterative plans, Spark 4.1).
+
+Recursion is the one relational control-flow shape the rest of the
+registry expresses imperatively (the pagerank/connected-components loops
+in ``operators/graph.py`` / ``operators/dedup.py`` drive their fixpoints
+from Python). Spark 4.1 executes ``WITH RECURSIVE`` natively — the
+anchor seeds an iteration, each step joins the previous step's delta
+against a (static, reusable) work table, and the engine unions the
+per-level results. Two contracts, each oracle-checked against DuckDB's
+own recursive evaluator running the IDENTICAL query:
+
+- ``q_sql_recursive_chain`` — linked-list traversal: walk each
+  customer's order chain (successor edges derived with ``lead()``)
+  accumulating position and cumulative spend. This is the workload
+  windows cannot express when the successor edge is an arbitrary
+  pointer rather than a sort order; deriving the edges WITH a window
+  and then walking them recursively proves both halves agree.
+- ``q_sql_recursive_bfs`` — bounded BFS over a cyclic graph (the
+  event-type transition digraph): Spark recursion supports UNION ALL
+  only (UNION-distinct is rejected by the analyzer:
+  UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so cycles are cut with an
+  explicit hop cap and min-hop aggregation — the standard UNION ALL
+  reachability idiom. The oracle runs the same capped recursion, so
+  the comparison is exact regardless of graph diameter.
+
+Scale: each recursion level is one distributed join of the previous
+level's frontier against the (small, broadcastable) edge/successor
+table; depth — not data size — bounds the iteration count. The chain
+walk's depth is max orders per customer (~25 at sf0.01, ~double per
+10x; ``spark.sql.cteRecursionLevelLimit`` is raised to 1000 in-demo,
+and at true 100 TB scale a chain walk this deep would be re-expressed
+per-partition or via the window form the oracle proves equivalent).
+Spark guards runaway recursion with cteRecursionLevelLimit /
+cteRecursionRowLimit rather than silently spilling unbounded state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from transit_efficiency_analysis_spark.demo import demo
+from transit_efficiency_analysis_spark.sources.registry import load_table
+
+_CHAIN_SQL = """
+    WITH RECURSIVE ordered AS (
+        SELECT o_custkey, o_orderkey,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+               lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey)
+                   AS next_okey,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders
+    ),
+    walk(cust, order_id, next_okey, pos, cum_wide) AS (
+        SELECT o_custkey, o_orderkey, next_okey, 1, price
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.o_custkey, o.o_orderkey, o.next_okey, w.pos + 1,
+               CAST(w.cum_wide + o.price AS DECIMAL(18,2))
+        FROM walk w JOIN ordered o ON o.o_orderkey = w.next_okey
+    )
+    SELECT cust, order_id, pos, CAST(cum_wide AS DOUBLE) AS cum_spend
+    FROM walk
+"""
+
+_BFS_SQL = """
+    WITH RECURSIVE seq AS (
+        SELECT event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    edges AS (
+        SELECT DISTINCT event_type AS a, next_type AS b FROM seq
+        WHERE next_type IS NOT NULL AND event_type <> next_type
+    ),
+    reach(dst, hop) AS (
+        SELECT min(event_type), 0 FROM events
+        UNION ALL
+        SELECT e.b, r.hop + 1
+        FROM reach r JOIN edges e ON e.a = r.dst
+        WHERE r.hop < 4
+    )
+    SELECT dst AS event_type, min(hop) AS hops
+    FROM reach GROUP BY dst
+"""
+
+
+@demo("q_sql_recursive_chain", sql=_CHAIN_SQL)
+def q_sql_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive chain walk: successor edges per customer (``lead()``
+    over order date), then ``WITH RECURSIVE`` traverses each chain from
+    its first order, carrying 1-based position and an exact
+    DECIMAL(18,2) cumulative spend (re-cast every level — the recursive
+    branch must keep the anchor's schema, and unchecked decimal
+    addition widens precision per step). Rows out = rows in (every
+    order appears at exactly one level), so the driver hash checks the
+    whole traversal. Depth = max chain length; level limit raised
+    explicitly rather than inherited (fail loudly over silently
+    half-walking)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "1000")
+    return spark.sql(_CHAIN_SQL)
+
+
+@demo("q_sql_recursive_bfs", sql=_BFS_SQL)
+def q_sql_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS via recursive CTE: derive the event-type transition
+    digraph (distinct ``lead()`` pairs — cyclic by nature), seed at the
+    lexicographically-least type, expand frontier×edges per level under
+    a hop cap of 4, aggregate ``min(hop)`` per reached node. UNION ALL
+    + cap + min-hop is the cycle-safe reachability idiom forced by the
+    analyzer's UNION-distinct rejection; the cap bounds the blowup at
+    |V|·(|V|-1)^4 over a vocabulary-sized node set (5 event types), and
+    the oracle evaluates the IDENTICAL capped recursion so the result
+    is exact whatever the diameter."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_BFS_SQL)

@@ -77,6 +77,61 @@ def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @demo(
+    "q_semi_variant",
+    sql="""
+    SELECT o_orderkey,
+           o_orderkey AS vid,
+           o_orderpriority AS priority,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total,
+           o_orderkey % 7 AS tag1,
+           TRUE AS missing_is_null
+    FROM orders
+    """,
+)
+def q_semi_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT (Spark 4's open-schema semi-structured type): each order
+    renders to a JSON document (nested object + array), ``parse_json``
+    ingests it as VARIANT — the binary-encoded store-first-ask-later
+    column Spark shreds lazily instead of forcing a schema at write
+    time — and ``variant_get`` extracts typed values by JSON path
+    (nested field, array index, decimal re-cast). ``try_variant_get``
+    on an absent path yields NULL instead of erroring. The oracle reads
+    the original columns, so the driver hash proves render → VARIANT →
+    typed-extract is lossless (the q_semi_xml_parse pattern, for the
+    type that replaces string-JSON props at scale: one parse at ingest,
+    pruned binary access per query instead of per-query re-parsing).
+    All map-side expressions — render, parse, and every extraction fuse
+    into the scan projection; zero shuffles."""
+    o = load_table(spark, sf_dir, "orders")
+    doc = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("id"),
+            F.struct(
+                F.col("o_custkey").alias("cid"),
+                F.col("o_orderpriority").alias("pr"),
+            ).alias("cust"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("total"),
+            F.array(
+                F.col("o_orderkey") % 5, F.col("o_orderkey") % 7
+            ).alias("tags"),
+        )
+    )
+    v = F.parse_json(doc).alias("v")
+    return o.select("o_orderkey", v).select(
+        "o_orderkey",
+        F.variant_get(F.col("v"), "$.id", "bigint").alias("vid"),
+        F.variant_get(F.col("v"), "$.cust.pr", "string").alias("priority"),
+        F.variant_get(F.col("v"), "$.total", "decimal(18,2)")
+        .cast("double")
+        .alias("total"),
+        F.variant_get(F.col("v"), "$.tags[1]", "bigint").alias("tag1"),
+        F.try_variant_get(F.col("v"), "$.cust.nope", "bigint")
+        .isNull()
+        .alias("missing_is_null"),
+    )
+
+
+@demo(
     "q_semi_xml_parse",
     sql="""
     SELECT o_orderkey,

@@ -140,3 +140,37 @@ def q_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.collect_set("user_id")).alias("ids")
     )
     return grouped.select("event_type", F.explode("ids").alias("user_id"))
+
+
+@demo(
+    "q_agg_listagg",
+    sql="""
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS action_seq,
+           count(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation — ``listagg(...) WITHIN GROUP (ORDER
+    BY ...)`` (standard-SQL ordered concat, new in Spark 4): each
+    user's event types joined into one ``>``-separated action sequence,
+    ordered by (ts, event_id) so the string is deterministic (event_id
+    breaks timestamp ties). This is the training-sequence construction
+    shape — per-entity ordered histories flattened into single
+    sequence-model examples — expressed as ONE aggregate instead of a
+    collect_list + sort_array + array_join chain. One shuffle on the
+    group key with per-group payload bounded by events-per-user;
+    DuckDB's ``string_agg (ORDER BY ...)`` is the oracle twin."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT user_id,
+               listagg(event_type, '>') WITHIN GROUP (ORDER BY ts, event_id)
+                   AS action_seq,
+               count(*) AS n_events
+        FROM events
+        GROUP BY user_id
+        """
+    )

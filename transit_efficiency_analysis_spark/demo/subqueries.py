@@ -91,3 +91,33 @@ def q_subquery_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.where(F.col("l_quantity").cast("decimal(18,4)") * F.col("n") > F.col("total")).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+_LATERAL_TOPK_SQL = """
+    SELECT n.n_name AS nation, l.s_name AS s_name, l.s_acctbal AS s_acctbal
+    FROM nation n,
+    LATERAL (SELECT s_name, s_acctbal
+             FROM supplier s
+             WHERE s.s_nationkey = n.n_nationkey
+             ORDER BY s_acctbal DESC, s_suppkey
+             LIMIT 2) l
+"""
+
+
+@demo("q_join_lateral_topk", sql=_LATERAL_TOPK_SQL)
+def q_join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL-standard lateral join, Spark 4):
+    per nation, the top-2 suppliers by account balance, expressed as a
+    per-row correlated derived table with ORDER BY ... LIMIT inside —
+    the form BI tools and migrating Postgres/DuckDB workloads write,
+    complementing ``q_topk_per_group``'s window formulation of the same
+    contract. Catalyst decorrelates the lateral into a join +
+    per-group limit rather than executing the subquery per outer row
+    (same plan family as the window form — WindowGroupLimit-style
+    pushdown, one shuffle on the correlation key, no N+1 execution).
+    ``s_suppkey`` tie-breaks equal balances so top-2 is deterministic;
+    the oracle is DuckDB's own LATERAL evaluation of the identical
+    query."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(_LATERAL_TOPK_SQL)
