@@ -356,3 +356,122 @@ def q_stream_sessionize_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _append_catchup_protocol(spark, sf_dir, build_agg)
+
+
+@demo(
+    "q_stream_dedup_append",
+    sql="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def q_stream_dedup_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DEDUPLICATION — ``dropDuplicatesWithinWatermark`` (the
+    bounded-state streaming dedup operator: keeps one row per key,
+    holding per-key state only until the watermark passes the key's
+    first-seen event time + delay) run through the append catch-up
+    protocol. The delay here (90 days) exceeds the whole feed's span,
+    so no state is evicted mid-run and the emitted set is EXACTLY one
+    row per distinct (user_id, event_type) — the driver hash pins
+    emit-once-per-key. Only the key columns are projected: within a
+    micro-batch the surviving row among same-key duplicates is
+    arbitrary, so a value-deterministic contract must not leak payload
+    (eviction + re-emission semantics, which need controlled interleaving,
+    are pinned in tests/test_streaming_dedup.py with hand-fed single-row
+    batches). The clock-tick sentinel rows reuse an already-seen key, so
+    the dedup state absorbs them and the tick-free oracle table agrees.
+    At 100 TB this operator is exact-dedup for unbounded ingest: state
+    is one small entry per key within the horizon, sharded by key hash
+    across executors, RocksDB-backed — unlike batch ``DISTINCT``, no
+    full-corpus shuffle ever happens."""
+
+    def build_dedup(events: DataFrame) -> DataFrame:
+        return (
+            events.withWatermark("ts", "90 days")
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+            .select("user_id", "event_type")
+        )
+
+    return _append_catchup_protocol(spark, sf_dir, build_dedup)
+
+
+@demo(
+    "q_stream_upsert_foreachbatch",
+    sql="""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM (
+        SELECT event_id, ts, user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming UPSERT SINK — ``foreachBatch`` + ``merge_into``: the
+    production pattern for maintaining a keyed table off a stream when
+    the sink has no native MERGE. Each micro-batch is applied onto the
+    stored table through ``operators.upsert.merge_into`` (the
+    existence-probed rewrite backend committing via the atomic
+    versioned-dir overwrite), keyed by (user_id, event_type) keeping
+    the newest row by (ts, event_id). Because keep-newest over a TOTAL
+    order is an associative fold, the final stored state is
+    batch-split-invariant — equal to the one-shot window dedup over the
+    whole feed, which is exactly the oracle — so the driver hash proves
+    the stream-of-merges converges to the batch answer through real
+    storage and 4+ genuine micro-batches (no ticks needed: foreachBatch
+    commits every batch; nothing is held back on a watermark). On a
+    transactional lake the same function routes to Delta MERGE
+    (backend='delta'); the per-batch cost becomes touched-files, not
+    O(table)."""
+    import tempfile
+
+    batch = load_table(spark, sf_dir, "events")
+    feed_dir = tempfile.mkdtemp(prefix="stream_upsert_feed_")
+    ckpt_dir = tempfile.mkdtemp(prefix="stream_upsert_ckpt_")
+    target = os.path.join(
+        tempfile.mkdtemp(prefix="stream_upsert_tbl_"), "state"
+    )
+    from transit_efficiency_analysis_spark.operators.upsert import merge_into
+
+    def apply_batch(bdf: DataFrame, _batch_id: int) -> None:
+        merge_into(
+            target,
+            bdf,
+            keys=["user_id", "event_type"],
+            order_by=["ts", "event_id"],
+            backend="rewrite",
+        )
+
+    try:
+        batch.repartitionByRange(4, "ts").write.mode("overwrite").parquet(
+            feed_dir
+        )
+        events = (
+            spark.readStream.format("parquet")
+            .schema(batch.schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(feed_dir)
+        )
+        q = (
+            events.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _LAST_UPSERT_BATCHES[0] = sum(
+            1 for p in q.recentProgress if p["numInputRows"] > 0
+        )
+        q.stop()
+        rows = spark.read.parquet(target).select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        return spark.createDataFrame(rows.collect(), rows.schema)
+    finally:
+        for d in (feed_dir, ckpt_dir, os.path.dirname(target)):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+#: observability for tests: data-carrying micro-batches in the last
+#: q_stream_upsert_foreachbatch run (>= 4: one per feed file)
+_LAST_UPSERT_BATCHES = [0]
