@@ -76,92 +76,77 @@ _DEMO_MODULES = [
 # CORRECTNESS row (guards the round-4 mislabel: q_text_pack was filed as
 # "r3-green filler" while actually new-and-red in r4).
 _WINDOW_FRONT = [
-    # (a) new in round 6: the scale-safe equi-depth split (closes the
-    # r5 q_window_ntile `weak`), the append-mode watermark demo
-    # (closes "streaming eviction semantics under the driver hash"),
-    # and the salted-distinct skew pattern (exercises the same distinct
-    # machinery as q_distinct_agg, which yields its slot this round)
-    "q_window_ntile_approx",
-    "q_stream_daily_agg_append",
-    "q_agg_salted_distinct",
-    # late r6 additions: native session_window (batch) and streaming
-    # sessionization with watermark eviction (append protocol); they take
-    # the q_ts_sub_min / q_ts_epoch filler slots (the ts family keeps 6
-    # of its 8 representatives this round — the two defer to round 7)
+    # (a) new in round 7 — the Spark 4 SQL-surface demos (recursive
+    # CTEs, VARIANT, LATERAL, listagg) and the two streaming additions
+    # (dropDuplicatesWithinWatermark, foreachBatch upsert)
+    "q_sql_recursive_chain",
+    "q_sql_recursive_bfs",
+    "q_semi_variant",
+    "q_agg_listagg",
+    "q_join_lateral_topk",
+    "q_stream_dedup_append",
+    "q_stream_upsert_foreachbatch",
+    # (b) registered in r6 after the window froze — never driver-checked
+    "q_sink_compaction",
+    "q_semi_xml_parse",
+    "q_sink_xml_roundtrip",
+    "q_src_binary_files",
+    "q_multimodal_features",
+    "q_approx_sketch_union",
+    # (c) oracle changed since their r6 green rows (advice fix: event_id
+    # tie-break added to the session oracles' running-sum ORDER BY)
     "q_window_session_native",
     "q_stream_sessionize_append",
-    # (b) registered in r5 after the sweep — never driver-checked
-    "q_sample_temperature",
-    # (c) implementation changed since last green row (r6 advice fixes):
-    # int8 degenerate-range guard, drift-bucket lower clamp, graph
-    # persist lifecycle (pagerank + triangles), streaming sink naming
-    "q_sim_int8_quantize",
-    "q_stats_drift_tvd",
-    "q_graph_pagerank",
-    "q_graph_triangles",
-    "q_stream_daily_agg",
-    # (d) the five consumers of the r5 persist(DISK_ONLY) rewrite whose
-    # last driver rows predate it (displaced from the r5 window)
-    "q_dedup_minhash_banded",
-    "q_dedup_simhash_pairs_h3",
-    "q_sim_ivf_lloyd_topk",
-    "q_sim_ivf_pq_topk",
-    "q_dedup_clusters_twophase",
 ]
 
-# Prior-green re-verification filler, least-recently-verified first: the
-# r1/r2-era driver rows (49 of them after round 5), §2 core prioritized —
-# the flagship rebuild, star/diff/semi/anti/outer joins, the ts-* and
-# case-* families, upserts, window family, set-ops. The 13 still left
-# out (agg cube/rollup/pivot/stats/weather variants, the four text-ops,
-# q_null_surface, q_upsert_replay, q_window_pctrank, q_ts_epoch,
-# q_ts_sub_min, and q_distinct_agg — the last three yielded their slots
-# to the late-r6 demos q_agg_salted_distinct / q_window_session_native /
-# q_stream_sessionize_append) rotate in round 7, as do the five demos
-# registered after the r6 window froze (q_sink_compaction,
-# q_semi_xml_parse, q_sink_xml_roundtrip, q_src_binary_files,
-# q_multimodal_features, and q_approx_sketch_union — each verified
-# locally at sf0.001 + sf0.01 when added; the sketch union also at
-# sf0.1).
-# Post-freeze note: q_agg_dashboard_materialized (green r5) had a
-# result-identical extract-method refactor after this window was set
-# (the agg body moved to _dashboard_agg, shared with the bench-only BI
-# read shape); oracle re-verified locally at sf0.001 — not re-slotted.
+# Prior-green re-verification filler, least-recently-verified first.
+# After round 6 the stale set is: 15 r2-era rows (the agg cube/rollup/
+# pivot/stats/weather variants, four text-ops, q_null_surface,
+# q_upsert_replay, q_window_pctrank, q_ts_epoch, q_ts_sub_min,
+# q_distinct_agg) and 34 r3-era rows. All 15 r2 rows take slots this
+# round; 20 of the r3 rows follow (dedup/similarity/multimodal/
+# pandas-UDF families and the asof join first — the operator families
+# with the most implementation surface). The 14 r3 rows left for round
+# 8: q_agg_histogram, the three subquery demos, q_text_chunk/redact/
+# repetition, q_tpch_q3/q5/q10/q12, q_window_range/session/tumbling.
 _WINDOW_FILLER: list[str] = [
-    "q_rebuild_full",
-    "q_join_star",
-    "q_join_diff",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_outer",
-    "q_agg_dashboard",
-    "q_upsert_ignore",
-    "q_upsert_cond",
-    "q_dedup_window_latest",
-    "q_ts_gtfs_parse",
-    "q_ts_unix",
-    "q_ts_date_parse",
-    "q_ts_dow_name",
-    "q_ts_hour_local",
-    "q_ts_tz_localize",
-    "q_proj_select",
-    "q_proj_rename",
-    "q_proj_concat",
-    "q_filter_entity",
-    "q_filter_sentinel",
-    "q_case_null",
-    "q_case_diff",
-    "q_case_avg",
-    "q_case_bucket",
-    "q_expr_math",
-    "q_expr_cast",
-    "q_window_running",
-    "q_window_rank",
-    "q_window_lag",
-    "q_set_union",
-    "q_set_intersect",
-    "q_set_except",
-    "q_limit_topk",
+    # r2-era (driver rows from CORRECTNESS_r02)
+    "q_agg_cube",
+    "q_agg_rollup",
+    "q_agg_pivot",
+    "q_agg_stats",
+    "q_agg_dashboard_weather",
+    "q_distinct_agg",
+    "q_null_surface",
+    "q_text_fingerprint",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_tokens",
+    "q_ts_epoch",
+    "q_ts_sub_min",
+    "q_upsert_replay",
+    "q_window_pctrank",
+    # r3-era (driver rows from CORRECTNESS_r03)
+    "q_dedup_exact",
+    "q_dedup_clusters",
+    "q_dedup_embedding",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_simhash",
+    "q_dedup_editdistance",
+    "q_sim_bruteforce_topk",
+    "q_text_contamination",
+    "q_jdbc_roundtrip",
+    "q_join_asof",
+    "q_json_parse",
+    "q_multimodal_meta",
+    "q_multimodal_bmp",
+    "q_multimodal_frames",
+    "q_multimodal_wav",
+    "q_pandas_udf_scalar",
+    "q_apply_in_pandas",
+    "q_range_normalize",
+    "q_sample_hash",
+    "q_sample_stratified",
 ]
 
 _WINDOW = _WINDOW_FRONT + _WINDOW_FILLER
