@@ -284,3 +284,30 @@ def q_approx_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.05) * F.col("monthly_exact").cast("double")
         ).alias("monthly_within_5pct"),
     )
+
+
+@demo(
+    "q_approx_top_k",
+    sql="""
+    SELECT event_type AS item, count(*) AS est_count
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``approx_top_k`` (Spark 4.1's frequent-items sketch
+    aggregate — the built-in counterpart to q_approx_topk_cms's
+    hand-rolled count-min top-k): one pass, mergeable sketch state,
+    array-of-(item,count) out, exploded back to rows here. With
+    maxItemsTracked (10k) >= the actual vocabulary (5 event types) the
+    sketch degenerates to EXACT counts — which is what makes the demo
+    oracle-checkable by plain GROUP BY, the same every-bucket-tracked
+    regime q_approx_topk_cms pins. At real vocabulary scale the sketch
+    answers from fixed memory where GROUP BY + rank would shuffle the
+    full key set."""
+    e = load_table(spark, sf_dir, "events")
+    topk = e.agg(F.expr("approx_top_k(event_type, 5)").alias("tk"))
+    return topk.select(F.explode("tk").alias("s")).select(
+        F.col("s.item").alias("item"),
+        F.col("s.count").alias("est_count"),
+    )

@@ -174,3 +174,85 @@ def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY user_id
         """
     )
+
+
+@demo(
+    "q_sql_pipe_q1",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+                AS DECIMAL(18,4)) AS DOUBLE) AS sum_base_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_sql_pipe_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4's ``|>`` operators — queries written as
+    a linear dataflow, each stage an explicit operator, instead of the
+    inside-out SELECT nesting): the TPC-H Q1 pricing summary as
+    ``FROM |> WHERE |> EXTEND |> AGGREGATE``. Pipe stages compile to
+    the IDENTICAL Catalyst plan as the ANSI form (the oracle is that
+    ANSI form), so this pins both the dialect surface and
+    plan-equivalence. Decimal sums narrow through the same parity casts
+    as q_sql_tpch_q1."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate <= DATE '1998-09-02'
+        |> EXTEND CAST(l_extendedprice AS DECIMAL(18,4)) AS price_wide
+        |> AGGREGATE
+             CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+             CAST(CAST(sum(price_wide) AS DECIMAL(18,4)) AS DOUBLE)
+                 AS sum_base_price,
+             count(*) AS count_order
+           GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+@demo(
+    "q_sql_udf",
+    sql="""
+    SELECT CASE WHEN value < 0 THEN 'neg'
+                WHEN value < 50 THEN 'low'
+                WHEN value < 200 THEN 'mid'
+                ELSE 'high' END AS band,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar function (``CREATE FUNCTION ... RETURN expr``,
+    Spark 4): the banding logic is declared ONCE as a catalog function
+    and reused by name — the governed-semantics pattern (metric
+    definitions shared across queries) without shipping any Python.
+    Catalyst INLINES the function body at analysis time, so the plan is
+    identical to writing the CASE inline (no black-box call, full
+    codegen/pushdown) — which is exactly what the oracle proves, since
+    it IS the inlined form."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION value_band(v DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN v < 0 THEN 'neg'
+                    WHEN v < 50 THEN 'low'
+                    WHEN v < 200 THEN 'mid'
+                    ELSE 'high' END
+        """
+    )
+    return spark.sql(
+        """
+        SELECT value_band(value) AS band,
+               count(*) AS n,
+               count(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY value_band(value)
+        """
+    )
