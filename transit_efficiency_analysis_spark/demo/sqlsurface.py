@@ -9,6 +9,8 @@ so the predicate is exact on both engines.
 
 from __future__ import annotations
 
+import datetime
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -255,4 +257,79 @@ def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         GROUP BY value_band(value)
         """
+    )
+
+
+@demo(
+    "q_sql_unpivot",
+    sql="""
+    WITH agg AS (
+        SELECT event_type,
+               CAST(count(*) AS DOUBLE) AS n_events,
+               CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users,
+               CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))
+                    AS DOUBLE) AS sum_value
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, 'n_events' AS metric, n_events AS val FROM agg
+    UNION ALL
+    SELECT event_type, 'n_users', n_users FROM agg
+    UNION ALL
+    SELECT event_type, 'sum_value', sum_value FROM agg
+    """,
+)
+def q_sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL ``UNPIVOT`` (wide metrics → long (metric, value) rows — the
+    relational complement of q_agg_pivot, and the shape metric stores
+    and BI melt operations want). The unpivot is a zero-shuffle
+    Expand over the already-aggregated 5-row table; the oracle states
+    the same relation as explicit UNION ALL branches, so the demo pins
+    Spark's UNPIVOT null/typing semantics (values unified to DOUBLE)
+    against first principles."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT event_type, metric, val FROM (
+            SELECT event_type,
+                   CAST(count(*) AS DOUBLE) AS n_events,
+                   CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users,
+                   CAST(CAST(sum(CAST(value AS DECIMAL(18,6)))
+                        AS DECIMAL(18,6)) AS DOUBLE) AS sum_value
+            FROM events GROUP BY event_type
+        ) UNPIVOT (val FOR metric IN (n_events, n_users, sum_value))
+        """
+    )
+
+
+@demo(
+    "q_sql_parameterized",
+    sql="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+                AS DECIMAL(18,4)) AS DOUBLE) AS total
+    FROM lineitem
+    WHERE l_quantity >= 30 AND l_shipdate < DATE '1998-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def q_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (named parameter markers — ``:name`` bound via
+    ``spark.sql(query, args=...)``): the injection-safe way to template
+    queries, binding VALUES not SQL text (a quoted string in an arg can
+    never alter the statement). The markers bind as literals at
+    analysis time, so constant folding and predicate pushdown see them
+    exactly like inline constants — the oracle is the inlined form."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*) AS n,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+                    AS DECIMAL(18,4)) AS DOUBLE) AS total
+        FROM lineitem
+        WHERE l_quantity >= :min_qty AND l_shipdate < :cutoff
+        GROUP BY l_returnflag
+        """,
+        args={"min_qty": 30, "cutoff": datetime.date(1998, 1, 1)},
     )
