@@ -825,3 +825,59 @@ def q_stats_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
         tvd.alias("tvd_ppm"),
         (tvd > 100_000).alias("drift_alert"),
     )
+
+
+@demo(
+    "q_observe_metrics",
+    sql="""
+    SELECT count(*) AS n_rows,
+           count(CASE WHEN l_quantity >= 30 THEN 1 END) AS n_bulk,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+                AS DECIMAL(18,4)) AS DOUBLE) AS total_price,
+           CAST(min(l_shipdate) AS DATE) AS first_ship,
+           CAST(max(l_shipdate) AS DATE) AS last_ship
+    FROM lineitem
+    """,
+)
+def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``observe()`` / ``Observation`` — exact pipeline telemetry
+    collected ON the data pass itself (row counts, conditional counts,
+    exact decimal totals, date bounds), not by a second scan: the
+    metrics ride the very action that processes the data, which is how
+    a 100 TB job gets its data-quality counters for free. The demo
+    attaches the observation to the lineitem scan, drives one real
+    action over it, and returns the observed metrics as a one-row
+    table; the oracle recomputes them independently, so the driver hash
+    proves observed == recomputed. (The action's own result is
+    discarded here — in production it IS the pipeline output, and the
+    observation is the free byproduct.)"""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("lineitem_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("l_quantity") >= 30, 1)).alias("n_bulk"),
+        parity_double(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 4
+        ).alias("total_price"),
+        F.min(F.to_date("l_shipdate")).alias("first_ship"),
+        F.max(F.to_date("l_shipdate")).alias("last_ship"),
+    )
+    # one genuine pass over the observed frame (the "pipeline action")
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["n_bulk"],
+                m["total_price"],
+                m["first_ship"],
+                m["last_ship"],
+            )
+        ],
+        "n_rows BIGINT, n_bulk BIGINT, total_price DOUBLE, "
+        "first_ship DATE, last_ship DATE",
+    )

@@ -114,3 +114,45 @@ def q_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bench headline; this one proves the Python surface."""
     e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
     return e.groupBy("user_id").applyInPandas(_range_normalize, schema=_RANGE_SCHEMA)
+
+@demo(
+    "q_map_in_arrow",
+    sql="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           list_inner_product(CAST(embedding AS DOUBLE[]),
+                              CAST(embedding AS DOUBLE[])) AS sq_norm
+    FROM embeddings
+    """,
+)
+def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the lowest-overhead Python batch surface: the
+    UDF receives raw ``pyarrow.RecordBatch``es (no pandas conversion at
+    all) and yields batches back. Per-vector squared norm over the
+    embeddings table; the fold runs LEFT-TO-RIGHT in float64, matching
+    the sequential fold both `F.aggregate` (the JVM path the similarity
+    operators use) and DuckDB's ``list_inner_product`` evaluate — float
+    addition is order-sensitive, so parity comes from pinning the
+    order, not from tolerance. Map-only: zero shuffles, payload column
+    pruned nothing (the vector IS the input)."""
+    import pyarrow as pa
+
+    def batches(it):
+        for batch in it:
+            tbl = batch.to_pydict()
+            ids, dims, norms = [], [], []
+            for vid, vec in zip(tbl["vec_id"], tbl["embedding"]):
+                acc = 0.0
+                for x in vec:
+                    acc += float(x) * float(x)
+                ids.append(vid)
+                dims.append(len(vec))
+                norms.append(acc)
+            yield pa.RecordBatch.from_pydict(
+                {"vec_id": pa.array(ids, pa.int64()),
+                 "dim": pa.array(dims, pa.int32()),
+                 "sq_norm": pa.array(norms, pa.float64())}
+            )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return e.mapInArrow(batches, "vec_id BIGINT, dim INT, sq_norm DOUBLE")
