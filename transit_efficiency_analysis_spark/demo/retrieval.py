@@ -211,3 +211,62 @@ def q_retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf_ppm").desc(), "doc_id")
         .limit(_RRF_CUT)
     )
+
+
+_RERANK_DEPTH = 50
+_RERANK_CUT = 10
+_RERANK_QUERY_VEC = 0
+
+_RERANK_COS = (
+    "list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))"
+    " / (sqrt(list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))"
+    "    * sqrt(list_inner_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))"
+)
+
+
+@demo(
+    "q_retrieval_rerank",
+    sql=_bm25_sql(_RERANK_DEPTH)
+    + f"""
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT CAST({_RERANK_QUERY_VEC} AS BIGINT) AS query_id,
+               c.vec_id AS neighbor_id,
+               {_RERANK_COS} AS cosine_sim,
+               row_number() OVER (ORDER BY {_RERANK_COS} DESC, c.vec_id ASC)
+                   AS rank
+        FROM bm25 b
+        JOIN embeddings c ON c.vec_id = b.doc_id
+        CROSS JOIN (SELECT embedding FROM embeddings
+                    WHERE vec_id = {_RERANK_QUERY_VEC}) q
+        WHERE c.vec_id <> {_RERANK_QUERY_VEC}
+    )
+    WHERE rank <= {_RERANK_CUT}
+    """,
+)
+def q_retrieval_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieve-then-rerank — the production search/RAG
+    pipeline shape: a CHEAP sparse stage (BM25 top-50 over the seed
+    query terms) bounds the candidate set, then an EXPENSIVE dense
+    stage (exact cosine against the query embedding) reranks only
+    those candidates to the final top-10. The rerank stage therefore
+    scores 50 vectors regardless of corpus size — the structural
+    reason two-stage ranking scales where full-corpus dense scoring
+    would not; the stage-1 candidate semi-join keeps the corpus
+    embedding table pruned to candidate rows before any vector math.
+    Exact fold arithmetic on both engines (same cosine contract as
+    q_sim_bruteforce_topk), so the driver hash pins the COMPOSITION:
+    candidates, join alignment, rerank order, and cut."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    candidates = bm25_topk(d, _QUERY_TERMS, k=_RERANK_DEPTH).select("doc_id")
+    cand_vecs = e.join(
+        F.broadcast(candidates),
+        e["vec_id"] == candidates["doc_id"],
+        "left_semi",
+    )
+    return brute_force_topk(
+        cand_vecs,
+        e.where(F.col("vec_id") == _RERANK_QUERY_VEC),
+        k=_RERANK_CUT,
+    )
