@@ -333,3 +333,40 @@ def q_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_qty": 30, "cutoff": datetime.date(1998, 1, 1)},
     )
+
+
+@demo(
+    "q_sql_table_udf",
+    sql="""
+    SELECT user_id, event_type, count(*) AS n
+    FROM events
+    WHERE user_id % 29 = 0
+    GROUP BY user_id, event_type
+    """,
+)
+def q_sql_table_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined TABLE function (``CREATE FUNCTION ... RETURNS TABLE``,
+    Spark 4): a parameterized view — the per-entity history shape every
+    metrics layer wants — declared once and invoked CORRELATED via
+    ``LATERAL user_hist(u.user_id)``, one logical invocation per outer
+    row. Catalyst inlines the function body and decorrelates the
+    lateral, so the plan is the plain grouped join the oracle states —
+    no per-row re-execution (the probe result worth keeping: table
+    functions reject non-foldable args in FROM position, but LATERAL
+    correlation is exactly how you parameterize them per row)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION user_hist(uid BIGINT)
+        RETURNS TABLE(event_type STRING, n BIGINT)
+        RETURN SELECT event_type, count(*) AS n
+               FROM events WHERE user_id = uid GROUP BY event_type
+        """
+    )
+    return spark.sql(
+        """
+        SELECT u.user_id, h.event_type, h.n
+        FROM (SELECT DISTINCT user_id FROM events WHERE user_id % 29 = 0) u,
+        LATERAL user_hist(u.user_id) h
+        """
+    )

@@ -448,3 +448,74 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in summaries[1:]:
         out = out.unionAll(s)
     return out
+
+
+@demo(
+    "q_text_lm_score",
+    sql="""
+    WITH arrs AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS a
+        FROM documents
+    ),
+    trans AS (
+        SELECT doc_id, a[i] AS prev, a[i + 1] AS cur
+        FROM arrs, LATERAL unnest(generate_series(1, len(a) - 1)) AS g(i)
+        WHERE len(a) >= 2
+    ),
+    bc AS (SELECT prev, cur, count(*) AS cb FROM trans GROUP BY prev, cur),
+    pc AS (SELECT prev, count(*) AS cp FROM trans GROUP BY prev),
+    scored AS (
+        SELECT t.doc_id, (b.cb * 1000000) // p.cp AS p_ppm
+        FROM trans t
+        JOIN bc b ON b.prev = t.prev AND b.cur = t.cur
+        JOIN pc p ON p.prev = t.prev
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_trans,
+           CAST(CAST(sum(p_ppm) AS BIGINT) // count(*) AS BIGINT) AS score_ppm
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram language-model quality scoring: train a bigram LM on the
+    corpus itself (transition counts), then score every document by its
+    mean transition probability — low scores flag machine-mangled or
+    out-of-distribution text, the classic LM-based quality gate in
+    training-data pipelines. Kept EXACT end-to-end: each transition's
+    probability is an integer ppm (``C(prev,cur)·1e6 div C(prev·)``)
+    and the doc score is the integer mean, so the driver hash is
+    bit-deterministic — the arithmetic-mean variant of the usual
+    log-domain perplexity (``ln`` differs in the last ulp between
+    engines — probed: ln(3) disagrees — so the log form can only be
+    tolerance-checked; the production path rounds log-probs instead).
+    Plan: bigram extraction is a pure map (array fold over the split —
+    no window, no self-join); the two count tables shuffle on bigram /
+    prefix keys; the score join is vocabulary-sized, broadcast back
+    onto the transitions."""
+    d = load_table(spark, sf_dir, "documents")
+    arr = F.filter(F.split("text", " "), lambda x: x != "")
+    docs = d.select("doc_id", arr.alias("a")).where(F.size("a") >= 2)
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("a") - 1),
+        lambda i: F.struct(
+            F.element_at("a", i).alias("prev"),
+            F.element_at("a", i + 1).alias("cur"),
+        ),
+    )
+    trans = docs.select("doc_id", F.explode(pairs).alias("t")).select(
+        "doc_id", F.col("t.prev").alias("prev"), F.col("t.cur").alias("cur")
+    )
+    bc = trans.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cb"))
+    pc = trans.groupBy("prev").agg(F.count(F.lit(1)).alias("cp"))
+    scored = (
+        trans.join(F.broadcast(bc), ["prev", "cur"])
+        .join(F.broadcast(pc), ["prev"])
+        .select(
+            "doc_id",
+            F.expr("cb * 1000000 div cp").alias("p_ppm"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_trans"),
+        F.expr("sum(p_ppm) div count(*)").cast("long").alias("score_ppm"),
+    )
