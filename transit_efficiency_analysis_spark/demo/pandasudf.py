@@ -156,3 +156,43 @@ def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return e.mapInArrow(batches, "vec_id BIGINT, dim INT, sq_norm DOUBLE")
+
+
+@demo(
+    "q_arrow_udf_scalar",
+    sql="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def q_arrow_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``arrow_udf`` (Spark 4.1's typed Arrow scalar UDF — the third
+    Python batch surface beside pandas_udf and mapInArrow): the UDF
+    receives/returns ``pyarrow.Array`` and computes entirely in Arrow
+    compute kernels (C++-vectorized, no pandas object conversion).
+    Unicode char count + UTF-8 byte count per document — both exact
+    integers, so the oracle (``length`` / ``octet_length``) pins the
+    kernel semantics including multi-byte code points. Map-side only."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    # NOTE: no type annotations on the UDF bodies — this module uses
+    # `from __future__ import annotations`, which stringifies them, and
+    # arrow_udf's signature inspection rejects string annotations
+    # (UNSUPPORTED_SIGNATURE).
+    @F.arrow_udf(T.LongType())
+    def _nchars(s):
+        return pc.cast(pc.utf8_length(s), pa.int64())
+
+    @F.arrow_udf(T.LongType())
+    def _nbytes(s):
+        return pc.cast(pc.binary_length(pc.cast(s, pa.binary())), pa.int64())
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        _nchars("text").alias("n_chars"),
+        _nbytes("text").alias("n_bytes"),
+    )
