@@ -135,3 +135,53 @@ def test_python_datasource_stripes_partitions(spark):
     got = sorted(tuple(r) for r in df.collect())
     want = sorted(ping_row(v, p) for v in range(16) for p in range(10))
     assert got == want
+
+
+def test_lm_score_is_windowless_bounded_shuffles(spark, sf_dir):
+    """Bigram extraction must be a map-side array fold: no Window, no
+    self-join; the only exchanges are the two count aggregations and
+    the per-doc score aggregation (broadcast joins add none)."""
+    from transit_efficiency_analysis_spark.plans import count_shuffles
+
+    df = load_registry()["q_text_lm_score"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Window" not in plan, "bigrams must not use a lag window"
+    assert count_shuffles(df) <= 3
+    assert "BroadcastHashJoin" in plan, "count tables must broadcast back"
+    assert_no_python_row_udf(df)
+
+
+def test_sql_table_udf_inlines_to_grouped_join(spark, sf_dir):
+    """The LATERAL table-function invocation must inline: aggregation
+    over the correlation key, no Python, no per-row nested execution."""
+    df = load_registry()["q_sql_table_udf"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rerank_candidates_prune_before_vector_math(spark, sf_dir):
+    """Stage 2 must score only stage-1 candidates: the embedding table
+    is semi-joined down before the cosine join (broadcast semi-join in
+    plan), and the final cut is a bounded-window rank filter."""
+    df = load_registry()["q_retrieval_rerank"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan, "candidate semi-join must prune the vectors"
+    rows = df.collect()
+    assert len(rows) == 10 and all(r["rank"] <= 10 for r in rows)
+
+
+def test_arrow_udf_counts_multibyte_correctly(spark):
+    """n_chars counts code points, n_bytes counts UTF-8 bytes — pinned
+    on a string where they differ."""
+    from transit_efficiency_analysis_spark.demo.pandasudf import (
+        q_arrow_udf_scalar,  # noqa: F401  (registration side effect)
+    )
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    s = pa.array(["héllo", "日本語", "ascii"])
+    chars = pc.utf8_length(s).to_pylist()
+    nbytes = pc.binary_length(pc.cast(s, pa.binary())).to_pylist()
+    assert chars == [5, 3, 5]
+    assert nbytes == [6, 9, 5]
