@@ -101,6 +101,7 @@ _WINDOW_FRONT = [
     "q_sql_table_udf",
     "q_text_lm_score",
     "q_arrow_udf_scalar",
+    "q_stream_join_append",
     # (b) registered in r6 after the window froze — never driver-checked
     "q_sink_compaction",
     "q_semi_xml_parse",
@@ -119,7 +120,7 @@ _WINDOW_FRONT = [
 # pivot/stats/weather variants, four text-ops, q_null_surface,
 # q_upsert_replay, q_window_pctrank, q_ts_epoch, q_ts_sub_min,
 # q_distinct_agg) and 34 r3-era rows. All 15 r2 rows take slots this
-# round; 8 of the r3 rows follow (dedup/similarity/multimodal families
+# round; 7 of the r3 rows follow (dedup/similarity/multimodal families
 # and the asof join first — the operator families with the most
 # implementation surface). The 20 r3 rows left for round 8:
 # q_agg_histogram, the three subquery demos, q_text_chunk/redact/
@@ -130,13 +131,14 @@ _WINDOW_FRONT = [
 # q_json_parse (its JSON surface is front-covered by q_semi_variant
 # this round), q_dedup_editdistance (the smallest dedup variant — the
 # family holds four other slots this round), and q_text_contamination
-# (whose newer r4-green _capped twin formulation stands). These twelve
-# yielded
+# (whose newer r4-green _capped twin formulation stands), and
+# q_dedup_simhash (base variant; the family's pairs/_h3 formulations
+# hold r5/r6-green rows). These thirteen yielded
 # their slots to the late round-7 demos (q_src_python_datasource,
 # q_sql_pipe_q1, q_sql_udf, q_approx_top_k, q_sql_unpivot,
 # q_sql_parameterized, q_map_in_arrow, q_observe_metrics,
 # q_retrieval_rerank, q_sql_table_udf, q_text_lm_score,
-# q_arrow_udf_scalar).
+# q_arrow_udf_scalar, q_stream_join_append).
 _WINDOW_FILLER: list[str] = [
     # r2-era (driver rows from CORRECTNESS_r02)
     "q_agg_cube",
@@ -159,7 +161,6 @@ _WINDOW_FILLER: list[str] = [
     "q_dedup_clusters",
     "q_dedup_embedding",
     "q_dedup_ngram_jaccard",
-    "q_dedup_simhash",
     "q_sim_bruteforce_topk",
     "q_jdbc_roundtrip",
     "q_join_asof",

@@ -475,3 +475,114 @@ def q_stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: observability for tests: data-carrying micro-batches in the last
 #: q_stream_upsert_foreachbatch run (>= 4: one per feed file)
 _LAST_UPSERT_BATCHES = [0]
+
+
+@demo(
+    "q_stream_join_append",
+    sql="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.ts AS click_ts,
+           p.ts AS purchase_ts
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND p.event_type = 'purchase'
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def q_stream_join_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join under the driver hash: clicks and
+    purchases land as two independent file streams; each purchase joins
+    the same user's clicks from the preceding 30 minutes. Both sides
+    carry a 1-hour watermark and the join carries the event-time range
+    condition — together they bound the state store (a side's row is
+    evicted once the GLOBAL watermark — the min across both sources —
+    passes the last instant the condition could still match it).
+
+    Why this is oracle-checkable with no tick protocol: INNER
+    stream-stream join results emit when the match is FOUND, not when
+    the watermark closes anything — so a full AvailableNow catch-up
+    over finite feeds emits exactly every qualifying pair, whatever
+    the interleaving of the two sources (the conservative min-across-
+    sources watermark can only lag, and lag keeps state alive: needed
+    clicks for a purchase at T have ts >= T-30m, while eviction only
+    reaches ts < watermark-30m <= T-1.5h). The batch interval join IS
+    the emitted set; exactly-once lands via the file-sink commit log.
+    At 100 TB this operator is how realtime enrichment joins run
+    unbounded — per-key state sharded across executors, bounded by
+    watermark x interval, no batch recompute."""
+    import tempfile
+
+    batch = load_table(spark, sf_dir, "events")
+    out_dir = tempfile.mkdtemp(prefix="stream_join_out_")
+    ckpt_dir = tempfile.mkdtemp(prefix="stream_join_ckpt_")
+    feeds = {}
+    try:
+        sides = {}
+        for etype in ("click", "purchase"):
+            feed = tempfile.mkdtemp(prefix=f"stream_join_{etype}_")
+            feeds[etype] = feed
+            batch.where(F.col("event_type") == etype).repartitionByRange(
+                4, "ts"
+            ).write.mode("overwrite").parquet(feed)
+            sides[etype] = (
+                spark.readStream.format("parquet")
+                .schema(batch.schema)
+                .option("maxFilesPerTrigger", "1")
+                .load(feed)
+                .withWatermark("ts", "1 hour")
+            )
+        # Arrival order must approximate event-time order WITHIN each
+        # source (the protocol invariant of _append_catchup_protocol):
+        # the file source processes by mtime, and an out-of-order file
+        # is genuinely LATE data the watermark correctly DROPS before
+        # the join — real missing pairs, nondeterministically, since
+        # unset mtimes are write-completion order. Range-partitioned
+        # part files sort by ts within each feed; interleave the two
+        # feeds' quartiles so neither source races a full month ahead.
+        t0 = time.time() - 3600
+        for i in range(4):
+            for j, etype in enumerate(("click", "purchase")):
+                parts = sorted(
+                    glob.glob(os.path.join(feeds[etype], "part-*"))
+                )
+                if i < len(parts):
+                    os.utime(parts[i], (t0 + 2 * i + j, t0 + 2 * i + j))
+        c = sides["click"].select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        p = sides["purchase"].select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        joined = c.join(
+            p,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+            ),
+        ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+        rows = spark.read.parquet(out_dir)
+        return spark.createDataFrame(rows.collect(), rows.schema)
+    finally:
+        for d in (out_dir, ckpt_dir, *feeds.values()):
+            shutil.rmtree(d, ignore_errors=True)
