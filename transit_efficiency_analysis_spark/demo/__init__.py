@@ -102,6 +102,7 @@ _WINDOW_FRONT = [
     "q_text_lm_score",
     "q_arrow_udf_scalar",
     "q_stream_join_append",
+    "q_stream_join_left_append",
     # (b) registered in r6 after the window froze — never driver-checked
     "q_sink_compaction",
     "q_semi_xml_parse",
@@ -120,7 +121,7 @@ _WINDOW_FRONT = [
 # pivot/stats/weather variants, four text-ops, q_null_surface,
 # q_upsert_replay, q_window_pctrank, q_ts_epoch, q_ts_sub_min,
 # q_distinct_agg) and 34 r3-era rows. All 15 r2 rows take slots this
-# round; 7 of the r3 rows follow (dedup/similarity/multimodal families
+# round; 6 of the r3 rows follow (dedup/similarity/multimodal families
 # and the asof join first — the operator families with the most
 # implementation surface). The 20 r3 rows left for round 8:
 # q_agg_histogram, the three subquery demos, q_text_chunk/redact/
@@ -133,12 +134,14 @@ _WINDOW_FRONT = [
 # family holds four other slots this round), and q_text_contamination
 # (whose newer r4-green _capped twin formulation stands), and
 # q_dedup_simhash (base variant; the family's pairs/_h3 formulations
-# hold r5/r6-green rows). These thirteen yielded
+# hold r5/r6-green rows), and q_dedup_embedding (its blocked-LSH twin
+# q_dedup_embedding_lsh holds an r4-green row). These fourteen yielded
 # their slots to the late round-7 demos (q_src_python_datasource,
 # q_sql_pipe_q1, q_sql_udf, q_approx_top_k, q_sql_unpivot,
 # q_sql_parameterized, q_map_in_arrow, q_observe_metrics,
 # q_retrieval_rerank, q_sql_table_udf, q_text_lm_score,
-# q_arrow_udf_scalar, q_stream_join_append).
+# q_arrow_udf_scalar, q_stream_join_append,
+# q_stream_join_left_append).
 _WINDOW_FILLER: list[str] = [
     # r2-era (driver rows from CORRECTNESS_r02)
     "q_agg_cube",
@@ -159,7 +162,6 @@ _WINDOW_FILLER: list[str] = [
     # r3-era (driver rows from CORRECTNESS_r03)
     "q_dedup_exact",
     "q_dedup_clusters",
-    "q_dedup_embedding",
     "q_dedup_ngram_jaccard",
     "q_sim_bruteforce_topk",
     "q_jdbc_roundtrip",

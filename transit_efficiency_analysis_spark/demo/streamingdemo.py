@@ -586,3 +586,150 @@ def q_stream_join_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for d in (out_dir, ckpt_dir, *feeds.values()):
             shutil.rmtree(d, ignore_errors=True)
+
+
+@demo(
+    "q_stream_join_left_append",
+    sql="""
+    WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+    p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    wm AS (SELECT max(ts) - INTERVAL 90 MINUTE AS evict_cut FROM events),
+    m AS (
+        SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+               c.ts AS click_ts, CAST(p.ts AS TIMESTAMP) AS purchase_ts
+        FROM c JOIN p
+          ON p.user_id = c.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    )
+    SELECT user_id, click_id, purchase_id, click_ts, purchase_ts FROM m
+    UNION ALL
+    SELECT c.user_id, c.event_id, CAST(NULL AS BIGINT), c.ts,
+           CAST(NULL AS TIMESTAMP)
+    FROM c CROSS JOIN wm
+    WHERE NOT EXISTS (
+            SELECT 1 FROM p
+            WHERE p.user_id = c.user_id
+              AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+      AND c.ts + INTERVAL 30 MINUTE < wm.evict_cut + INTERVAL 30 MINUTE
+    """,
+)
+def q_stream_join_left_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream join — the eviction-emission contract
+    under the driver hash. Matches emit when found (as in
+    ``q_stream_join_append``); an UNMATCHED click emits with NULL
+    purchase columns only when the watermark passes the last instant a
+    purchase could still match it (``click_ts + 30min``) — i.e. at
+    state EVICTION, which is exactly what this demo pins: the emitted
+    NULL rows are the clicks with ``click_ts + 30min < final
+    watermark`` (``max(ts) − 1h``), while younger unmatched clicks
+    stay IN STATE unemitted, as they would in production until later
+    data closes them.
+
+    Protocol: the inner-join demo's ordered two-feed setup, plus the
+    clock-tick + checkpoint-restart discipline of
+    ``q_stream_daily_agg_append`` applied to BOTH feeds — two
+    sentinel rows per side at ``ts = max(real ts)`` (sentinel user ids
+    −1/−2 can never join, and as perpetual in-state rows they are
+    never emitted), because batch N plans with the watermark of
+    batches ≤ N−1 and the trailing finalization batch is racy under
+    AvailableNow. The oracle restates the whole contract in SQL:
+    matched pairs unconditionally, NULL rows cut at the eviction
+    horizon."""
+    import tempfile
+
+    batch = load_table(spark, sf_dir, "events")
+    out_dir = tempfile.mkdtemp(prefix="stream_ljoin_out_")
+    ckpt_dir = tempfile.mkdtemp(prefix="stream_ljoin_ckpt_")
+    feeds: dict[str, str] = {}
+
+    def _order_files() -> None:
+        t0 = time.time() - 3600
+        seqs = {
+            e: sorted(glob.glob(os.path.join(feeds[e], "part-*")))
+            for e in feeds
+        }
+        n = max(len(s) for s in seqs.values())
+        k = 0
+        for i in range(n):
+            for e in ("click", "purchase"):
+                if i < len(seqs[e]):
+                    os.utime(seqs[e][i], (t0 + k, t0 + k))
+                    k += 1
+
+    def _run_catchup(joined: DataFrame) -> None:
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+    def _build_join() -> DataFrame:
+        sides = {}
+        for etype in ("click", "purchase"):
+            sides[etype] = (
+                spark.readStream.format("parquet")
+                .schema(batch.schema)
+                .option("maxFilesPerTrigger", "1")
+                .load(feeds[etype])
+                .withWatermark("ts", "1 hour")
+            )
+        c = sides["click"].select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        p = sides["purchase"].select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        return c.join(
+            p,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+            ),
+            "left_outer",
+        ).select(
+            F.col("c_user").alias("user_id"),
+            "click_id",
+            "purchase_id",
+            "click_ts",
+            "purchase_ts",
+        )
+
+    try:
+        for etype in ("click", "purchase"):
+            feed = tempfile.mkdtemp(prefix=f"stream_ljoin_{etype}_")
+            feeds[etype] = feed
+            batch.where(F.col("event_type") == etype).repartitionByRange(
+                4, "ts"
+            ).write.mode("overwrite").parquet(feed)
+        _order_files()
+        _run_catchup(_build_join())
+        # clock ticks on BOTH feeds: sentinel users can never join and,
+        # being the youngest rows in state, are never evicted/emitted
+        max_ts = batch.agg(F.max("ts")).first()[0]
+        for sentinel_uid, etype in ((-1, "click"), (-2, "purchase")):
+            tick = (
+                spark.createDataFrame([batch.first()], batch.schema)
+                .withColumn("ts", F.lit(max_ts))
+                .withColumn("user_id", F.lit(sentinel_uid).cast("long"))
+                .withColumn("event_type", F.lit(etype))
+            )
+            for _ in range(2):
+                tick.coalesce(1).write.mode("append").parquet(feeds[etype])
+        _order_files()
+        _run_catchup(_build_join())
+        rows = spark.read.parquet(out_dir).where(F.col("user_id") >= 0)
+        return spark.createDataFrame(rows.collect(), rows.schema)
+    finally:
+        for d in (out_dir, ckpt_dir, *feeds.values()):
+            shutil.rmtree(d, ignore_errors=True)
