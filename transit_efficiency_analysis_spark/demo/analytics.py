@@ -881,3 +881,32 @@ def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows BIGINT, n_bulk BIGINT, total_price DOUBLE, "
         "first_ship DATE, last_ship DATE",
     )
+
+
+@demo(
+    "q_agg_grouping_id",
+    sql="""
+    SELECT o_orderpriority, o_orderstatus,
+           GROUPING(o_orderpriority) AS is_pri_total,
+           GROUPING(o_orderstatus) AS is_status_total,
+           GROUPING(o_orderpriority, o_orderstatus) AS gid,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def q_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``grouping()`` / ``grouping_id()`` over CUBE — the reporting
+    primitive that distinguishes a SUBTOTAL row's NULL from a NULL in
+    the data (indistinguishable from the grouping columns alone, the
+    standard cube-consumption bug). ``grouping_id()`` packs the
+    per-column bits exactly like DuckDB's multi-arg ``GROUPING``, so
+    the driver hash pins the bit order too. Same single-pass Expand
+    plan as q_agg_cube."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.grouping("o_orderpriority").cast("long").alias("is_pri_total"),
+        F.grouping("o_orderstatus").cast("long").alias("is_status_total"),
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -370,3 +370,44 @@ def q_sql_table_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         LATERAL user_hist(u.user_id) h
         """
     )
+
+
+@demo(
+    "q_sql_collation",
+    sql="""
+    SELECT lang,
+           count(DISTINCT w) AS n_exact,
+           count(DISTINCT lower(w)) AS n_ci,
+           count(*) AS n_tokens
+    FROM (SELECT lang, unnest(string_split(upper_variant, ' ')) AS w
+          FROM (SELECT lang,
+                       CASE WHEN doc_id % 2 = 0 THEN upper(text) ELSE text END
+                           AS upper_variant
+                FROM documents))
+    WHERE w <> ''
+    GROUP BY lang
+    """,
+)
+def q_sql_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String COLLATIONS (Spark 4): ``collate(w, 'UTF8_LCASE')`` makes
+    case-insensitivity a property of the VALUE — comparisons, DISTINCT,
+    and GROUP BY all follow it, instead of sprinkling ``lower()`` at
+    every call site. The demo makes half the corpus uppercase so the
+    exact/case-insensitive distinct counts genuinely diverge, then
+    counts both per language; the oracle states the ``lower()``
+    formulation the collation replaces (equivalent on this corpus —
+    ASCII + caseless CJK; locale edge cases like the Turkish dotless i
+    are exactly why the collation form is the principled one)."""
+    d = load_table(spark, sf_dir, "documents")
+    variant = F.when(F.col("doc_id") % 2 == 0, F.upper("text")).otherwise(
+        F.col("text")
+    )
+    toks = (
+        d.select("lang", F.explode(F.split(variant, " ")).alias("w"))
+        .where(F.col("w") != "")
+    )
+    return toks.groupBy("lang").agg(
+        F.countDistinct("w").alias("n_exact"),
+        F.countDistinct(F.expr("collate(w, 'UTF8_LCASE')")).alias("n_ci"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )

@@ -519,3 +519,37 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_trans"),
         F.expr("sum(p_ppm) div count(*)").cast("long").alias("score_ppm"),
     )
+
+
+@demo(
+    "q_text_regex_extract",
+    sql="""
+    SELECT doc_id,
+           coalesce(array_to_string(regexp_extract_all(text, 'ta[a-z]+'),
+                                    ','), '') AS matches_csv,
+           CAST(coalesce(len(regexp_extract_all(text, 'ta[a-z]+')), 0)
+                AS BIGINT) AS n_matches,
+           coalesce(regexp_extract(text, 'ta[a-z]+'), '') AS first_match
+    FROM documents
+    """,
+)
+def q_text_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extraction surface — ``regexp_extract_all`` (all matches,
+    the pattern-mining / PII-sweep primitive), match count, and first
+    match, per document. The pattern sticks to syntax with identical
+    semantics in Java regex (Spark) and RE2 (DuckDB) — simple greedy
+    character classes; the demos avoid constructs the engines disagree
+    on (lookaround, possessives — Java-only; leftmost-longest vs
+    leftmost-first only differs under alternation). Map-side only."""
+    d = load_table(spark, sf_dir, "documents")
+    pat = "ta[a-z]+"
+    return d.select(
+        "doc_id",
+        F.array_join(F.regexp_extract_all("text", F.lit(pat), 0), ",").alias(
+            "matches_csv"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(pat), 0))
+        .cast("long")
+        .alias("n_matches"),
+        F.regexp_extract("text", pat, 0).alias("first_match"),
+    )

@@ -326,3 +326,53 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("max_price"),
         )
     )
+
+
+@demo(
+    "q_window_cume_nth",
+    sql="""
+    SELECT event_id, event_type,
+           cume_dist() OVER (PARTITION BY event_type ORDER BY value)
+               AS cume,
+           nth_value(event_id, 2) OVER (PARTITION BY event_type
+                                        ORDER BY value, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND UNBOUNDED FOLLOWING)
+               AS second_id,
+           first_value(event_id) OVER (PARTITION BY event_type
+                                       ORDER BY value, event_id)
+               AS min_id,
+           last_value(event_id) OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND UNBOUNDED FOLLOWING)
+               AS max_id
+    FROM events
+    """,
+)
+def q_window_cume_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution + positional window functions: ``cume_dist`` (share
+    of rows with ORDER-key <= current — tie rows share one value, so
+    it is deterministic on the bare value order), and
+    ``nth_value``/``first_value``/``last_value`` over the full-frame
+    (value, event_id) total order (the tie-break makes the POSITIONAL
+    picks deterministic; last_value needs the explicit UNBOUNDED
+    FOLLOWING frame on both engines — the default frame ends at
+    CURRENT ROW, a classic SQL footgun both engines share). One
+    event_type key shuffle + one in-partition sort serves all four."""
+    e = load_table(spark, sf_dir, "events")
+    w_val = Window.partitionBy("event_type").orderBy("value")
+    w_full = (
+        Window.partitionBy("event_type")
+        .orderBy("value", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_run = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return e.select(
+        "event_id",
+        "event_type",
+        F.cume_dist().over(w_val).alias("cume"),
+        F.nth_value("event_id", 2).over(w_full).alias("second_id"),
+        F.first("event_id").over(w_run).alias("min_id"),
+        F.last("event_id").over(w_full).alias("max_id"),
+    )
