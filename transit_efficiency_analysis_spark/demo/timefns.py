@@ -237,3 +237,38 @@ demo(
     )
     """,
 )(q_ts_now_audit_impl)
+
+
+@demo(
+    "q_ts_calendar",
+    sql="""
+    SELECT event_id,
+           last_day(CAST(ts AS DATE)) AS month_end,
+           CAST(CAST(ts AS DATE) + INTERVAL 1 MONTH AS DATE) AS next_month,
+           CAST(dayofyear(CAST(ts AS DATE)) AS INTEGER) AS doy,
+           CAST(quarter(CAST(ts AS DATE)) AS INTEGER) AS qtr,
+           CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS INTEGER)
+               AS days_since_epoch0
+    FROM events
+    """,
+)
+def q_ts_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic surface: ``last_day`` (billing-period end),
+    ``add_months`` (the month-add with end-of-month clamping both
+    engines share: Jan 31 + 1 month = Feb 29), ``dayofyear``,
+    ``quarter``, and day-difference from a fixed anchor. All pure date
+    expressions fused into the scan; the oracle states each with
+    DuckDB's spelling (interval add vs ``add_months`` — same clamping
+    semantics, which is exactly what the hash pins)."""
+    e = load_table(spark, sf_dir, "events")
+    d = F.to_date("ts")
+    return e.select(
+        "event_id",
+        F.last_day(d).alias("month_end"),
+        F.add_months(d, 1).alias("next_month"),
+        F.dayofyear(d).alias("doy"),
+        F.quarter(d).alias("qtr"),
+        F.datediff(d, F.lit("2024-01-01").cast("date")).alias(
+            "days_since_epoch0"
+        ),
+    )
