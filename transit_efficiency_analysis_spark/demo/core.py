@@ -297,3 +297,47 @@ def q_null_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").isNull().alias("value_missing"),
         F.ifnull("value", F.lit(-1.0)).alias("value_or_default"),
     )
+
+
+@demo(
+    "q_expr_try_arith",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_linenumber - 1 = 0 THEN NULL
+                ELSE CAST(l_quantity / (l_linenumber - 1) AS DOUBLE)
+           END AS qty_per_prior_line,
+           CASE WHEN l_linenumber - 4 = 0 THEN NULL
+                ELSE l_orderkey // (l_linenumber - 4) END AS int_div,
+           CASE WHEN l_linenumber - 4 = 0 THEN NULL
+                ELSE l_orderkey % (l_linenumber - 4) END AS int_mod
+    FROM lineitem
+    """,
+)
+def q_expr_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic under ANSI mode — ``try_divide`` /
+    ``try_mod``: Spark 4 runs ANSI by default, where ``x / 0`` is a
+    RUNTIME ERROR that kills the job, and the ``try_*`` family is the
+    sanctioned way to get NULL-on-error semantics per expression
+    instead of globally disabling ANSI. The divisors here genuinely
+    hit zero (line numbers 1..7 minus constants), so every NULL in the
+    output is a real division-by-zero the ``try_`` absorbed; the
+    oracle states the explicit CASE guard the function replaces.
+    Integer div/mod NULL semantics pinned alongside the fractional
+    divide. Pure map-side expressions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # try_divide returns a fractional result; the truncating cast after
+    # it matches DuckDB's integer ``//`` (both truncate toward zero —
+    # probed: 7 // -2 = -3 on both engines, not floor's -4)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.col("l_quantity"), F.col("l_linenumber") - 1)
+        .cast("double")
+        .alias("qty_per_prior_line"),
+        F.try_divide(F.col("l_orderkey"), F.col("l_linenumber") - 4)
+        .cast("long")
+        .alias("int_div"),
+        F.try_mod(F.col("l_orderkey"), F.col("l_linenumber") - 4)
+        .cast("long")
+        .alias("int_mod"),
+    )
