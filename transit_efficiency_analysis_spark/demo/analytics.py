@@ -910,3 +910,32 @@ def q_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping_id().alias("gid"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@demo(
+    "q_agg_bitwise",
+    sql="""
+    SELECT event_type,
+           bit_and(user_id % 256) AS mask_and,
+           bit_or(user_id % 256) AS mask_or,
+           bit_xor(user_id % 256) AS mask_xor,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates — ``bit_and`` / ``bit_or`` / ``bit_xor`` over
+    a group (flag-mask consolidation: the OR of seen feature bits per
+    key, the AND of always-on bits, XOR parity). All three are
+    commutative+associative, so the result is partition-invariant by
+    construction — no decimal or ordering tricks needed for the hash.
+    One partial-aggregated shuffle on the group key."""
+    e = load_table(spark, sf_dir, "events")
+    b = F.col("user_id") % 256
+    return e.groupBy("event_type").agg(
+        F.bit_and(b).alias("mask_and"),
+        F.bit_or(b).alias("mask_or"),
+        F.bit_xor(b).alias("mask_xor"),
+        F.count(F.lit(1)).alias("n"),
+    )

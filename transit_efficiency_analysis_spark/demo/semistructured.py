@@ -181,3 +181,47 @@ def q_semi_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(
         F.col("oid") == F.col("o_orderkey")  # attribute round-trip check
     ).drop("oid")
+
+
+@demo(
+    "q_semi_map_ops",
+    sql="""
+    SELECT event_id,
+           CAST(2 AS INTEGER) AS m_size,
+           CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 7
+                AS STRING) AS k_val,
+           CAST(user_id % 10 AS STRING) AS u_val,
+           'k,u' AS keys_csv,
+           user_id % 10 = 3 AS has_u3
+    FROM events
+    """,
+)
+def q_semi_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-typed column surface: build a ``map<string,string>`` per row
+    (``str_to_map`` over a rendered pair list — the tag-bag shape
+    key-value properties take when the key set is open), then exercise
+    lookup (``m['k']``), ``map_keys`` (sorted projection), ``size``,
+    and ``map_contains_key``. The driver canonicalizer hashes scalars,
+    so every map operation is projected back to a scalar; the oracle
+    recomputes each from the underlying columns — proving the
+    build→access round-trip is lossless, the q_semi_variant pattern
+    for the MAP type. Pure map-side (pun intended): everything fuses
+    into the scan projection."""
+    e = load_table(spark, sf_dir, "events")
+    rendered = F.concat(
+        F.lit("k:"),
+        (F.get_json_object("props", "$.k").cast("long") % 7).cast("string"),
+        F.lit(",u:"),
+        (F.col("user_id") % 10).cast("string"),
+    )
+    m = F.expr("str_to_map(rendered, ',', ':')")
+    return e.withColumn("rendered", rendered).select(
+        "event_id",
+        F.size(m).alias("m_size"),
+        m.getItem("k").alias("k_val"),
+        m.getItem("u").alias("u_val"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_csv"),
+        (F.map_contains_key(m, F.lit("u")) & (m.getItem("u") == "3")).alias(
+            "has_u3"
+        ),
+    )

@@ -135,3 +135,45 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
     )
+
+
+_REF_TOKENS = "('table', 'join', 'query', 'spark', 'zebra')"
+
+
+@demo(
+    "q_array_setops",
+    sql=f"""
+    SELECT doc_id,
+           coalesce(array_to_string(list_sort(list_distinct(
+               list_filter(w, x -> x IN {_REF_TOKENS}))), ','), '')
+               AS overlap_csv,
+           CAST(len(list_distinct(list_filter(w, x -> x NOT IN {_REF_TOKENS})))
+                AS INTEGER) AS n_only_doc,
+           len(list_filter(w, x -> x IN {_REF_TOKENS})) > 0 AS overlaps
+    FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+                 AS w
+          FROM documents)
+    """,
+)
+def q_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set-operations surface — ``array_intersect`` /
+    ``array_except`` / ``arrays_overlap`` against a reference
+    vocabulary (the tag-matching / keyword-screen shape): per document,
+    the sorted intersection with the reference set, the count of
+    distinct tokens OUTSIDE it, and the overlap flag. Spark's array
+    set-ops dedup their result (set semantics), mirrored in the oracle
+    with ``list_distinct``; the sorted CSV projection makes the
+    intersection order-insensitive for the hash. Pure scan-fused
+    expressions against a literal array — no join, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    ref = F.array(*[F.lit(t) for t in
+                    ("table", "join", "query", "spark", "zebra")])
+    w = F.filter(F.split("text", " "), lambda x: x != "")
+    return d.select(
+        "doc_id",
+        F.array_join(
+            F.array_sort(F.array_intersect(w, ref)), ","
+        ).alias("overlap_csv"),
+        F.size(F.array_except(w, ref)).alias("n_only_doc"),
+        F.arrays_overlap(w, ref).alias("overlaps"),
+    )
