@@ -14,6 +14,7 @@ from transit_efficiency_analysis_spark.operators.dedup import (
     dedup_clusters,
     exact_dedup_groups,
     minhash_lsh_pairs,
+    minhash_lsh_pairs_incremental,
     ngram_jaccard_pairs,
     simhash_fingerprints,
     simhash_pairs,
@@ -333,3 +334,56 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = keyed.where(F.col("doc_id") % 5 == 0)
     corpus = keyed.where(F.col("doc_id") % 5 != 0)
     return new.join(corpus, "content_key", "left_anti").select("doc_id", "content_key")
+
+
+@demo(
+    "q_dedup_minhash_incremental",
+    sql=f"""
+    WITH shingled AS ({_SHINGLES_SQL}),
+    nonempty AS (SELECT doc_id, sh FROM shingled WHERE len(sh) > 0),
+    exploded AS (SELECT doc_id, unnest(sh) AS s FROM nonempty),
+    hashed AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h1,
+               CAST('0x' || substr(md5(s), 9, 8) AS BIGINT) AS h2
+        FROM exploded
+    ),
+    sig AS (
+        SELECT doc_id, b, min((h1 + b * h2) % 4294967296) AS mh
+        FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS b)
+        GROUP BY doc_id, b
+    ),
+    cand AS (
+        SELECT DISTINCT nb.doc_id AS batch_doc, c.doc_id AS corpus_doc
+        FROM sig nb JOIN sig c ON nb.b = c.b AND nb.mh = c.mh
+        WHERE nb.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+    )
+    SELECT batch_doc, corpus_doc,
+           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard_sim
+    FROM cand
+    JOIN nonempty sa ON sa.doc_id = batch_doc
+    JOIN nonempty sb ON sb.doc_id = corpus_doc
+    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+    """,
+)
+def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash near-dup — every tenth document plays the
+    NEW BATCH, the rest the standing corpus; the batch is screened
+    against the corpus through batch-sig × corpus-sig candidates and
+    candidate-pruned exact Jaccard (operators.dedup.
+    minhash_lsh_pairs_incremental). Per-batch cost ∝ batch, never
+    |corpus|² — the dedup-at-ingest maintenance shape; same families
+    and threshold as q_dedup_minhash_lsh, so accepted batches keep the
+    corpus's dedup invariant."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs_incremental(
+        d.where(F.col("doc_id") % 10 != 0),
+        d.where(F.col("doc_id") % 10 == 0),
+        "doc_id",
+        "text",
+        k=3,
+        bands=6,
+        threshold=0.5,
+    )

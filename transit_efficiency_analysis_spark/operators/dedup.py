@@ -653,3 +653,94 @@ def dedup_clusters_twophase(
         F.col("label").alias("cluster_id"),
         (F.col("label") == F.col("id")).alias("is_canonical"),
     )
+
+
+def minhash_lsh_pairs_incremental(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    bands: int = 6,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental MinHash-LSH near-dup: NEW-batch documents checked
+    against the STANDING corpus — the per-batch maintenance form of
+    :func:`minhash_lsh_pairs` (same shingle→KM-band-minima→bucket-join→
+    exact-Jaccard pipeline, same families, same threshold), returning
+    ``(batch_doc, corpus_doc, jaccard_sim)``.
+
+    Why this is the 100 TB shape: ingest dedups each incoming batch
+    against the corpus WITHOUT re-pairing the corpus with itself — the
+    candidate join is batch-signatures × corpus-signatures, so per-batch
+    cost scales with the batch (signatures + candidate fan-in), never
+    |corpus|². In production the corpus side of this function is a
+    MAINTAINED signature/shingle table (appended per accepted batch, the
+    `merge_into` pattern), not recomputed; the demo recomputes it for
+    self-containment. Corpus shingles are pruned to candidate docs by a
+    semi-join before the verification join, so exact-Jaccard work is
+    candidate-bounded too.
+    """
+    def km_parts(df: DataFrame):
+        exp = shingles_exploded(df, id_col, text_col, k)
+        hx = F.md5(F.col("s"))
+        hashed = exp.select(
+            "doc_id",
+            F.conv(F.substring(hx, 1, 8), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(hx, 9, 8), 16, 10).cast("long").alias("h2"),
+        )
+        mins = hashed.groupBy("doc_id").agg(
+            *[
+                F.min(
+                    (F.col("h1") + F.lit(b) * F.col("h2")) % F.lit(2**32)
+                ).alias(f"key_{b}")
+                for b in range(bands)
+            ]
+        )
+        stack_expr = "stack({n}, {args}) as (band, mh)".format(
+            n=bands, args=", ".join(f"{b}, key_{b}" for b in range(bands))
+        )
+        sig = mins.select("doc_id", F.expr(stack_expr))
+        sizes = exp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        return exp, sig, sizes
+
+    exp_c, sig_c, sizes_c = km_parts(corpus)
+    exp_b, sig_b, sizes_b = km_parts(batch)
+    cand = (
+        sig_b.alias("b")
+        .join(
+            sig_c.alias("c"),
+            (F.col("b.band") == F.col("c.band"))
+            & (F.col("b.mh") == F.col("c.mh")),
+        )
+        .select(
+            F.col("b.doc_id").alias("batch_doc"),
+            F.col("c.doc_id").alias("corpus_doc"),
+        )
+        .distinct()
+    )
+    # candidate-bounded verification: corpus shingles pruned first
+    exp_c_pruned = exp_c.join(
+        cand.select(F.col("corpus_doc").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_semi",
+    )
+    eb = exp_b.select(F.col("doc_id").alias("batch_doc"), "s")
+    ec = exp_c_pruned.select(F.col("doc_id").alias("corpus_doc"), "s")
+    inter = (
+        cand.join(eb, "batch_doc")
+        .join(ec, ["corpus_doc", "s"])
+        .groupBy("batch_doc", "corpus_doc")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    nb = sizes_b.select(F.col("doc_id").alias("batch_doc"), F.col("n").alias("n_b"))
+    nc = sizes_c.select(F.col("doc_id").alias("corpus_doc"), F.col("n").alias("n_c"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_b") + F.col("n_c") - F.col("n_inter")
+    )
+    return (
+        inter.join(nb, "batch_doc")
+        .join(nc, "corpus_doc")
+        .select("batch_doc", "corpus_doc", jac.alias("jaccard_sim"))
+        .where(F.col("jaccard_sim") >= threshold)
+    )
