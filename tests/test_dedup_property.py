@@ -289,3 +289,38 @@ def test_cross_corpus_overlap_matches_bruteforce(spark, texts):
             if inter and bs:
                 expected[(ci, bi)] = (inter, inter / len(bs))
     assert got == expected
+
+
+def test_incremental_minhash_equals_full_restricted_to_cross_pairs(spark, sf_dir):
+    """The incremental screen must find EXACTLY the full-corpus near-dup
+    pairs that cross the batch/corpus boundary: same families, same
+    buckets, same threshold => no pair appears or disappears because of
+    how the corpus was split into batches."""
+    from pyspark.sql import functions as F
+
+    from transit_efficiency_analysis_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+    from transit_efficiency_analysis_spark.sources.registry import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    full = minhash_lsh_pairs(d, "doc_id", "text", k=3, bands=6, threshold=0.5)
+    is_batch = lambda c: c % 10 == 0  # noqa: E731
+    want = {
+        tuple(sorted((r["doc_a"], r["doc_b"]))): round(r["jaccard_sim"], 9)
+        for r in full.collect()
+        if is_batch(r["doc_a"]) != is_batch(r["doc_b"])
+    }
+    inc = minhash_lsh_pairs_incremental(
+        d.where(F.col("doc_id") % 10 != 0),
+        d.where(F.col("doc_id") % 10 == 0),
+        "doc_id", "text", k=3, bands=6, threshold=0.5,
+    )
+    got = {
+        tuple(sorted((r["batch_doc"], r["corpus_doc"]))): round(
+            r["jaccard_sim"], 9
+        )
+        for r in inc.collect()
+    }
+    assert got == want
