@@ -324,3 +324,34 @@ def test_incremental_minhash_equals_full_restricted_to_cross_pairs(spark, sf_dir
         for r in inc.collect()
     }
     assert got == want
+
+
+def test_incremental_simhash_equals_full_restricted_to_cross_pairs(spark, sf_dir):
+    """SimHash twin of the minhash invariant: the incremental screen is
+    exactly the cross-boundary subset of the full pairing."""
+    from pyspark.sql import functions as F
+
+    from transit_efficiency_analysis_spark.operators.dedup import (
+        simhash_pairs,
+        simhash_pairs_incremental,
+    )
+    from transit_efficiency_analysis_spark.sources.registry import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    full = simhash_pairs(d, "doc_id", "text", max_hamming=6)
+    is_batch = lambda c: c % 10 == 0  # noqa: E731
+    want = {
+        tuple(sorted((r["doc_a"], r["doc_b"]))): r["hamming"]
+        for r in full.collect()
+        if is_batch(r["doc_a"]) != is_batch(r["doc_b"])
+    }
+    inc = simhash_pairs_incremental(
+        d.where(F.col("doc_id") % 10 != 0),
+        d.where(F.col("doc_id") % 10 == 0),
+        "doc_id", "text", max_hamming=6,
+    )
+    got = {
+        tuple(sorted((r["batch_doc"], r["corpus_doc"]))): r["hamming"]
+        for r in inc.collect()
+    }
+    assert got == want

@@ -16,6 +16,7 @@ from transit_efficiency_analysis_spark.operators.dedup import (
     minhash_lsh_pairs,
     minhash_lsh_pairs_incremental,
     ngram_jaccard_pairs,
+    simhash_pairs_incremental,
     simhash_fingerprints,
     simhash_pairs,
 )
@@ -386,4 +387,53 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         bands=6,
         threshold=0.5,
+    )
+
+
+def _simhash_incremental_sql(
+    n_blocks: int = 4, choose: int = 2, max_hamming: int = 6
+) -> str:
+    from itertools import combinations
+
+    bits = 64 // n_blocks
+    blocks = ", ".join(
+        f"(simhash >> {bits * i}) & {2**bits - 1} AS b{i}"
+        for i in range(n_blocks)
+    )
+    branches = "\n        UNION\n".join(
+        "        SELECT nb.doc_id AS batch_doc, c.doc_id AS corpus_doc,"
+        " nb.simhash AS hb, c.simhash AS hc\n"
+        "        FROM fpb nb JOIN fpb c ON "
+        + " AND ".join(f"nb.b{i} = c.b{i}" for i in combo)
+        + " AND nb.doc_id % 10 = 0 AND c.doc_id % 10 <> 0"
+        for combo in combinations(range(n_blocks), choose)
+    )
+    return f"""
+    WITH fp AS ({_SIMHASH_SQL}),
+    fpb AS (SELECT doc_id, simhash, {blocks} FROM fp),
+    cand AS (
+{branches}
+    )
+    SELECT batch_doc, corpus_doc,
+           CAST(bit_count(xor(hb, hc)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(hb, hc)) <= {max_hamming}
+    """
+
+
+@demo("q_dedup_simhash_incremental", sql=_simhash_incremental_sql())
+def q_dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SimHash near-dup — the fingerprint-family twin of
+    q_dedup_minhash_incremental: every tenth document plays the new
+    batch, screened against the standing corpus through batch-keys ×
+    corpus-keys Manku block candidates and the Hamming <= 6 filter. In
+    production the corpus side is one maintained 16-byte-fingerprint
+    row per document; per-batch cost follows the batch."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_pairs_incremental(
+        d.where(F.col("doc_id") % 10 != 0),
+        d.where(F.col("doc_id") % 10 == 0),
+        "doc_id",
+        "text",
+        max_hamming=6,
     )

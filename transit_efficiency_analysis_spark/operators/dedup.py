@@ -744,3 +744,78 @@ def minhash_lsh_pairs_incremental(
         .select("batch_doc", "corpus_doc", jac.alias("jaccard_sim"))
         .where(F.col("jaccard_sim") >= threshold)
     )
+
+
+def simhash_pairs_incremental(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 6,
+    n_blocks: int = 4,
+    block_choose: int = 2,
+) -> DataFrame:
+    """Incremental SimHash near-dup: NEW-batch fingerprints screened
+    against the STANDING corpus's — the per-batch maintenance form of
+    :func:`simhash_pairs` (same Manku block subsets, same Hamming
+    filter), returning ``(batch_doc, corpus_doc, hamming)``.
+
+    Same scale argument as :func:`minhash_lsh_pairs_incremental`: the
+    candidate join is batch-keys × corpus-keys on the 32-bit
+    (combo, block-key) pairs, so per-batch cost follows the batch and
+    the corpus is never self-paired; in production the corpus
+    fingerprints are ONE maintained 16-byte-row table (appended per
+    accepted batch) — fingerprinting the standing corpus again, as this
+    self-contained form does, is exactly the cost the maintained table
+    removes.
+    """
+    from itertools import combinations
+
+    assert 64 % n_blocks == 0 and 1 <= block_choose <= n_blocks
+    bits = 64 // n_blocks
+    mask = F.lit(2**bits - 1)
+
+    def block(i: int) -> Column:
+        return F.shiftright(F.col("simhash"), bits * i).bitwiseAND(mask)
+
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(ci).alias("combo"),
+                sum(
+                    (
+                        block(i) * F.lit(2 ** (bits * pos))
+                        for pos, i in enumerate(combo)
+                    ),
+                    F.lit(0).cast("long"),
+                ).alias("bkey"),
+            )
+            for ci, combo in enumerate(
+                combinations(range(n_blocks), block_choose)
+            )
+        ]
+    )
+
+    def keyed(df: DataFrame) -> DataFrame:
+        fp = simhash_fingerprints(df, id_col, text_col)
+        return fp.select(
+            "doc_id", "simhash", F.explode(entries).alias("e")
+        ).select(
+            "doc_id",
+            "simhash",
+            F.col("e.combo").alias("combo"),
+            F.col("e.bkey").alias("bkey"),
+        )
+
+    kb, kc = keyed(batch).alias("b"), keyed(corpus).alias("c")
+    ham = F.bit_count(F.col("b.simhash").bitwiseXOR(F.col("c.simhash")))
+    cand = kb.join(
+        kc,
+        (F.col("b.combo") == F.col("c.combo"))
+        & (F.col("b.bkey") == F.col("c.bkey")),
+    ).select(
+        F.col("b.doc_id").alias("batch_doc"),
+        F.col("c.doc_id").alias("corpus_doc"),
+        ham.cast("int").alias("hamming"),
+    )
+    return cand.distinct().where(F.col("hamming") <= max_hamming)
