@@ -98,10 +98,23 @@ def q_sql_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     order appears at exactly one level), so the driver hash checks the
     whole traversal. Depth = max chain length; level limit raised
     explicitly rather than inherited (fail loudly over silently
-    half-walking)."""
+    half-walking) — and SCOPED to this query: the limit is a live
+    session conf read at execution time, so the recursion is executed
+    eagerly (localCheckpoint) inside a try/finally that restores the
+    prior value, leaving the session's runaway-recursion guard exactly
+    as it was for every later query (tests/test_plans.py asserts
+    before == after)."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    spark.conf.set("spark.sql.cteRecursionLevelLimit", "1000")
-    return spark.sql(_CHAIN_SQL)
+    key = "spark.sql.cteRecursionLevelLimit"
+    prior = spark.conf.get(key)
+    spark.conf.set(key, "1000")
+    try:
+        # eager: the limit must be in effect when the UnionLoop runs,
+        # which for a lazily-returned DataFrame would be after the
+        # finally restored it
+        return spark.sql(_CHAIN_SQL).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(key, prior)
 
 
 @demo("q_sql_recursive_bfs", sql=_BFS_SQL)

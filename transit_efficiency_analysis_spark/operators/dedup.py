@@ -663,6 +663,8 @@ def minhash_lsh_pairs_incremental(
     k: int = 3,
     bands: int = 6,
     threshold: float = 0.5,
+    reuse: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Incremental MinHash-LSH near-dup: NEW-batch documents checked
     against the STANDING corpus — the per-batch maintenance form of
@@ -680,9 +682,19 @@ def minhash_lsh_pairs_incremental(
     self-containment. Corpus shingles are pruned to candidate docs by a
     semi-join before the verification join, so exact-Jaccard work is
     candidate-bounded too.
+
+    ``reuse`` and ``max_bucket_size`` carry the same semantics as in
+    :func:`minhash_lsh_pairs`: each side's exploded-shingle relation is
+    consumed three times (signature agg, size agg, verification join), so
+    ``reuse=True`` persists both DISK_ONLY; ``max_bucket_size`` caps each
+    (band, mh) bucket on BOTH signature sides before the candidate join —
+    the boilerplate-storm guard (a corpus-wide shared shingle otherwise
+    fans the batch×corpus join out by |corpus bucket| per batch row).
     """
     def km_parts(df: DataFrame):
         exp = shingles_exploded(df, id_col, text_col, k)
+        if reuse:
+            exp = exp.persist(StorageLevel.DISK_ONLY)
         hx = F.md5(F.col("s"))
         hashed = exp.select(
             "doc_id",
@@ -701,6 +713,12 @@ def minhash_lsh_pairs_incremental(
             n=bands, args=", ".join(f"{b}, key_{b}" for b in range(bands))
         )
         sig = mins.select("doc_id", F.expr(stack_expr))
+        if max_bucket_size is not None:
+            from transit_efficiency_analysis_spark.operators.buckets import (
+                cap_buckets,
+            )
+
+            sig = cap_buckets(sig, ["band", "mh"], "doc_id", max_bucket_size)
         sizes = exp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
         return exp, sig, sizes
 
@@ -773,6 +791,11 @@ def simhash_pairs_incremental(
 
     assert 64 % n_blocks == 0 and 1 <= block_choose <= n_blocks
     bits = 64 // n_blocks
+    # same guard as simhash_pairs: the combo key packs block_choose
+    # bits-wide blocks into one positive long; without it non-default
+    # params (e.g. n_blocks=2, block_choose=2) silently overflow bkey and
+    # produce wrong candidate keys instead of failing fast
+    assert bits * block_choose <= 62, "combo key must fit a positive long"
     mask = F.lit(2**bits - 1)
 
     def block(i: int) -> Column:

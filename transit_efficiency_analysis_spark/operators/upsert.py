@@ -210,7 +210,17 @@ def _target_exists(spark, target: str) -> bool:
 
     local = _local_path(target)
     if local is not None:
-        return os.path.exists(local)
+        # os.path.exists swallows EVERY stat error (EACCES, EIO, ...) as
+        # False, which would classify an existing-but-unstatable target as
+        # "first batch" and let overwrite_table replace it with only the
+        # incoming rows. Only true absence may return False; any other
+        # stat failure re-raises, matching the Hadoop branch (fs.exists
+        # propagates non-ENOENT IOExceptions).
+        try:
+            os.stat(local)
+        except FileNotFoundError:
+            return False
+        return True
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(target)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -281,6 +291,30 @@ def merge_into(
     return overwrite_table(merged, target)
 
 
+def merge_match_condition(keys: list[str]) -> str:
+    """Null-safe key-equality MERGE match condition (``t`` = stored table,
+    ``s`` = collapsed source batch). ``<=>`` so NULL key components match
+    NULL — the same key semantics ``merge_batch``'s groupBy gives them.
+    Pure string builder so the generated SQL is unit-testable without a
+    Delta runtime (tests/test_upsert.py)."""
+    return " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in keys)
+
+
+def merge_newer_condition(order_by: list[str]) -> str:
+    """Lexicographic "source strictly newer than target" on ``order_by``:
+    OR over prefixes — equal on all earlier columns (null-safe) AND
+    strictly greater on this one. Ties (all columns equal) are FALSE, so
+    matched rows keep the stored value — the same tie-break direction as
+    ``merge_batch``'s row_number dedup when ``order_by`` is a total
+    order. Pure string builder, unit-tested without Delta."""
+    newer_terms = []
+    for i, c in enumerate(order_by):
+        eqs = " AND ".join(f"t.`{p}` <=> s.`{p}`" for p in order_by[:i])
+        term = f"s.`{c}` > t.`{c}`"
+        newer_terms.append(f"({eqs} AND {term})" if eqs else f"({term})")
+    return " OR ".join(newer_terms)
+
+
 def _merge_into_delta(
     spark, target: str, incoming: DataFrame, keys: list[str], order_by: list[str]
 ) -> DataFrame:  # pragma: no cover - exercised only on Delta deployments
@@ -291,14 +325,8 @@ def _merge_into_delta(
         collapsed.write.format("delta").save(target)
         return spark.read.format("delta").load(target)
     dt = DeltaTable.forPath(spark, target)
-    match = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in keys)
-    # lexicographic "source strictly newer" on order_by
-    newer_terms = []
-    for i, c in enumerate(order_by):
-        eqs = " AND ".join(f"t.`{p}` <=> s.`{p}`" for p in order_by[:i])
-        term = f"s.`{c}` > t.`{c}`"
-        newer_terms.append(f"({eqs} AND {term})" if eqs else f"({term})")
-    newer = " OR ".join(newer_terms)
+    match = merge_match_condition(keys)
+    newer = merge_newer_condition(order_by)
     (
         dt.alias("t")
         .merge(collapsed.alias("s"), match)

@@ -1,8 +1,9 @@
 """Custom connector via the Python Data Source API (Spark 4).
 
 The reference's ingest edge is a poll loop fetching a vendor feed
-(``realtime_extractor.py:97-118``) — driver-side orchestration in this
-repo (`SURVEY §2.1`). The Python Data Source API is Spark's native way
+(``realtime_extractor.py:122-240`` — ``main()``'s fetch/retry/insert
+orchestration; the adjacent ``parse_pb_data`` at :97 is the protobuf
+parse step) — driver-side orchestration in this repo (`SURVEY §2.1`). The Python Data Source API is Spark's native way
 to make such a feed a first-class TABLE instead: a ``DataSource``
 subclass declares schema + partitioning, and each ``InputPartition`` is
 read ON AN EXECUTOR — listing parallelizes, no row ever funnels through
