@@ -76,96 +76,89 @@ _DEMO_MODULES = [
 # tests/test_window.py asserts every filler name really has a prior green
 # CORRECTNESS row (guards the round-4 mislabel: q_text_pack was filed as
 # "r3-green filler" while actually new-and-red in r4).
+# Standing freshness SLO (adopted round 8): no registry entry's latest
+# driver row may be older than 4 rounds, and no entry may stay
+# registered-but-never-driver-checked past the round after it lands.
+# Each round's window therefore takes (1) never-checked entries first,
+# (2) the oldest driver rows next, (3) anything whose implementation or
+# oracle changed since its last green row. With 224 entries and a
+# 50-slot window, a full refresh cycle is ~5 rounds — the SLO holds as
+# long as new-demo growth stays under ~30/round.
 _WINDOW_FRONT = [
-    # (a) new in round 7 — the Spark 4 SQL-surface demos (recursive
-    # CTEs, VARIANT, LATERAL, listagg, pipe syntax, SQL UDF, UNPIVOT,
-    # parameterized SQL), the streaming additions
-    # (dropDuplicatesWithinWatermark, foreachBatch upsert), the Python
-    # DataSource connector, and the mapInArrow / Observation surfaces
-    "q_sql_recursive_chain",
-    "q_sql_recursive_bfs",
-    "q_semi_variant",
-    "q_agg_listagg",
-    "q_join_lateral_topk",
-    "q_stream_dedup_append",
-    "q_stream_upsert_foreachbatch",
-    "q_src_python_datasource",
-    "q_sql_pipe_q1",
-    "q_sql_udf",
-    "q_approx_top_k",
-    "q_sql_unpivot",
-    "q_sql_parameterized",
-    "q_map_in_arrow",
-    "q_observe_metrics",
-    "q_retrieval_rerank",
-    "q_sql_table_udf",
-    "q_text_lm_score",
-    "q_arrow_udf_scalar",
-    "q_stream_join_append",
-    "q_stream_join_left_append",
-    # (b) registered in r6 after the window froze — never driver-checked
-    "q_sink_compaction",
-    "q_semi_xml_parse",
-    "q_sink_xml_roundtrip",
-    "q_src_binary_files",
-    "q_multimodal_features",
-    "q_approx_sketch_union",
-    # (c) oracle changed since their r6 green rows (advice fix: event_id
-    # tie-break added to the session oracles' running-sum ORDER BY)
-    "q_window_session_native",
-    "q_stream_sessionize_append",
+    # Registered in round 7 after the window froze — never
+    # driver-checked (all 11 judge-verified green at sf0.01 in the r7
+    # VERDICT, but the hard record should say so): the incremental
+    # (batch-vs-corpus) near-dup pair and the nine function-surface
+    # demos.
+    "q_dedup_minhash_incremental",
+    "q_dedup_simhash_incremental",
+    "q_text_regex_extract",
+    "q_sql_collation",
+    "q_semi_map_ops",
+    "q_expr_try_arith",
+    "q_ts_calendar",
+    "q_agg_grouping_id",
+    "q_agg_bitwise",
+    "q_window_cume_nth",
+    "q_array_setops",
 ]
 
 # Prior-green re-verification filler, least-recently-verified first.
-# After round 6 the stale set is: 15 r2-era rows (the agg cube/rollup/
-# pivot/stats/weather variants, four text-ops, q_null_surface,
-# q_upsert_replay, q_window_pctrank, q_ts_epoch, q_ts_sub_min,
-# q_distinct_agg) and 34 r3-era rows. All 15 r2 rows take slots this
-# round; 6 of the r3 rows follow (dedup/similarity/multimodal families
-# and the asof join first — the operator families with the most
-# implementation surface). The 20 r3 rows left for round 8:
-# q_agg_histogram, the three subquery demos, q_text_chunk/redact/
-# repetition, q_tpch_q3/q5/q10/q12, q_window_range/session/tumbling,
-# q_apply_in_pandas, q_range_normalize, q_sample_hash,
-# q_sample_stratified, q_multimodal_wav, q_pandas_udf_scalar,
-# q_multimodal_bmp, q_multimodal_frames, q_multimodal_meta,
-# q_json_parse (its JSON surface is front-covered by q_semi_variant
-# this round), q_dedup_editdistance (the smallest dedup variant — the
-# family holds four other slots this round), and q_text_contamination
-# (whose newer r4-green _capped twin formulation stands), and
-# q_dedup_simhash (base variant; the family's pairs/_h3 formulations
-# hold r5/r6-green rows), and q_dedup_embedding (its blocked-LSH twin
-# q_dedup_embedding_lsh holds an r4-green row). These fourteen yielded
-# their slots to the late round-7 demos (q_src_python_datasource,
-# q_sql_pipe_q1, q_sql_udf, q_approx_top_k, q_sql_unpivot,
-# q_sql_parameterized, q_map_in_arrow, q_observe_metrics,
-# q_retrieval_rerank, q_sql_table_udf, q_text_lm_score,
-# q_arrow_udf_scalar, q_stream_join_append,
-# q_stream_join_left_append).
+# After round 7 the stale tail is 28 r3-era rows and 42 r4-era rows
+# (everything r5+ is within the SLO). All 28 r3 rows take slots this
+# round; 11 of the r4 rows fill the rest, picked §2-core-first: the two
+# ingest demos (src-zip-csv / src-protobuf), null-clean and
+# sink-truncate (§2 core), upsert_merge, the incremental exact-dedup
+# and blocked-embedding near-dup, the LSH top-k, and the three
+# specialty joins (bucketed, skew-salted, range-interval). The 31 r4
+# rows left for round 9 (TPC-H q2..q22 battery, sink_orc/partitioned/
+# roundtrip, array_agg/explode, grouping_sets, sample_rebalance/
+# weighted, sim_lsh_buckets/multiprobe, asof_tolerance, ngram_stats,
+# contamination_capped, sql_tpch_q1) all have r4-green rows and stay
+# inside the 4-round SLO through round 8; round 9's window must take
+# them.
 _WINDOW_FILLER: list[str] = [
-    # r2-era (driver rows from CORRECTNESS_r02)
-    "q_agg_cube",
-    "q_agg_rollup",
-    "q_agg_pivot",
-    "q_agg_stats",
-    "q_agg_dashboard_weather",
-    "q_distinct_agg",
-    "q_null_surface",
-    "q_text_fingerprint",
-    "q_text_langid",
-    "q_text_quality",
-    "q_text_tokens",
-    "q_ts_epoch",
-    "q_ts_sub_min",
-    "q_upsert_replay",
-    "q_window_pctrank",
-    # r3-era (driver rows from CORRECTNESS_r03)
-    "q_dedup_exact",
-    "q_dedup_clusters",
-    "q_dedup_ngram_jaccard",
-    "q_sim_bruteforce_topk",
-    "q_jdbc_roundtrip",
-    "q_join_asof",
+    # r3-era (driver rows from CORRECTNESS_r03) — all 28
+    "q_agg_histogram",
+    "q_apply_in_pandas",
+    "q_dedup_editdistance",
+    "q_dedup_embedding",
+    "q_dedup_simhash",
+    "q_json_parse",
+    "q_multimodal_bmp",
+    "q_multimodal_frames",
+    "q_multimodal_meta",
+    "q_multimodal_wav",
+    "q_pandas_udf_scalar",
+    "q_range_normalize",
+    "q_sample_hash",
+    "q_sample_stratified",
+    "q_subquery_correlated_avg",
+    "q_subquery_exists",
+    "q_subquery_scalar",
+    "q_text_chunk",
+    "q_text_contamination",
+    "q_text_redact",
+    "q_text_repetition",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q10",
+    "q_tpch_q12",
+    "q_window_range",
+    "q_window_session",
+    "q_window_tumbling",
+    # r4-era (driver rows from CORRECTNESS_r04) — §2-core-first picks
+    "q_ingest_gtfs_static",
+    "q_ingest_gtfs_rt",
+    "q_null_clean",
+    "q_sink_truncate",
+    "q_upsert_merge",
+    "q_dedup_incremental",
+    "q_dedup_embedding_lsh",
+    "q_sim_lsh_topk",
+    "q_join_bucketed",
+    "q_join_skew_salted",
+    "q_join_range_interval",
 ]
 
 _WINDOW = _WINDOW_FRONT + _WINDOW_FILLER

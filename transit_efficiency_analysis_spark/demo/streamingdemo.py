@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from transit_efficiency_analysis_spark.demo import demo
+from transit_efficiency_analysis_spark.demo._tmpcache import process_dir_cache
 from transit_efficiency_analysis_spark.functions.parity import parity_double
 from transit_efficiency_analysis_spark.sources.registry import load_table
 
@@ -41,6 +42,25 @@ _RUN_SEQ = [0]
 def _sink_name(prefix: str) -> str:
     _RUN_SEQ[0] += 1
     return f"{prefix}_{_RUN_SEQ[0]}"
+
+
+#: process-lifetime result dirs (rmtree'd at interpreter exit) — the
+#: streaming demos' ephemeral feed/checkpoint/sink dirs are deleted in
+#: their `finally` blocks, so the RESULT must outlive them; a distributed
+#: parquet rewrite into one of these dirs replaces the old
+#: collect()+createDataFrame materialization, which funneled the whole
+#: (data-proportional, for the stream-stream joins) result through the
+#: driver.
+_RESULT_DIRS = process_dir_cache()
+
+
+def _lazy_result(spark: SparkSession, df: DataFrame, prefix: str) -> DataFrame:
+    """Executor-side rewrite of ``df`` into a process-lifetime dir; returns
+    the LAZY parquet read (no driver-side row materialization)."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    _RESULT_DIRS[d] = d
+    df.write.mode("overwrite").parquet(d)
+    return spark.read.parquet(d)
 
 
 @demo(
@@ -116,10 +136,9 @@ def q_stream_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 1 for p in q.recentProgress if p["numInputRows"] > 0
             )
             q.stop()
-        # materialize off the memory sink (bounded: days x event types)
-        # before the temp feed/checkpoint dirs vanish
-        rows = spark.table(sink)
-        out = spark.createDataFrame(rows.collect(), rows.schema)
+        # persist the memory sink's table to a process-lifetime dir
+        # (lazy read; the memory-sink temp view is dropped right after)
+        out = _lazy_result(spark, spark.table(sink), "stream_demo_result_")
         spark.catalog.dropTempView(sink)
         return out
     finally:
@@ -265,9 +284,13 @@ def _append_catchup_protocol(
         _touch_in_order()
         run2 = _run_catchup()
         _LAST_APPEND_BATCHES[0] = run1 + run2
-        # materialize through the sink's commit log before temp dirs go
-        rows = spark.read.parquet(out_dir)
-        return spark.createDataFrame(rows.collect(), rows.schema)
+        # the read of out_dir goes through the file sink's _spark_metadata
+        # commit log (exactly-once view); rewrite it executor-side into a
+        # process-lifetime result dir — the commit log's absolute paths
+        # mean out_dir itself cannot simply be kept/moved past `finally`
+        return _lazy_result(
+            spark, spark.read.parquet(out_dir), "stream_append_result_"
+        )
     finally:
         for d in (feed_dir, out_dir, ckpt_dir):
             shutil.rmtree(d, ignore_errors=True)
@@ -463,10 +486,13 @@ def q_stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             1 for p in q.recentProgress if p["numInputRows"] > 0
         )
         q.stop()
-        rows = spark.read.parquet(target).select(
-            "event_id", "ts", "user_id", "event_type", "value"
+        return _lazy_result(
+            spark,
+            spark.read.parquet(target).select(
+                "event_id", "ts", "user_id", "event_type", "value"
+            ),
+            "stream_upsert_result_",
         )
-        return spark.createDataFrame(rows.collect(), rows.schema)
     finally:
         for d in (feed_dir, ckpt_dir, os.path.dirname(target)):
             shutil.rmtree(d, ignore_errors=True)
@@ -581,8 +607,9 @@ def q_stream_join_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
         q.stop()
-        rows = spark.read.parquet(out_dir)
-        return spark.createDataFrame(rows.collect(), rows.schema)
+        return _lazy_result(
+            spark, spark.read.parquet(out_dir), "stream_join_result_"
+        )
     finally:
         for d in (out_dir, ckpt_dir, *feeds.values()):
             shutil.rmtree(d, ignore_errors=True)
@@ -728,8 +755,11 @@ def q_stream_join_left_append(spark: SparkSession, sf_dir: str) -> DataFrame:
                 tick.coalesce(1).write.mode("append").parquet(feeds[etype])
         _order_files()
         _run_catchup(_build_join())
-        rows = spark.read.parquet(out_dir).where(F.col("user_id") >= 0)
-        return spark.createDataFrame(rows.collect(), rows.schema)
+        return _lazy_result(
+            spark,
+            spark.read.parquet(out_dir).where(F.col("user_id") >= 0),
+            "stream_ljoin_result_",
+        )
     finally:
         for d in (out_dir, ckpt_dir, *feeds.values()):
             shutil.rmtree(d, ignore_errors=True)
