@@ -122,14 +122,24 @@ def main() -> None:
     # the frozen list must stay comparable round-over-round, so extra
     # coverage is reported SEPARATELY (round-3 ask: "keep this list
     # intact and report additional queries separately"): the full 22-query
-    # TPC-H battery, single run each, its own sub-dict + total.
+    # TPC-H battery, now under the SAME median-of-N + spread protocol as
+    # the headline (round-7 verdict ask #3: runs=1 made the battery's
+    # round-over-round drift unreadable as signal). No separate warm-up
+    # pass — run 1's samples still land in the median like the r2-r7
+    # single-run numbers did, keeping the series roughly comparable while
+    # the median+spread makes drift interpretable going forward.
     tpch = [n for n in registry if n.startswith("q_tpch_q")] + ["q_sql_tpch_q1"]
-    tpch_timings: dict[str, float] = {}
-    for name in sorted(tpch, key=lambda n: (len(n), n)):
-        t0 = time.time()
-        n_rows = registry[name].fn(spark, sf_dir).count()
-        tpch_timings[name] = round(time.time() - t0, 3)
-        print(f"# {name} battery: {n_rows} rows in {tpch_timings[name]}s", file=sys.stderr)
+    tpch_order = sorted(tpch, key=lambda n: (len(n), n))
+    tpch_samples: dict[str, list[float]] = {n: [] for n in tpch_order}
+    for r in range(runs):
+        for name in tpch_order:
+            t0 = time.time()
+            n_rows = registry[name].fn(spark, sf_dir).count()
+            dt = round(time.time() - t0, 3)
+            tpch_samples[name].append(dt)
+            print(f"# {name} battery run{r}: {n_rows} rows in {dt}s", file=sys.stderr)
+    tpch_timings = {n: round(median(xs), 3) for n, xs in tpch_samples.items()}
+    tpch_spread = {n: round(max(xs) - min(xs), 3) for n, xs in tpch_samples.items()}
 
     print(
         json.dumps(
@@ -147,7 +157,8 @@ def main() -> None:
                 "tpch_battery": {
                     "total": round(sum(tpch_timings.values()), 3),
                     "queries": tpch_timings,
-                    "runs": 1,
+                    "spread": tpch_spread,
+                    "runs": runs,
                 },
             }
         )
