@@ -295,11 +295,79 @@ def test_protobuf_auto_dispatch_and_jvm_gate(spark):
     df = spark.createDataFrame(
         [(POLL, bytearray(payload))], "poll_ts timestamp, payload binary"
     )
+    wire = decode_feed(decode_protobuf_payloads(df)).collect()
     if jvm_protobuf_available(spark):  # pragma: no cover - real clusters
-        pytest.skip("spark-protobuf present: JVM path would dispatch")
+        # jar present: the JVM branch must decode the bundled descriptor
+        # identically to the wire decoder, and auto must dispatch to it
+        jvm = decode_feed(decode_protobuf_payloads_jvm(df)).collect()
+        auto = decode_feed(decode_protobuf_payloads_auto(df)).collect()
+        assert sorted(jvm) == sorted(wire) == sorted(auto) and len(wire) == 2
+        pytest.skip("spark-protobuf present: wire-fallback gate not testable")
     assert not jvm_protobuf_available(spark)
     auto = decode_feed(decode_protobuf_payloads_auto(df)).collect()
-    wire = decode_feed(decode_protobuf_payloads(df)).collect()
     assert sorted(auto) == sorted(wire) and len(auto) == 2
     with pytest.raises(RuntimeError, match="spark-protobuf connector"):
-        decode_protobuf_payloads_jvm(df, "/nonexistent/gtfs_rt.desc")
+        decode_protobuf_payloads_jvm(df)
+
+
+def test_bundled_descriptor_set_is_current_and_wellformed():
+    """The checked-in gtfs_rt.desc must equal build_descriptor_set()
+    byte-for-byte (regeneration drift guard) and re-parse as a
+    FileDescriptorSet carrying the transit_realtime message subset with
+    the public gtfs-realtime.proto field numbers — verified with the
+    repo's own wire reader, no protobuf runtime."""
+    from transit_efficiency_analysis_spark.sources.gtfs_rt_descriptor import (
+        _MESSAGES,
+        DESCRIPTOR_PATH,
+        build_descriptor_set,
+    )
+    from transit_efficiency_analysis_spark.sources.gtfs_rt_wire import iter_fields
+
+    with open(DESCRIPTOR_PATH, "rb") as f:
+        data = f.read()
+    assert data == build_descriptor_set()
+
+    def _s(span):
+        return data[span[0] : span[1]].decode()
+
+    files = []
+    for f1, w1, v1 in iter_fields(data, 0, len(data)):
+        assert (f1, w1) == (1, 2)  # FileDescriptorSet.file
+        package, messages = None, {}
+        for f2, w2, v2 in iter_fields(data, *v1):
+            if f2 == 2:
+                package = _s(v2)
+            elif f2 == 4:  # DescriptorProto
+                mname, fields = None, {}
+                for f3, w3, v3 in iter_fields(data, *v2):
+                    if f3 == 1:
+                        mname = _s(v3)
+                    elif f3 == 2:  # FieldDescriptorProto
+                        fname = fnum = None
+                        for f4, w4, v4 in iter_fields(data, *v3):
+                            if f4 == 1:
+                                fname = _s(v4)
+                            elif f4 == 3:
+                                fnum = v4
+                        fields[fname] = fnum
+                messages[mname] = fields
+        files.append((package, messages))
+    assert len(files) == 1
+    package, messages = files[0]
+    assert package == "transit_realtime"
+    # every message/field the pipeline reads, public field numbers
+    want = {
+        m: {name: num for name, num, *_ in specs}
+        for m, specs in _MESSAGES.items()
+    }
+    assert messages == want
+    assert messages["FeedMessage"] == {"header": 1, "entity": 2}
+    assert messages["StopTimeUpdate"] == {
+        "stop_sequence": 1,
+        "arrival": 2,
+        "departure": 3,
+        "stop_id": 4,
+    }
+    assert messages["TripDescriptor"]["start_date"] == 3
+    assert messages["StopTimeEvent"]["time"] == 2
+    assert messages["FeedHeader"]["timestamp"] == 3

@@ -151,21 +151,24 @@ def jvm_protobuf_available(spark) -> bool:
 
 def decode_protobuf_payloads_jvm(
     payloads: DataFrame,
-    descriptor_file: str,
+    descriptor_file: str | None = None,
     payload_col: str = "payload",
     message_name: str = "transit_realtime.FeedMessage",
 ) -> DataFrame:
     """JVM-side ``.pb`` decode via ``from_protobuf()`` — zero Python in
     the ingest path (round-5 verdict "What's missing" #3).
 
-    ``descriptor_file`` is a protoc-compiled ``FileDescriptorSet``
-    (``protoc --descriptor_set_out=gtfs_rt.desc gtfs-realtime.proto``
-    against the public GTFS-RT schema, gtfs.org/realtime/) — the
-    standard spark-protobuf deployment contract. Requires the
-    spark-protobuf connector jar on the cluster (probe with
-    ``jvm_protobuf_available``); this repo's container ships neither
-    protoc nor the jar, so the path is exercised on real clusters while
-    ``decode_protobuf_payloads`` (the dependency-free wire decoder)
+    ``descriptor_file`` is a ``FileDescriptorSet`` — the standard
+    spark-protobuf deployment contract (what
+    ``protoc --descriptor_set_out=gtfs_rt.desc gtfs-realtime.proto``
+    emits against the public GTFS-RT schema, gtfs.org/realtime/). When
+    None, the BUNDLED descriptor is used
+    (``sources/gtfs_rt.desc``, built dependency-free from the public
+    wire format by ``sources/gtfs_rt_descriptor.py`` and checked in),
+    so this path is integration-testable the moment a spark-protobuf
+    jar is on the classpath — no protoc at test time. This repo's
+    container ships no such jar (probe with ``jvm_protobuf_available``),
+    so ``decode_protobuf_payloads`` (the dependency-free wire decoder)
     remains the tested fallback — ``decode_protobuf_payloads_auto``
     dispatches between them.
 
@@ -176,6 +179,12 @@ def decode_protobuf_payloads_jvm(
     """
     from pyspark.sql.protobuf.functions import from_protobuf
 
+    if descriptor_file is None:
+        from transit_efficiency_analysis_spark.sources.gtfs_rt_descriptor import (
+            DESCRIPTOR_PATH,
+        )
+
+        descriptor_file = DESCRIPTOR_PATH
     spark = payloads.sparkSession
     if not jvm_protobuf_available(spark):
         raise RuntimeError(
@@ -221,13 +230,11 @@ def decode_protobuf_payloads_auto(
     descriptor_file: str | None = None,
     payload_col: str = "payload",
 ) -> DataFrame:
-    """Dispatch ``.pb`` decoding to the JVM connector when it is
-    deployable (jar on classpath AND a descriptor file provided), else
-    the bundled pure-Python wire decoder. Both produce
+    """Dispatch ``.pb`` decoding to the JVM connector when its jar is on
+    the classpath (using the bundled ``gtfs_rt.desc`` descriptor unless a
+    caller supplies one), else the pure-Python wire decoder. Both produce
     ``schemas.REALTIME_FEED_RAW``, so callers are agnostic."""
-    if descriptor_file is not None and jvm_protobuf_available(
-        payloads.sparkSession
-    ):
+    if jvm_protobuf_available(payloads.sparkSession):
         return decode_protobuf_payloads_jvm(
             payloads, descriptor_file, payload_col
         )
