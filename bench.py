@@ -65,11 +65,34 @@ def _extra_fns():
     return {"q_agg_dashboard_materialized_read": dashboard_read_materialized}
 
 
+def _machine_context(spark=None) -> dict:
+    """Environment annotation so noise rounds are self-diagnosing (round-8
+    verdict #3: the r8 headline drifted +13% with no code cause and the
+    record carried nothing to distinguish machine load from regression).
+    Load averages are the 1/5/15-minute run-queue lengths; on the
+    32-thread bench box a 1-minute figure near 0 means an idle machine,
+    anything over ~4 means co-tenant work was competing with the run."""
+    ctx: dict = {}
+    try:
+        la = os.getloadavg()
+        ctx["loadavg_1m"] = round(la[0], 2)
+        ctx["loadavg_5m"] = round(la[1], 2)
+        ctx["loadavg_15m"] = round(la[2], 2)
+    except OSError:  # pragma: no cover - platform without getloadavg
+        pass
+    ctx["cpus"] = os.cpu_count()
+    if spark is not None:
+        ctx["default_parallelism"] = spark.sparkContext.defaultParallelism
+        ctx["shuffle_partitions"] = spark.conf.get("spark.sql.shuffle.partitions")
+    return ctx
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark("bench")
     registry = load_registry()
+    env_before = _machine_context(spark)
 
     # warm the JVM/session and the Python worker pool so boot cost isn't in
     # query times (Arrow workers cold-start ~1-2s per executor thread)
@@ -160,6 +183,8 @@ def main() -> None:
                     "spread": tpch_spread,
                     "runs": runs,
                 },
+                "env_before": env_before,
+                "env_after": _machine_context(spark),
             }
         )
     )

@@ -1,0 +1,85 @@
+"""Regression pins for the round-9 fixes (VERDICT/ADVICE round 8).
+
+- ``_tmpcache.lazy_result`` is keyed PER DEMO: repeated invocations for
+  the same key reuse/overwrite ONE result dir instead of accumulating
+  one mkdtemp per call (ADVICE r8 low, ``demo/streamingdemo.py:608``).
+- ``q_sql_recursive_chain`` no longer ``localCheckpoint``s: the eager
+  execution under the scoped ``cteRecursionLevelLimit`` conf goes
+  through the same lazy-result parquet rewrite, so NO RDD blocks stay
+  cached in executor storage after the demo returns (VERDICT r8 nit #1).
+- ``merge_match_condition`` / ``merge_newer_condition`` reject empty
+  key/order lists instead of returning empty strings that would embed
+  malformed SQL in a MERGE statement (ADVICE r8 low,
+  ``operators/upsert.py:294``).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from transit_efficiency_analysis_spark.demo._tmpcache import (
+    _RESULT_CACHE,
+    lazy_result,
+)
+from transit_efficiency_analysis_spark.operators.upsert import (
+    merge_match_condition,
+    merge_newer_condition,
+)
+
+
+def test_lazy_result_reuses_one_dir_per_key(spark):
+    df = spark.range(5).toDF("n")
+    before = dict(_RESULT_CACHE)
+    out1 = lazy_result(spark, df, "r9_test_key")
+    d1 = _RESULT_CACHE["r9_test_key"]
+    out2 = lazy_result(spark, spark.range(7).toDF("n"), "r9_test_key")
+    d2 = _RESULT_CACHE["r9_test_key"]
+    # same key -> same dir, overwritten in place; no per-call accumulation
+    assert d1 == d2
+    assert len(_RESULT_CACHE) == len(before) + 1
+    # latest invocation's content wins (the documented overwrite contract)
+    assert out2.count() == 7
+    # distinct keys get distinct dirs (no cross-demo clobbering)
+    lazy_result(spark, df, "r9_test_key_b")
+    assert _RESULT_CACHE["r9_test_key_b"] != d1
+    assert out1 is not None  # held reference; validity until re-run is documented
+
+
+def test_lazy_result_is_lazy_parquet_read(spark):
+    out = lazy_result(spark, spark.range(3).toDF("n"), "r9_test_lazy")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the returned frame is a file-source read, not a localized/cached scan
+    assert "Relation" in plan and "parquet" in plan
+
+
+def test_recursive_chain_leaves_no_cached_rdd_blocks(spark, sf_dir):
+    from transit_efficiency_analysis_spark.demo.recursion import (
+        q_sql_recursive_chain,
+    )
+
+    key = "spark.sql.cteRecursionLevelLimit"
+    before = spark.conf.get(key)
+    out = q_sql_recursive_chain(spark, sf_dir)
+    # conf scoping still holds under the new eagerness mechanism
+    assert spark.conf.get(key) == before
+    # the old localCheckpoint pinned the traversal's blocks in executor
+    # storage for the session's lifetime; the parquet rewrite must not
+    storage = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert len(storage) == 0, [s.toString() for s in storage]
+    # result still reads (lazy parquet) and is non-trivial
+    assert out.limit(1).count() == 1
+    # and the result dir is the keyed process-lifetime one
+    assert "recursive_chain" in _RESULT_CACHE
+    assert os.path.isdir(_RESULT_CACHE["recursive_chain"])
+
+
+def test_merge_condition_builders_reject_empty_inputs():
+    with pytest.raises(AssertionError):
+        merge_match_condition([])
+    with pytest.raises(AssertionError):
+        merge_newer_condition([])
+    # non-empty behavior unchanged
+    assert merge_match_condition(["k"]) == "t.`k` <=> s.`k`"
+    assert merge_newer_condition(["v"]) == "(s.`v` > t.`v`)"

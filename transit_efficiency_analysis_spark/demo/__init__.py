@@ -85,80 +85,81 @@ _DEMO_MODULES = [
 # 50-slot window, a full refresh cycle is ~5 rounds — the SLO holds as
 # long as new-demo growth stays under ~30/round.
 _WINDOW_FRONT = [
-    # Registered in round 7 after the window froze — never
-    # driver-checked (all 11 judge-verified green at sf0.01 in the r7
-    # VERDICT, but the hard record should say so): the incremental
-    # (batch-vs-corpus) near-dup pair and the nine function-surface
-    # demos.
-    "q_dedup_minhash_incremental",
-    "q_dedup_simhash_incremental",
-    "q_text_regex_extract",
-    "q_sql_collation",
-    "q_semi_map_ops",
-    "q_expr_try_arith",
-    "q_ts_calendar",
-    "q_agg_grouping_id",
-    "q_agg_bitwise",
-    "q_window_cume_nth",
-    "q_array_setops",
+    # Round-9 implementation changes (policy: anything whose code changed
+    # since its last green row re-verifies this round). The shared
+    # lazy-result rewrite moved to _tmpcache.lazy_result and is now keyed
+    # per demo (one reused/overwritten result dir instead of one mkdtemp
+    # per invocation — ADVICE r8); the five streaming demos that return
+    # through it plus q_sql_recursive_chain (localCheckpoint ->
+    # lazy-result swap, VERDICT r8 nit #1) therefore take window slots.
+    "q_sql_recursive_chain",
+    "q_stream_daily_agg",
+    "q_stream_daily_agg_append",
+    "q_stream_upsert_foreachbatch",
+    "q_stream_join_append",
+    "q_stream_join_left_append",
 ]
 
 # Prior-green re-verification filler, least-recently-verified first.
-# After round 7 the stale tail is 28 r3-era rows and 42 r4-era rows
-# (everything r5+ is within the SLO). All 28 r3 rows take slots this
-# round; 11 of the r4 rows fill the rest, picked §2-core-first: the two
-# ingest demos (src-zip-csv / src-protobuf), null-clean and
-# sink-truncate (§2 core), upsert_merge, the incremental exact-dedup
-# and blocked-embedding near-dup, the LSH top-k, and the three
-# specialty joins (bucketed, skew-salted, range-interval). The 31 r4
-# rows left for round 9 (TPC-H q2..q22 battery, sink_orc/partitioned/
-# roundtrip, array_agg/explode, grouping_sets, sample_rebalance/
-# weighted, sim_lsh_buckets/multiprobe, asof_tolerance, ngram_stats,
-# contamination_capped, sql_tpch_q1) all have r4-green rows and stay
-# inside the 4-round SLO through round 8; round 9's window must take
-# them.
+# After round 8 the stale tail is exactly the 31 r4-era rows the r8
+# comment pre-committed (they hit the 4-round SLO boundary this round) —
+# all 31 take slots. The remaining 13 slots go to r5-era rows (r5 rows
+# reach the boundary at round 10; 45 exist, so round 10's window takes
+# the other 32 plus the oldest r6 rows), picked headline-and-§2-first:
+# the two headline-bench dedup queries (minhash_lsh, simhash_pairs), the
+# materialized dashboard, ts_now_audit and scd2_history (§2-core
+# adjacent), the ANN/retrieval five (ivf/lsh_recall/bm25/tfidf/rrf), and
+# the jsonl sink, hash-split sampler, and corpus prep pipeline.
 _WINDOW_FILLER: list[str] = [
-    # r3-era (driver rows from CORRECTNESS_r03) — all 28
-    "q_agg_histogram",
-    "q_apply_in_pandas",
-    "q_dedup_editdistance",
-    "q_dedup_embedding",
-    "q_dedup_simhash",
-    "q_json_parse",
-    "q_multimodal_bmp",
-    "q_multimodal_frames",
-    "q_multimodal_meta",
-    "q_multimodal_wav",
-    "q_pandas_udf_scalar",
-    "q_range_normalize",
-    "q_sample_hash",
-    "q_sample_stratified",
-    "q_subquery_correlated_avg",
-    "q_subquery_exists",
-    "q_subquery_scalar",
-    "q_text_chunk",
-    "q_text_contamination",
-    "q_text_redact",
-    "q_text_repetition",
-    "q_tpch_q3",
-    "q_tpch_q5",
-    "q_tpch_q10",
-    "q_tpch_q12",
-    "q_window_range",
-    "q_window_session",
-    "q_window_tumbling",
-    # r4-era (driver rows from CORRECTNESS_r04) — §2-core-first picks
-    "q_ingest_gtfs_static",
-    "q_ingest_gtfs_rt",
-    "q_null_clean",
-    "q_sink_truncate",
-    "q_upsert_merge",
-    "q_dedup_incremental",
-    "q_dedup_embedding_lsh",
-    "q_sim_lsh_topk",
-    "q_join_bucketed",
-    "q_join_skew_salted",
-    "q_join_range_interval",
+    # r4-era (driver rows from CORRECTNESS_r04) — all 31, pre-committed
+    # at round 8: TPC-H q2..q22 battery remainder + sql_tpch_q1, three
+    # sinks, array_agg/explode, grouping_sets, two samplers, two LSH
+    # similarity demos, asof_tolerance, ngram_stats, contamination_capped
+    "q_tpch_q2",
+    "q_tpch_q4",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_tpch_q11",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q18",
+    "q_tpch_q19",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_tpch_q22",
+    "q_sql_tpch_q1",
+    "q_sink_orc",
+    "q_sink_partitioned",
+    "q_sink_roundtrip",
+    "q_array_agg",
+    "q_array_explode",
+    "q_grouping_sets",
+    "q_sample_rebalance",
+    "q_sample_weighted",
+    "q_sim_lsh_buckets",
+    "q_sim_lsh_multiprobe_topk",
+    "q_join_asof_tolerance",
+    "q_text_ngram_stats",
+    "q_text_contamination_capped",
+    # r5-era (driver rows from CORRECTNESS_r05) — 13 oldest-tier picks
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash_pairs",
+    "q_agg_dashboard_materialized",
+    "q_ts_now_audit",
+    "q_upsert_scd2_history",
+    "q_sim_ivf_topk",
+    "q_sim_lsh_recall",
+    "q_retrieval_bm25",
+    "q_retrieval_tfidf",
+    "q_retrieval_hybrid_rrf",
+    "q_sink_jsonl",
+    "q_sample_split",
+    "q_corpus_prep_pipeline",
 ]
 
 _WINDOW = _WINDOW_FRONT + _WINDOW_FILLER

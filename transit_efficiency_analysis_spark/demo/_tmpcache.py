@@ -34,3 +34,36 @@ def process_dir_cache() -> dict[str, str]:
     cache: dict[str, str] = {}
     _CACHES.append(cache)
     return cache
+
+
+#: one result dir per demo key, allocated lazily by :func:`lazy_result`
+_RESULT_CACHE = process_dir_cache()
+
+
+def lazy_result(spark, df, key: str):
+    """Executor-side rewrite of ``df`` into the process-lifetime result
+    dir for ``key``; returns the LAZY parquet read (no driver-side row
+    materialization — the write is distributed and the read streams from
+    disk on demand).
+
+    The dir is keyed PER DEMO, not per invocation: the first call for a
+    ``key`` mkdtemps it, later calls overwrite it in place (``mode=
+    "overwrite"`` — a full delete+rewrite), so a median-of-N bench loop
+    holds exactly one result dir per demo instead of N accumulating
+    copies. Consequence callers accept: a DataFrame returned by an
+    EARLIER invocation of the same demo becomes unreadable once the demo
+    runs again — consume each invocation's result before re-invoking
+    (bench and driver both do). The write is also the EAGERNESS point:
+    running it inside a scoped-conf ``try`` executes the plan while the
+    conf is live, without ``localCheckpoint``'s session-lifetime
+    executor-storage pinning (a checkpoint's blocks are lost on executor
+    failure; a parquet dir re-reads fine).
+    """
+    import tempfile
+
+    d = _RESULT_CACHE.get(key)
+    if d is None:
+        d = tempfile.mkdtemp(prefix=f"demo_result_{key}_")
+        _RESULT_CACHE[key] = d
+    df.write.mode("overwrite").parquet(d)
+    return spark.read.parquet(d)

@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from transit_efficiency_analysis_spark.demo import demo
+from transit_efficiency_analysis_spark.demo._tmpcache import lazy_result
 from transit_efficiency_analysis_spark.sources.registry import load_table
 
 _CHAIN_SQL = """
@@ -100,10 +101,17 @@ def q_sql_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicitly rather than inherited (fail loudly over silently
     half-walking) — and SCOPED to this query: the limit is a live
     session conf read at execution time, so the recursion is executed
-    eagerly (localCheckpoint) inside a try/finally that restores the
-    prior value, leaving the session's runaway-recursion guard exactly
-    as it was for every later query (tests/test_plans.py asserts
-    before == after)."""
+    eagerly inside a try/finally that restores the prior value, leaving
+    the session's runaway-recursion guard exactly as it was for every
+    later query (tests/test_round8_fixes.py::
+    test_recursive_chain_demo_restores_conf asserts before == after).
+    The eagerness point is a distributed parquet rewrite into a
+    process-lifetime result dir (``_tmpcache.lazy_result``), not
+    ``localCheckpoint`` — a checkpoint would pin the traversal's blocks
+    in executor storage for the session's lifetime and lose them on
+    executor failure, while the parquet result re-reads fine and leaves
+    zero RDD blocks cached (tests/test_round9_fixes.py asserts the
+    storage is empty after the demo returns)."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     key = "spark.sql.cteRecursionLevelLimit"
     prior = spark.conf.get(key)
@@ -111,8 +119,9 @@ def q_sql_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         # eager: the limit must be in effect when the UnionLoop runs,
         # which for a lazily-returned DataFrame would be after the
-        # finally restored it
-        return spark.sql(_CHAIN_SQL).localCheckpoint(eager=True)
+        # finally restored it; the write executes the plan now, the
+        # returned DataFrame is a lazy read of the written result
+        return lazy_result(spark, spark.sql(_CHAIN_SQL), "recursive_chain")
     finally:
         spark.conf.set(key, prior)
 

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from transit_efficiency_analysis_spark.demo import demo
-from transit_efficiency_analysis_spark.demo._tmpcache import process_dir_cache
+from transit_efficiency_analysis_spark.demo._tmpcache import lazy_result
 from transit_efficiency_analysis_spark.functions.parity import parity_double
 from transit_efficiency_analysis_spark.sources.registry import load_table
 
@@ -44,23 +44,16 @@ def _sink_name(prefix: str) -> str:
     return f"{prefix}_{_RUN_SEQ[0]}"
 
 
-#: process-lifetime result dirs (rmtree'd at interpreter exit) — the
-#: streaming demos' ephemeral feed/checkpoint/sink dirs are deleted in
-#: their `finally` blocks, so the RESULT must outlive them; a distributed
-#: parquet rewrite into one of these dirs replaces the old
-#: collect()+createDataFrame materialization, which funneled the whole
-#: (data-proportional, for the stream-stream joins) result through the
-#: driver.
-_RESULT_DIRS = process_dir_cache()
-
-
-def _lazy_result(spark: SparkSession, df: DataFrame, prefix: str) -> DataFrame:
-    """Executor-side rewrite of ``df`` into a process-lifetime dir; returns
-    the LAZY parquet read (no driver-side row materialization)."""
-    d = tempfile.mkdtemp(prefix=prefix)
-    _RESULT_DIRS[d] = d
-    df.write.mode("overwrite").parquet(d)
-    return spark.read.parquet(d)
+# Streaming demos' ephemeral feed/checkpoint/sink dirs are deleted in
+# their `finally` blocks, so the RESULT must outlive them: each demo's
+# result is rewritten executor-side into the process-lifetime dir
+# _tmpcache.lazy_result keeps for its key — ONE dir per demo, overwritten
+# on re-invocation, rather than one per call (a median-of-N bench loop
+# previously accumulated N dirs until interpreter exit). The distributed
+# parquet rewrite replaced (round 8) the old collect()+createDataFrame
+# materialization, which funneled the whole (data-proportional, for the
+# stream-stream joins) result through the driver.
+_lazy_result = lazy_result
 
 
 @demo(

@@ -690,6 +690,14 @@ def minhash_lsh_pairs_incremental(
     (band, mh) bucket on BOTH signature sides before the candidate join —
     the boilerplate-storm guard (a corpus-wide shared shingle otherwise
     fans the batch×corpus join out by |corpus bucket| per batch row).
+
+    As with :func:`minhash_lsh_pairs`, the ``reuse=True`` persists are
+    NOT unpersisted here (the relations back the returned lazy
+    DataFrame): after consuming the result, the caller must
+    ``spark.catalog.clearCache()`` or unpersist — especially in the
+    per-batch maintenance loop this function exists for, where repeated
+    invocations would otherwise accumulate one persisted
+    exploded-shingle pair per batch.
     """
     def km_parts(df: DataFrame):
         exp = shingles_exploded(df, id_col, text_col, k)

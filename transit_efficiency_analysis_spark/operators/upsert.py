@@ -296,7 +296,10 @@ def merge_match_condition(keys: list[str]) -> str:
     ``s`` = collapsed source batch). ``<=>`` so NULL key components match
     NULL — the same key semantics ``merge_batch``'s groupBy gives them.
     Pure string builder so the generated SQL is unit-testable without a
-    Delta runtime (tests/test_upsert.py)."""
+    Delta runtime (tests/test_upsert.py). ``keys`` must be non-empty
+    (matching ``merge_batch``'s implicit contract) — an empty list would
+    yield an empty string and malformed MERGE SQL downstream."""
+    assert keys, "merge_match_condition: keys must be non-empty"
     return " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in keys)
 
 
@@ -306,7 +309,10 @@ def merge_newer_condition(order_by: list[str]) -> str:
     strictly greater on this one. Ties (all columns equal) are FALSE, so
     matched rows keep the stored value — the same tie-break direction as
     ``merge_batch``'s row_number dedup when ``order_by`` is a total
-    order. Pure string builder, unit-tested without Delta."""
+    order. Pure string builder, unit-tested without Delta. ``order_by``
+    must be non-empty — an empty list would yield an empty string and
+    malformed MERGE SQL downstream."""
+    assert order_by, "merge_newer_condition: order_by must be non-empty"
     newer_terms = []
     for i, c in enumerate(order_by):
         eqs = " AND ".join(f"t.`{p}` <=> s.`{p}`" for p in order_by[:i])
