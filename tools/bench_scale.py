@@ -7,7 +7,12 @@ at 1x and Nx. A bucketed pipeline should scale roughly linearly in rows +
 candidate pairs; quadratic blowup would mean the blocking is broken.
 
 Usage:
-    python tools/bench_scale.py [sf_dir] [copies]
+    python tools/bench_scale.py [sf_dir] [copies] [family ...]
+
+With no family args every family runs; naming families (substring match
+against result keys: minhash, simhash, sim_lsh, derived, storm, incr,
+gapfill, funnel, maintenance, pagerank, triangles) runs just those —
+the 64x stretch points re-run only the heaviest pipelines.
 
 Prints one JSON line:
     {"metric": "lsh_scale_check", "copies": N,
@@ -40,6 +45,10 @@ def _union_copies(df: DataFrame, id_col: str, n: int, perturb) -> DataFrame:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    families = [a.lower() for a in sys.argv[3:]]
+
+    def want(key: str) -> bool:
+        return not families or any(f in key.lower() for f in families)
 
     from transit_efficiency_analysis_spark.operators.dedup import (
         minhash_lsh_pairs,
@@ -89,6 +98,8 @@ def main() -> int:
     }
     results = {}
     for name, fn in pipelines.items():
+        if not want(name):
+            continue
         t0 = time.time(); r1 = fn(docs_1).count(); t1 = time.time() - t0
         t0 = time.time(); rn = fn(docs_n).count(); tn = time.time() - t0
         results[name] = {
@@ -98,14 +109,15 @@ def main() -> int:
         print(f"# {name}: 1x {t1:.1f}s ({r1} pairs) -> {copies}x {tn:.1f}s "
               f"({rn} pairs), ratio {tn/t1:.1f}", file=sys.stderr)
 
-    t0 = time.time(); r1 = lsh_topk(embs_1).count(); t1 = time.time() - t0
-    t0 = time.time(); rn = lsh_topk(embs_n).count(); tn = time.time() - t0
-    results["sim_lsh_topk"] = {
-        "t1": round(t1, 2), "tN": round(tn, 2),
-        "ratio": round(tn / t1, 2), "rows1": r1, "rowsN": rn,
-    }
-    print(f"# sim_lsh_topk: 1x {t1:.1f}s ({r1} rows) -> {copies}x {tn:.1f}s "
-          f"({rn} rows), ratio {tn/t1:.1f}", file=sys.stderr)
+    if want("sim_lsh_topk"):
+        t0 = time.time(); r1 = lsh_topk(embs_1).count(); t1 = time.time() - t0
+        t0 = time.time(); rn = lsh_topk(embs_n).count(); tn = time.time() - t0
+        results["sim_lsh_topk"] = {
+            "t1": round(t1, 2), "tN": round(tn, 2),
+            "ratio": round(tn / t1, 2), "rows1": r1, "rowsN": rn,
+        }
+        print(f"# sim_lsh_topk: 1x {t1:.1f}s ({r1} rows) -> {copies}x {tn:.1f}s "
+              f"({rn} rows), ratio {tn/t1:.1f}", file=sys.stderr)
 
     # Derived-planes check: with target_bucket_size driving the plane
     # count, mean bucket occupancy must stay ~constant across the 10x
@@ -115,33 +127,37 @@ def main() -> int:
         lsh_bucket_assignments,
     )
 
-    target = 64
-    occ = {}
-    for tag, e in (("1x", embs_1), ("Nx", embs_n)):
-        asg = lsh_bucket_assignments(e, planes=None, target_bucket_size=target)
-        row = asg.groupBy("bucket").count().agg(
-            F.avg("count").alias("mean"), F.count(F.lit(1)).alias("buckets")
-        ).first()
-        occ[tag] = {"mean_bucket": round(row["mean"], 1), "buckets": row["buckets"]}
-    results["derived_planes_occupancy"] = {"target": target, **occ}
-    print(f"# derived_planes: target {target} -> mean bucket "
-          f"1x {occ['1x']['mean_bucket']} vs {copies}x {occ['Nx']['mean_bucket']}",
-          file=sys.stderr)
+    if want("derived_planes"):
+        target = 64
+        occ = {}
+        for tag, e in (("1x", embs_1), ("Nx", embs_n)):
+            asg = lsh_bucket_assignments(e, planes=None, target_bucket_size=target)
+            row = asg.groupBy("bucket").count().agg(
+                F.avg("count").alias("mean"), F.count(F.lit(1)).alias("buckets")
+            ).first()
+            occ[tag] = {"mean_bucket": round(row["mean"], 1), "buckets": row["buckets"]}
+        results["derived_planes_occupancy"] = {"target": target, **occ}
+        print(f"# derived_planes: target {target} -> mean bucket "
+              f"1x {occ['1x']['mean_bucket']} vs {copies}x {occ['Nx']['mean_bucket']}",
+              file=sys.stderr)
 
     # Boilerplate-storm scenario: a shared marker shingle in EVERY doc
     # collapses a large corpus fraction into one minhash bucket per band
     # (the gap-interleaved-marker failure that went disk-full uncapped —
     # docs/SCALE.md). With the bucket cap on, the candidate join is
     # bounded at cap^2 per band bucket and the pipeline must complete.
-    storm = docs_n.withColumn("text", F.concat(F.col("text"), F.lit(" zq zq zq zq")))
-    t0 = time.time()
-    rs = minhash_lsh_pairs(
-        storm, "doc_id", "text", threshold=0.5, max_bucket_size=50
-    ).count()
-    ts = time.time() - t0
-    results["minhash_storm_capped"] = {"t": round(ts, 2), "pairs": rs, "cap": 50}
-    print(f"# minhash_storm_capped: {copies}x storm corpus {ts:.1f}s ({rs} pairs, "
-          f"cap=50; uncapped = all-pairs blowup)", file=sys.stderr)
+    if want("minhash_storm_capped"):
+        storm = docs_n.withColumn(
+            "text", F.concat(F.col("text"), F.lit(" zq zq zq zq"))
+        )
+        t0 = time.time()
+        rs = minhash_lsh_pairs(
+            storm, "doc_id", "text", threshold=0.5, max_bucket_size=50
+        ).count()
+        ts = time.time() - t0
+        results["minhash_storm_capped"] = {"t": round(ts, 2), "pairs": rs, "cap": 50}
+        print(f"# minhash_storm_capped: {copies}x storm corpus {ts:.1f}s ({rs} pairs, "
+              f"cap=50; uncapped = all-pairs blowup)", file=sys.stderr)
 
     # Incremental near-dup (round-8 ask): the SCALE.md claim "per-batch
     # cost ∝ batch — the corpus is never self-paired" measured directly,
@@ -174,6 +190,8 @@ def main() -> int:
         ),
     }
     for name, fn in inc_ops.items():
+        if not want(name):
+            continue
         # batch-growth: corpus fixed at Nx, batch 1 copy vs `bgrow` copies
         t0 = time.time(); r1 = fn(docs_n, _batch_docs(1)).count(); t1 = time.time() - t0
         t0 = time.time(); rn = fn(docs_n, _batch_docs(bgrow)).count(); tn = time.time() - t0
@@ -215,6 +233,8 @@ def main() -> int:
         ("events_funnel", events_funnel),
         ("incr_maintenance", incremental_maintenance),
     ):
+        if not want(name):
+            continue
         t0 = time.time(); r1 = fn(ev_1).count(); t1 = time.time() - t0
         t0 = time.time(); rn = fn(ev_n).count(); tn = time.time() - t0
         results[name] = {
@@ -238,7 +258,8 @@ def main() -> int:
     edges = pairs.select(F.col("c").alias("src"), supp.alias("dst")).unionByName(
         pairs.select(supp.alias("src"), F.col("c").alias("dst"))
     ).cache()
-    edges.count()
+    if want("pagerank"):
+        edges.count()
 
     def _edge_copies(n: int) -> DataFrame:
         out = None
@@ -250,7 +271,7 @@ def main() -> int:
             out = c if out is None else out.unionByName(c)
         return out
 
-    for tag, n in (("1", 1), ("N", copies)):
+    for tag, n in (("1", 1), ("N", copies)) if want("pagerank") else ():
         t0 = time.time()
         rows = pagerank_ppm(_edge_copies(n), n_iters=2, persist=False).count()
         dt = time.time() - t0
@@ -284,7 +305,8 @@ def main() -> int:
         .select("src", "dst")
         .cache()
     )
-    co.count()
+    if want("triangles"):
+        co.count()
 
     def _tri_copies(n: int) -> DataFrame:
         out = None
@@ -296,7 +318,7 @@ def main() -> int:
             out = c if out is None else out.unionByName(c)
         return out
 
-    for tag, n in (("1", 1), ("N", copies)):
+    for tag, n in (("1", 1), ("N", copies)) if want("triangles") else ():
         t0 = time.time()
         rows = triangle_counts(_tri_copies(n)).count()
         dt = time.time() - t0
@@ -310,7 +332,8 @@ def main() -> int:
             print(f"# triangles: 1x {tr1:.1f}s ({trr1} nodes) -> {copies}x "
                   f"{dt:.1f}s ({rows} nodes), ratio {dt/tr1:.1f}", file=sys.stderr)
 
-    worst = max(v["ratio"] for v in results.values() if "ratio" in v)
+    ratios = [v["ratio"] for v in results.values() if "ratio" in v]
+    worst = max(ratios) if ratios else 0.0
     print(json.dumps({
         "metric": "lsh_scale_check", "copies": copies,
         "pipelines": results, "max_ratio": worst,
