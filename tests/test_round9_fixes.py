@@ -83,3 +83,27 @@ def test_merge_condition_builders_reject_empty_inputs():
     # non-empty behavior unchanged
     assert merge_match_condition(["k"]) == "t.`k` <=> s.`k`"
     assert merge_newer_condition(["v"]) == "(s.`v` > t.`v`)"
+
+
+def test_bench_machine_context_fields(spark):
+    """bench.py's env annotation (round-8 verdict #3): the JSON must carry
+    enough machine context to distinguish a loaded-box noise round from a
+    plan regression — loadavg triple, cpu count, and the Spark-session
+    parallelism facts."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_under_test", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    ctx = mod._machine_context(spark)
+    assert {"loadavg_1m", "loadavg_5m", "loadavg_15m"} <= ctx.keys()
+    assert ctx["cpus"] == os.cpu_count()
+    assert ctx["default_parallelism"] >= 1
+    assert int(ctx["shuffle_partitions"]) >= 1
+    # without a session the Spark facts are absent but the host facts stay
+    host_only = mod._machine_context(None)
+    assert "default_parallelism" not in host_only
+    assert "cpus" in host_only
