@@ -110,6 +110,13 @@ def main() -> int:
               f"({rn} pairs), ratio {tn/t1:.1f}", file=sys.stderr)
 
     if want("sim_lsh_topk"):
+        # Fixed planes=8 — the demo/oracle mode. Bucket occupancy grows
+        # linearly with the corpus at constant 2^8 buckets, so candidate
+        # volume grows QUADRATICALLY: this mode is expected to hit the
+        # cliff at large N (measured: 147x cost at 64x data, r9) — it is
+        # kept here as the measured evidence for why the scale path
+        # derives planes from corpus size. Name your family filter
+        # "sim_lsh_topk_derived" to run only the scale mode at big N.
         t0 = time.time(); r1 = lsh_topk(embs_1).count(); t1 = time.time() - t0
         t0 = time.time(); rn = lsh_topk(embs_n).count(); tn = time.time() - t0
         results["sim_lsh_topk"] = {
@@ -118,6 +125,24 @@ def main() -> int:
         }
         print(f"# sim_lsh_topk: 1x {t1:.1f}s ({r1} rows) -> {copies}x {tn:.1f}s "
               f"({rn} rows), ratio {tn/t1:.1f}", file=sys.stderr)
+
+    if want("sim_lsh_topk_derived"):
+        # The 100 TB mode: planes derived from corpus size
+        # (target_bucket_size=64 -> planes = ceil(log2(n/64))), holding
+        # per-bucket candidate work ~constant as the corpus grows.
+        t0 = time.time()
+        r1 = lsh_topk(embs_1, planes=None, target_bucket_size=64).count()
+        t1 = time.time() - t0
+        t0 = time.time()
+        rn = lsh_topk(embs_n, planes=None, target_bucket_size=64).count()
+        tn = time.time() - t0
+        results["sim_lsh_topk_derived"] = {
+            "t1": round(t1, 2), "tN": round(tn, 2),
+            "ratio": round(tn / t1, 2), "rows1": r1, "rowsN": rn,
+        }
+        print(f"# sim_lsh_topk_derived: 1x {t1:.1f}s ({r1} rows) -> "
+              f"{copies}x {tn:.1f}s ({rn} rows), ratio {tn/t1:.1f}",
+              file=sys.stderr)
 
     # Derived-planes check: with target_bucket_size driving the plane
     # count, mean bucket occupancy must stay ~constant across the 10x
