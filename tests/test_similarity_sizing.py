@@ -180,3 +180,67 @@ def test_n_rows_skips_count_action(spark):
     jobs_after = len(tracker.getJobIdsForGroup(None) or [])
     assert jobs_after == jobs_before
     assert sorted(map(tuple, stats.collect())) == sorted(map(tuple, counted))
+
+
+def test_multiprobe_derived_planes_matches_fixed(spark):
+    """multiprobe_lsh_topk's corpus-sizing mode (r9: same scale path as
+    lsh_topk) must produce exactly the fixed-planes result at the derived
+    plane count, via both the count() and the n_rows sizing paths."""
+    from transit_efficiency_analysis_spark.operators.similarity import (
+        multiprobe_lsh_topk,
+    )
+
+    df = _vecs(spark, 64)
+    p = derive_planes(64, 16)
+    fixed = sorted(map(tuple, multiprobe_lsh_topk(df, planes=p, dims=8).collect()))
+    derived = sorted(
+        map(
+            tuple,
+            multiprobe_lsh_topk(
+                df, planes=None, dims=8, target_bucket_size=16
+            ).collect(),
+        )
+    )
+    stats = sorted(
+        map(
+            tuple,
+            multiprobe_lsh_topk(
+                df, planes=None, dims=8, target_bucket_size=16, n_rows=64
+            ).collect(),
+        )
+    )
+    assert derived == fixed
+    assert stats == fixed
+    with pytest.raises(AssertionError):
+        multiprobe_lsh_topk(df, planes=None, dims=8)
+
+
+def test_fixed_planes_candidate_volume_quadratic_derived_linear(spark):
+    """The measured 64x cliff (docs/SCALE.md §64x stretch), pinned at toy
+    scale: candidate volume (sum of bucket_size^2 over buckets) grows
+    ~quadratically under a FIXED plane count when the corpus grows 4x,
+    but ~linearly when planes are derived from the corpus size."""
+
+    def volume(df, n, *, fixed_planes=None):
+        if fixed_planes is not None:
+            asg = lsh_bucket_assignments(df, planes=fixed_planes, dims=8)
+        else:
+            asg = lsh_bucket_assignments(
+                df, planes=None, dims=8, target_bucket_size=16, n_rows=n
+            )
+        row = (
+            asg.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.sum(F.col("n") * F.col("n")).alias("v"))
+            .first()
+        )
+        return row["v"]
+
+    small, big = _vecs(spark, 64), _vecs(spark, 256)
+    p = derive_planes(64, 16)  # both modes identical at the small corpus
+    ratio_fixed = volume(big, 256, fixed_planes=p) / volume(small, 64, fixed_planes=p)
+    ratio_derived = volume(big, 256) / volume(small, 64)
+    # 4x corpus: fixed planes square the per-bucket occupancy (~16x
+    # volume); derived planes add 2 planes and hold occupancy (~4x)
+    assert ratio_fixed > 9, ratio_fixed
+    assert ratio_derived < ratio_fixed / 2, (ratio_derived, ratio_fixed)

@@ -256,9 +256,11 @@ def multiprobe_lsh_topk(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    planes: int = 8,
+    planes: int | None = 8,
     dims: int = 64,
     k: int = 3,
+    target_bucket_size: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Multi-probe sign-LSH top-k (Lv et al.): each query probes its own
     bucket AND the bucket reached by flipping the plane it is closest to
@@ -274,8 +276,19 @@ def multiprobe_lsh_topk(
     the flip margin is the exact integer |projection|, so probe choice is
     bit-reproducible across engines and partitionings.
 
+    ``target_bucket_size`` (with ``planes=None``) derives the plane count
+    from the corpus size exactly as in ``lsh_topk`` — the scale mode that
+    avoids the measured fixed-plane cliff (docs/SCALE.md §64x stretch);
+    ``n_rows`` is the cached-statistics path that skips the sizing
+    count() when a catalog already knows the corpus size.
+
     Returns (query_id, neighbor_id, cosine_sim, rank).
     """
+    if target_bucket_size is not None:
+        planes = derive_planes(
+            n_rows if n_rows is not None else df.count(), target_bucket_size
+        )
+    assert planes is not None, "pass planes or target_bucket_size"
     projs = lsh_projection_exprs(F.col("__q"), planes, dims)
     bucket = F.lit(0).cast("long")
     for p, proj in enumerate(projs):
