@@ -1,0 +1,130 @@
+"""Duplicated-span detection/removal and distributed budget selection.
+
+Crafted micro-corpora pin exact span boundaries (a shared L-token run
+must come back as ONE span of exactly L tokens), keep-first removal
+semantics, and novelty ratios; the budget operator is checked against
+the naive single-window reference and its plan is asserted to range-
+partition instead of collapsing to one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from transit_efficiency_analysis_spark.operators.budget import running_total
+from transit_efficiency_analysis_spark.operators.spans import (
+    duplicated_spans,
+    novelty_scores,
+    remove_duplicated_spans,
+)
+
+RUN = "r1 r2 r3 r4 r5 r6 r7"  # 7-token run shared by docs 0 and 1
+
+
+def _corpus(spark):
+    rows = [
+        (0, f"x1 x2 {RUN} x3"),        # run at positions 2..8
+        (1, f"y1 {RUN} y2 y3"),        # run at positions 1..7
+        (2, "z1 z2 z3 z4 z5 z6 z7 z8"),  # unique, no dup k-grams
+        (3, "s1 s2 s3"),               # shorter than k: no k-grams at all
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_shared_run_merges_to_one_exact_span(spark):
+    spans = duplicated_spans(_corpus(spark), k=5).collect()
+    by_doc = {r.doc_id: r for r in spans}
+    assert set(by_doc) == {0, 1}
+    # A 7-token run at k=5 yields 3 overlapping dup 5-grams that must
+    # merge back into ONE span of exactly 7 tokens.
+    assert (by_doc[0].span_start, by_doc[0].span_end) == (2, 8)
+    assert (by_doc[1].span_start, by_doc[1].span_end) == (1, 7)
+    assert by_doc[0].span_tokens == 7 and by_doc[1].span_tokens == 7
+    assert by_doc[0].n_dup_starts == 3 and by_doc[1].n_dup_starts == 3
+
+
+def test_two_nearby_runs_merge_when_overlapping_covers(spark):
+    # doc 10 and 11 share two 5-gram runs whose covered intervals abut:
+    # starts at pos 0 and pos 4 -> intervals [0,4] and [4,8] merge.
+    a = "c1 c2 c3 c4 c5 d1 d2 d3 d4 e9"
+    rows = [
+        (10, a),
+        (11, "q1 c1 c2 c3 c4 c5 q2 q3 q4 q5"),   # shares 5-gram at 10's pos 0
+        (12, "w1 c5 d1 d2 d3 d4 w2 w3 w4 w5"),   # shares 5-gram at 10's pos 4
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {r.doc_id: r for r in duplicated_spans(df, k=5).collect()}
+    assert (spans[10].span_start, spans[10].span_end) == (0, 8)
+    assert spans[10].n_dup_starts == 2
+
+
+def test_removal_keeps_canonical_and_strips_the_rest(spark):
+    out = {r.doc_id: r for r in remove_duplicated_spans(_corpus(spark), k=5).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    # doc 0 is canonical (min doc_id) for every shared 5-gram: untouched.
+    assert out[0].n_removed == 0
+    assert out[0].text_clean == f"x1 x2 {RUN} x3"
+    # doc 1 loses exactly the 7 covered tokens, order preserved.
+    assert out[1].n_removed == 7
+    assert out[1].text_clean == "y1 y2 y3"
+    # unique and too-short docs pass through whole.
+    assert out[2].n_removed == 0 and out[2].text_clean.startswith("z1")
+    assert out[3].n_removed == 0 and out[3].text_clean == "s1 s2 s3"
+
+
+def test_fully_duplicated_doc_rewrites_to_empty(spark):
+    rows = [(0, RUN), (1, RUN)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_duplicated_spans(df, k=5).collect()}
+    assert out[0].text_clean == RUN and out[0].n_removed == 0
+    assert out[1].text_clean == "" and out[1].n_removed == 7
+
+
+def test_novelty_ratio(spark):
+    nov = {r.doc_id: r for r in novelty_scores(_corpus(spark), k=5).collect()}
+    # doc 0 has 10 tokens -> 6 5-grams, 3 duplicated -> novelty 0.5.
+    assert set(nov) == {0, 1, 2}  # doc 3 (<5 tokens) excluded
+    assert nov[0].n_kgrams == 6 and nov[0].n_dup == 3
+    assert abs(nov[0].novelty - 0.5) < 1e-12
+    assert nov[2].n_dup == 0 and nov[2].novelty == 1.0
+
+
+def test_running_total_matches_single_window_reference(spark):
+    # Deterministic pseudo-random weights; duplicate scores force the
+    # tiebreaker to matter.
+    df = spark.range(200).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("score"),
+        ((F.col("id") * 37) % 11 + 1).alias("wt"),
+    )
+    order = [F.col("score").desc(), F.col("id").asc()]
+    got = {
+        r.id: r.cum
+        for r in running_total(df, order, "wt", n_buckets=8).collect()
+    }
+    ref_w = (
+        Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ref = {
+        r.id: r.cum
+        for r in df.withColumn(
+            "cum", F.sum("wt").over(ref_w).cast("long")
+        ).collect()
+    }
+    assert got == ref
+
+
+def test_running_total_plan_range_partitions_not_single_task(spark):
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 13).alias("wt")
+    )
+    plan = running_total(
+        df, [F.col("id").asc()], "wt", n_buckets=8
+    )._jdf.queryExecution().executedPlan().toString()
+    # The relation must go through a range exchange, and the
+    # data-proportional window must be partitioned by the range bucket
+    # (a naive global cumsum would show a Window with an empty
+    # partition spec over the full relation instead).
+    assert "rangepartitioning" in plan.lower()
+    assert "_pid" in plan

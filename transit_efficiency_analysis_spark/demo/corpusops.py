@@ -420,3 +420,60 @@ def q_clean_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+@demo(
+    "q_corpus_token_budget",
+    sql="""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_tokens,
+               len(list_distinct(w)) / len(w) AS quality
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    tot AS (SELECT sum(n_tokens) // 4 AS budget FROM scored),
+    c AS (
+        SELECT doc_id, n_tokens, quality,
+               CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM scored
+    )
+    SELECT doc_id, n_tokens, quality, cum_tokens
+    FROM c, tot WHERE cum_tokens <= budget
+    """,
+)
+def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token-budget corpus selection: rank documents by lexical-diversity
+    quality (distinct-token ratio, doc_id tiebreak) and keep the best
+    prefix whose cumulative token count stays within 25% of the corpus
+    total. The running sum is the DISTRIBUTED two-pass prefix sum from
+    operators/budget.py — range-partition on the selection order,
+    per-bucket subtotals (the only unpartitioned window sees n_buckets
+    rows), broadcast offsets, within-bucket window — NOT a naive global
+    Window.orderBy that would collapse 100 TB into one task. The oracle
+    states the same semantics as the naive single-window SQL; the output
+    is partitioning-invariant because the order key is total."""
+    from transit_efficiency_analysis_spark.operators.budget import running_total
+
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    scored = d.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_tokens"),
+        (F.size(F.array_distinct(w)) / F.size(w)).alias("quality"),
+    )
+    budget = scored.agg(
+        (F.sum("n_tokens") / F.lit(4)).cast("long").alias("budget")
+    )
+    cum = running_total(
+        scored,
+        order_by=[F.col("quality").desc(), F.col("doc_id").asc()],
+        weight="n_tokens",
+        cum_col="cum_tokens",
+        n_buckets=8,
+    )
+    return (
+        cum.join(F.broadcast(budget))
+        .where(F.col("cum_tokens") <= F.col("budget"))
+        .select("doc_id", "n_tokens", "quality", "cum_tokens")
+    )

@@ -255,3 +255,147 @@ def q_text_pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("bin_tokens"),
         F.array_join(ordered, " <|doc|> ").alias("packed_text"),
     )
+
+
+_K = 5  # duplicated-span k-gram width (min detectable duplicated run)
+
+# Shared oracle fragment: 0-based word-k-gram start positions per doc.
+_KG_SQL = f"""
+    kg AS (
+        SELECT doc_id, g AS pos, array_to_string(w[g + 1 : g + {_K}], ' ') AS kgram
+        FROM (
+            SELECT doc_id, w, unnest(generate_series(0, len(w) - {_K})) AS g
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+            WHERE len(w) >= {_K}
+        )
+    )
+"""
+
+
+@demo(
+    "q_text_dup_spans",
+    sql=f"""
+    WITH {_KG_SQL},
+    dupk AS (
+        SELECT kgram FROM kg GROUP BY kgram
+        HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+        SELECT kg.doc_id, kg.pos, kg.pos + {_K} - 1 AS e
+        FROM kg JOIN dupk ON kg.kgram = dupk.kgram
+    ),
+    m AS (
+        SELECT doc_id, pos, e,
+               max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        FROM hits
+    ),
+    isl AS (
+        SELECT doc_id, pos, e,
+               sum(CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS island
+        FROM m
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(e) AS BIGINT) AS span_end,
+           CAST(max(e) - min(pos) + 1 AS BIGINT) AS span_tokens,
+           count(*) AS n_dup_starts
+    FROM isl GROUP BY doc_id, island
+    """,
+)
+def q_text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cross-document duplicated spans: maximal token runs covered by
+    word-5-grams that also occur in >= 1 other document (exact-substring
+    dedup at k-gram granularity, Lee et al. ACL 2022 re-expressed
+    Spark-first — see operators/spans.py for the scale analysis: the only
+    wide exchanges shuffle k-gram-sized rows, never text)."""
+    from transit_efficiency_analysis_spark.operators.spans import duplicated_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return duplicated_spans(d, k=_K)
+
+
+@demo(
+    "q_text_dup_span_removal",
+    sql=f"""
+    WITH {_KG_SQL},
+    dupk AS (
+        SELECT kgram, min(doc_id) AS canonical_id
+        FROM kg GROUP BY kgram
+        HAVING count(DISTINCT doc_id) >= 2
+    ),
+    covered AS (
+        SELECT DISTINCT kg.doc_id, kg.pos + t.o AS cp
+        FROM kg JOIN dupk ON kg.kgram = dupk.kgram
+        CROSS JOIN range(0, {_K}) AS t(o)
+        WHERE kg.doc_id <> dupk.canonical_id
+    ),
+    toks AS (
+        SELECT doc_id, g - 1 AS pos, w[g] AS t
+        FROM (
+            SELECT doc_id, w, unnest(generate_series(1, len(w))) AS g
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        )
+    ),
+    kept AS (
+        SELECT * FROM toks k
+        WHERE NOT EXISTS (
+            SELECT 1 FROM covered c
+            WHERE c.doc_id = k.doc_id AND c.cp = k.pos
+        )
+    ),
+    reb AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(t, ' ' ORDER BY pos) AS text_clean
+        FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(string_split(d.text, ' ')) - coalesce(r.n_kept, 0) AS BIGINT)
+               AS n_removed,
+           coalesce(r.text_clean, '') AS text_clean
+    FROM documents d LEFT JOIN reb r ON d.doc_id = r.doc_id
+    """,
+)
+def q_text_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """duplicated-span removal rewrite, keep-first-document semantics:
+    for every cross-doc duplicated 5-gram the minimum doc_id is canonical
+    and keeps its text; every other document drops the covered tokens and
+    is rebuilt (positional anti-join — k x dup-starts exploded positions,
+    linear in corpus tokens, no range join)."""
+    from transit_efficiency_analysis_spark.operators.spans import (
+        remove_duplicated_spans,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return remove_duplicated_spans(d, k=_K)
+
+
+@demo(
+    "q_text_novelty",
+    sql=f"""
+    WITH {_KG_SQL},
+    dupk AS (
+        SELECT kgram FROM kg GROUP BY kgram
+        HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT kg.doc_id,
+           count(*) AS n_kgrams,
+           count(dupk.kgram) AS n_dup,
+           1 - count(dupk.kgram) / count(*) AS novelty
+    FROM kg LEFT JOIN dupk ON kg.kgram = dupk.kgram
+    GROUP BY kg.doc_id
+    """,
+)
+def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-document novelty score: share of the document's 5-grams that
+    appear in no other document (1 - dup/total) — the prioritization
+    signal that ranks documents for span removal; one extra groupBy over
+    the same k-gram frequency relation as q_text_dup_spans. Documents
+    shorter than 5 tokens have no k-grams and are excluded."""
+    from transit_efficiency_analysis_spark.operators.spans import novelty_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    return novelty_scores(d, k=_K)

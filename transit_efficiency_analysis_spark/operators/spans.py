@@ -1,0 +1,196 @@
+"""Cross-document duplicated-span detection and removal.
+
+Exact-substring deduplication at word-k-gram granularity — the
+"Deduplicating Training Data Makes Language Models Better" (Lee et al.,
+ACL 2022) ExactSubstr operator re-expressed for Spark. The paper builds a
+single-machine suffix array; a suffix array is not a distributed-friendly
+structure, so the Spark-first formulation works at k-gram granularity:
+
+1. explode each document into its word k-grams with start positions
+   (pure JVM: ``split`` + higher-order ``transform``/``slice``);
+2. one map-side-combinable ``groupBy(kgram)`` finds k-grams that occur in
+   **two or more distinct documents** (within-doc repetition is a
+   different signal — see ``q_text_repetition``) and the canonical
+   (minimum) doc_id per k-gram;
+3. join the occurrence relation back on the k-gram — the shuffle carries
+   (doc_id, pos, kgram-hash)-sized rows, never document text;
+4. per-document gaps-and-islands window merges overlapping k-gram hits
+   ``[pos, pos+k-1]`` into maximal duplicated spans (partitioned by
+   doc_id — no global sort).
+
+A duplicated run of L >= k tokens shared by two documents produces
+L-k+1 overlapping duplicated k-grams that merge back into one span of
+exactly L tokens, so span boundaries are exact for runs >= k; runs
+shorter than k are invisible (the paper's min-match-length knob, its
+suffix-array threshold of 50 tokens plays the same role).
+
+Scale notes (100 TB): the only wide exchanges are the k-gram groupBy
+(partial aggregation first, so the shuffle carries one row per distinct
+k-gram per map partition) and the occurrence join keyed on the k-gram.
+Both shuffle fingerprint-sized rows. The span-merge window shuffles by
+doc_id once. Nothing here is ever quadratic in corpus size: cost is
+linear in total k-gram occurrences, i.e. linear in corpus tokens.
+
+Not present in the reference repo (BASELINE.json north star): this is
+part of the LLM-training-data extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from transit_efficiency_analysis_spark.functions.text import word_shingles, words
+
+
+def kgram_occurrences(docs: DataFrame, k: int, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """(id, pos, kgram) — every word-k-gram start position per document.
+
+    ``pos`` is the 0-based token index of the k-gram's first token.
+    Documents shorter than ``k`` tokens contribute no rows.
+    """
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(word_shingles(words(text_col), k)).alias("pos", "kgram"),
+    )
+
+
+def duplicated_kgrams(occ: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(kgram, n_docs, canonical_id) for k-grams seen in >= 2 distinct docs.
+
+    One groupBy over the occurrence relation; partial aggregation makes
+    the shuffle carry per-map-partition distinct k-grams only.
+    """
+    return (
+        occ.groupBy("kgram")
+        .agg(
+            F.count_distinct(id_col).alias("n_docs"),
+            F.min(id_col).alias("canonical_id"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+def _merge_islands(hits: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Merge k-token intervals starting at ``pos`` into maximal spans.
+
+    Classic gaps-and-islands: a hit opens a new island when its start
+    exceeds the running max end of all earlier hits in the same document.
+    """
+    end = (F.col("pos") + F.lit(k - 1)).alias("end")
+    h = hits.select(id_col, "pos", end)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_max_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islanded = h.withColumn(
+        "island",
+        F.sum(
+            F.when(prev_max_end.isNull() | (F.col("pos") > prev_max_end), 1)
+            .otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return islanded.groupBy(id_col, "island").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        F.max("end").cast("long").alias("span_end"),
+        (F.max("end") - F.min("pos") + 1).cast("long").alias("span_tokens"),
+        F.count(F.lit(1)).alias("n_dup_starts"),
+    )
+
+
+def duplicated_spans(docs: DataFrame, k: int = 5, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Maximal cross-document duplicated spans per document.
+
+    Returns (id, span_start, span_end, span_tokens, n_dup_starts), one
+    row per maximal run of tokens covered by k-grams that also occur in
+    at least one other document. ``n_dup_starts`` counts the duplicated
+    k-gram start positions merged into the span (L-k+1 for a clean run
+    of L tokens).
+    """
+    occ = kgram_occurrences(docs, k, text_col, id_col)
+    dup = duplicated_kgrams(occ, id_col).select("kgram")
+    hits = occ.join(dup, "kgram").select(id_col, "pos")
+    return _merge_islands(hits, k, id_col).drop("island")
+
+
+def remove_duplicated_spans(docs: DataFrame, k: int = 5,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Rewrite each document with non-canonical duplicated spans removed.
+
+    Keep-first semantics at document granularity: for every duplicated
+    k-gram, the minimum doc_id containing it is canonical and keeps its
+    text; every other document drops the tokens covered by that k-gram's
+    occurrences. The rewrite explodes each non-canonical duplicated
+    start into its k covered positions (bounded: k x duplicated starts,
+    linear in corpus tokens) and anti-joins the token relation on
+    (id, position) — no range join.
+
+    Returns (id, n_tokens, n_removed, text_clean); documents whose every
+    token is covered come back with ``text_clean = ''``.
+    """
+    occ = kgram_occurrences(docs, k, text_col, id_col)
+    dup = duplicated_kgrams(occ, id_col).select("kgram", "canonical_id")
+    covered = (
+        occ.join(dup, "kgram")
+        .where(F.col(id_col) != F.col("canonical_id"))
+        .select(
+            F.col(id_col).alias("_cid"),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("_cp"),
+        )
+        .distinct()
+    )
+    toks = docs.select(
+        id_col, F.posexplode(words(text_col)).alias("pos", "t")
+    )
+    kept = toks.join(
+        covered,
+        (F.col(id_col) == F.col("_cid")) & (F.col("pos") == F.col("_cp")),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "t"))),
+                lambda s: s["t"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    base = docs.select(
+        id_col, F.size(words(text_col)).cast("long").alias("n_tokens")
+    )
+    return base.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+    )
+
+
+def novelty_scores(docs: DataFrame, k: int = 5, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-document novelty: share of its k-grams unseen in any other doc.
+
+    (id, n_kgrams, n_dup, novelty) for documents with >= k tokens;
+    novelty = 1 - n_dup / n_kgrams. The de-prioritization signal that
+    ranks documents for the removal pass — computed from the same k-gram
+    frequency relation as :func:`duplicated_spans`, one extra groupBy.
+    """
+    occ = kgram_occurrences(docs, k, text_col, id_col)
+    dup = duplicated_kgrams(occ, id_col).select(
+        "kgram", F.lit(1).alias("is_dup")
+    )
+    flagged = occ.join(dup, "kgram", "left")
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kgrams"),
+        F.count("is_dup").alias("n_dup"),
+        (1.0 - F.count("is_dup") / F.count(F.lit(1))).alias("novelty"),
+    )
