@@ -128,3 +128,44 @@ def test_running_total_plan_range_partitions_not_single_task(spark):
     # partition spec over the full relation instead).
     assert "rangepartitioning" in plan.lower()
     assert "_pid" in plan
+
+
+def test_incremental_equals_full_restricted_to_batch(spark, sf_dir):
+    # The ingest-maintenance invariant: incremental(corpus, batch) must
+    # equal the full recompute over corpus ∪ batch, restricted to batch
+    # docs ("some other doc has it" == "corpus has it or another batch
+    # doc has it").
+    from transit_efficiency_analysis_spark.operators.spans import (
+        duplicated_spans_incremental,
+    )
+    from transit_efficiency_analysis_spark.sources.registry import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 10 != 0)
+    batch = d.where(F.col("doc_id") % 10 == 0)
+    inc = set(
+        map(tuple, duplicated_spans_incremental(corpus, batch, k=5).collect())
+    )
+    full = set(
+        map(
+            tuple,
+            duplicated_spans(d, k=5)
+            .where(F.col("doc_id") % 10 == 0)
+            .collect(),
+        )
+    )
+    assert inc == full and inc
+
+
+def test_incremental_empty_corpus_equals_full_on_batch(spark):
+    from transit_efficiency_analysis_spark.operators.spans import (
+        duplicated_spans_incremental,
+    )
+
+    batch = _corpus(spark)
+    empty = batch.where(F.lit(False))
+    inc = set(
+        map(tuple, duplicated_spans_incremental(empty, batch, k=5).collect())
+    )
+    full = set(map(tuple, duplicated_spans(batch, k=5).collect()))
+    assert inc == full

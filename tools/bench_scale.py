@@ -11,7 +11,8 @@ Usage:
 
 With no family args every family runs; naming families (substring match
 against result keys: minhash, simhash, sim_lsh, derived, storm, incr,
-gapfill, funnel, maintenance, pagerank, triangles) runs just those —
+dup_spans, gapfill, funnel, maintenance, pagerank, triangles) runs just
+those —
 the 64x stretch points re-run only the heaviest pipelines.
 
 Prints one JSON line:
@@ -92,9 +93,15 @@ def main() -> int:
     docs_n = _union_copies(docs, "doc_id", copies, perturb_text)
     embs_n = _union_copies(embs, "vec_id", copies, perturb_vec)
 
+    from transit_efficiency_analysis_spark.operators.spans import duplicated_spans
+
     pipelines = {
         "minhash_lsh": lambda d: minhash_lsh_pairs(d, "doc_id", "text", threshold=0.5),
         "simhash": lambda d: simhash_pairs(d, "doc_id", "text", max_hamming=6),
+        # exact-substring dedup at k-gram granularity: the vocabulary
+        # remap keeps copies' k-gram spaces disjoint, so Nx corpus =>
+        # ~Nx duplicated spans (within-copy structure isomorphic).
+        "dup_spans": lambda d: duplicated_spans(d, k=5),
     }
     results = {}
     for name, fn in pipelines.items():

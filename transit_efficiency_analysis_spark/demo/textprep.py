@@ -399,3 +399,60 @@ def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return novelty_scores(d, k=_K)
+
+
+@demo(
+    "q_text_dup_spans_incremental",
+    sql=f"""
+    WITH {_KG_SQL},
+    batchkg AS (SELECT * FROM kg WHERE doc_id % 10 = 0),
+    dupk AS (
+        SELECT DISTINCT kgram FROM kg WHERE doc_id % 10 <> 0
+        UNION
+        SELECT kgram FROM batchkg GROUP BY kgram
+        HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+        SELECT b.doc_id, b.pos, b.pos + {_K} - 1 AS e
+        FROM batchkg b JOIN dupk ON b.kgram = dupk.kgram
+    ),
+    m AS (
+        SELECT doc_id, pos, e,
+               max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        FROM hits
+    ),
+    isl AS (
+        SELECT doc_id, pos, e,
+               sum(CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS island
+        FROM m
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(e) AS BIGINT) AS span_end,
+           CAST(max(e) - min(pos) + 1 AS BIGINT) AS span_tokens,
+           count(*) AS n_dup_starts
+    FROM isl GROUP BY doc_id, island
+    """,
+)
+def q_text_dup_spans_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """incremental duplicated-span detection — every tenth document plays
+    the NEW BATCH, the rest the standing corpus. A batch position is
+    duplicated when its 5-gram occurs in the corpus OR in another batch
+    doc — provably the full q_text_dup_spans criterion restricted to
+    batch docs (property-tested equality in tests/test_spans_budget.py),
+    so dedup-at-ingest preserves the full-recompute invariant while the
+    per-batch cost tracks the batch: the corpus side is a maintained
+    distinct-k-gram table in production (operators/spans.py)."""
+    from transit_efficiency_analysis_spark.operators.spans import (
+        duplicated_spans_incremental,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return duplicated_spans_incremental(
+        d.where(F.col("doc_id") % 10 != 0),
+        d.where(F.col("doc_id") % 10 == 0),
+        k=_K,
+    )

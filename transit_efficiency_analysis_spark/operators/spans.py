@@ -175,6 +175,43 @@ def remove_duplicated_spans(docs: DataFrame, k: int = 5,
     )
 
 
+def duplicated_spans_incremental(
+    corpus: DataFrame,
+    batch: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicated spans of an incoming BATCH against a standing corpus.
+
+    A batch position is duplicated when its k-gram occurs anywhere in the
+    corpus OR in >= 2 distinct batch documents. That criterion is exactly
+    the full :func:`duplicated_spans` criterion over corpus ∪ batch,
+    restricted to batch documents ("some other document has it" =
+    "the corpus has it, or another batch doc has it") — the equality is
+    property-tested, so dedup-at-ingest maintains the same invariant as
+    a full recompute without ever re-pairing the corpus with itself.
+
+    Per-batch cost: the batch-side k-gram explode is ∝ batch; the
+    membership join shuffles on the k-gram. In production the corpus
+    side is a MAINTAINED distinct-k-gram table (append the accepted
+    batch's k-grams per tick) — this demo form recomputes it from the
+    corpus documents, which is the one corpus-proportional scan a real
+    deployment doesn't pay. Same maintenance shape as
+    ``minhash_lsh_pairs_incremental`` (operators/dedup.py).
+    """
+    batch_occ = kgram_occurrences(batch, k, text_col, id_col)
+    corpus_kgrams = (
+        kgram_occurrences(corpus, k, text_col, id_col)
+        .select("kgram")
+        .distinct()
+    )
+    batch_dup = duplicated_kgrams(batch_occ, id_col).select("kgram")
+    dup = corpus_kgrams.unionByName(batch_dup).distinct()
+    hits = batch_occ.join(dup, "kgram").select(id_col, "pos")
+    return _merge_islands(hits, k, id_col).drop("island")
+
+
 def novelty_scores(docs: DataFrame, k: int = 5, text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:
     """Per-document novelty: share of its k-grams unseen in any other doc.
