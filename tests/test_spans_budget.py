@@ -169,3 +169,32 @@ def test_incremental_empty_corpus_equals_full_on_batch(spark):
     )
     full = set(map(tuple, duplicated_spans(batch, k=5).collect()))
     assert inc == full
+
+
+def test_domain_affinity_separates_domains(spark):
+    from transit_efficiency_analysis_spark.operators.affinity import (
+        domain_affinity_scores,
+    )
+
+    # Two disjoint vocabularies: target docs (sports) vs raw (finance).
+    rows = [
+        (0, "goal match team win league cup", "t"),
+        (1, "team goal cup league match win", "t"),
+        (2, "stock bond yield market price fund", "r"),
+        (3, "bond market fund stock yield price", "r"),
+        (4, "goal match team cup win league", "r"),  # sports text in raw
+        (5, "x", "r"),                               # <2 tokens: excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    out = {
+        r.doc_id: r
+        for r in domain_affinity_scores(df, F.col("src") == "t").collect()
+    }
+    assert set(out) == {0, 1, 2, 3, 4}
+    # Sports-vocabulary docs must outscore finance docs regardless of
+    # their own domain label — the classifier scores content, not label.
+    sports = {out[i].affinity_ppm for i in (0, 1, 4)}
+    finance = {out[i].affinity_ppm for i in (2, 3)}
+    assert min(sports) > max(finance)
+    # Feature counts: 6 tokens -> 5 bigrams.
+    assert out[0].n_feats == 5

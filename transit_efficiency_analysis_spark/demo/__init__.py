@@ -100,24 +100,27 @@ _WINDOW_FRONT = [
     "q_stream_join_left_append",
     # New this round (never-driver-checked entries take slots first):
     # the cross-document duplicated-span family (exact-substring dedup
-    # at k-gram granularity + novelty scoring, operators/spans.py) and
-    # the distributed token-budget selection (operators/budget.py).
+    # at k-gram granularity + novelty scoring + incremental screening,
+    # operators/spans.py), the distributed token-budget selection
+    # (operators/budget.py), and hashed-n-gram domain affinity
+    # (operators/affinity.py).
     "q_text_dup_spans",
     "q_text_dup_span_removal",
     "q_text_novelty",
     "q_corpus_token_budget",
     "q_text_dup_spans_incremental",
+    "q_corpus_domain_affinity",
 ]
 
 # Prior-green re-verification filler, least-recently-verified first.
 # After round 8 the stale tail is exactly the 31 r4-era rows the r8
 # comment pre-committed (they hit the 4-round SLO boundary this round) —
-# all 31 take slots. The remaining 8 slots go to r5-era rows (r5 rows
+# all 31 take slots. The remaining 7 slots go to r5-era rows (r5 rows
 # reach the boundary at round 10; 45 exist, so round 10's window takes
-# the other 37 plus the oldest r6 rows), picked headline-and-§2-first:
+# the other 38 plus the oldest r6 rows), picked headline-and-§2-first:
 # the two headline-bench dedup queries (minhash_lsh, simhash_pairs), the
 # materialized dashboard, ts_now_audit and scd2_history (§2-core
-# adjacent), and ivf/lsh_recall/bm25 from the ANN/retrieval five.
+# adjacent), and ivf/lsh_recall from the ANN family.
 _WINDOW_FILLER: list[str] = [
     # r4-era (driver rows from CORRECTNESS_r04) — all 31, pre-committed
     # at round 8: TPC-H q2..q22 battery remainder + sql_tpch_q1, three
@@ -154,7 +157,7 @@ _WINDOW_FILLER: list[str] = [
     "q_join_asof_tolerance",
     "q_text_ngram_stats",
     "q_text_contamination_capped",
-    # r5-era (driver rows from CORRECTNESS_r05) — 8 oldest-tier picks
+    # r5-era (driver rows from CORRECTNESS_r05) — 7 oldest-tier picks
     "q_dedup_minhash_lsh",
     "q_dedup_simhash_pairs",
     "q_agg_dashboard_materialized",
@@ -162,12 +165,12 @@ _WINDOW_FILLER: list[str] = [
     "q_upsert_scd2_history",
     "q_sim_ivf_topk",
     "q_sim_lsh_recall",
-    "q_retrieval_bm25",
-    # (q_retrieval_tfidf, q_retrieval_hybrid_rrf, q_sink_jsonl,
-    # q_sample_split and q_corpus_prep_pipeline ceded their slots to
-    # the five new span/budget demos — new entries outrank
-    # re-verification per the SLO; all five are r5-era and round 10's
-    # window takes them with the other 32 remaining r5 rows.)
+    # (q_retrieval_bm25, q_retrieval_tfidf, q_retrieval_hybrid_rrf,
+    # q_sink_jsonl, q_sample_split and q_corpus_prep_pipeline ceded
+    # their slots to the six new span/budget/affinity demos — new
+    # entries outrank re-verification per the SLO; all six are r5-era
+    # and round 10's window takes them with the other 38 remaining
+    # r5 rows.)
 ]
 
 _WINDOW = _WINDOW_FRONT + _WINDOW_FILLER

@@ -477,3 +477,57 @@ def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cum_tokens") <= F.col("budget"))
         .select("doc_id", "n_tokens", "quality", "cum_tokens")
     )
+
+
+@demo(
+    "q_corpus_domain_affinity",
+    sql="""
+    WITH feats AS (
+        SELECT doc_id, tgt,
+               CAST('0x' || substr(md5(w[g] || ' ' || w[g + 1]), 1, 8) AS BIGINT)
+                   % 64 AS b
+        FROM (
+            SELECT doc_id, (source = 'src0') AS tgt, w,
+                   unnest(generate_series(1, len(w) - 1)) AS g
+            FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+                  FROM documents)
+            WHERE len(w) >= 2
+        )
+    ),
+    buckets AS (
+        SELECT b,
+               sum(CASE WHEN tgt THEN 1 ELSE 0 END) + 1 AS t_b,
+               sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END) + 1 AS r_b
+        FROM feats GROUP BY b
+    ),
+    tot AS (SELECT sum(t_b) AS tt, sum(r_b) AS rr FROM buckets),
+    ratios AS (
+        SELECT b,
+               CAST(CAST(t_b AS HUGEINT) * rr * 1000000
+                    // (CAST(r_b AS HUGEINT) * tt) AS BIGINT) AS ppm
+        FROM buckets, tot
+    ),
+    scores AS (
+        SELECT f.doc_id, count(*) AS n_feats, sum(r.ppm) AS s
+        FROM feats f JOIN ratios r ON f.b = r.b
+        GROUP BY f.doc_id
+    )
+    SELECT doc_id, n_feats, CAST(s // n_feats AS BIGINT) AS affinity_ppm
+    FROM scores
+    """,
+)
+def q_corpus_domain_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hashed-bigram domain-affinity scoring (the DSIR / fastText-filter
+    data-selection shape): every document scored by how much its hashed
+    bigram profile matches the TARGET domain (source = 'src0'), as the
+    count-weighted mean of per-bucket target/raw frequency ratios in
+    exact ppm integers (add-one smoothed; DECIMAL(38,0)/HUGEINT integral
+    division proven bit-equal across engines). The 64-row ratio table
+    broadcasts — scoring is one bigram explode + one doc-keyed agg
+    regardless of corpus size (operators/affinity.py)."""
+    from transit_efficiency_analysis_spark.operators.affinity import (
+        domain_affinity_scores,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return domain_affinity_scores(d, F.col("source") == "src0")
