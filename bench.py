@@ -54,6 +54,11 @@ HEADLINE = [
 #: timing because its oracle contract is "materialization is lossless".
 EXTRAS = [
     "q_agg_dashboard_materialized_read",
+    # round-9 additions (exact-substring dedup + data selection),
+    # reported outside the frozen headline list for round-over-round
+    # comparability; registry-resolved below
+    "q_text_dup_spans",
+    "q_corpus_domain_affinity",
 ]
 
 
@@ -112,6 +117,7 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     fns = {n: registry[n].fn for n in HEADLINE if n in registry}
     fns.update(_extra_fns())
+    fns.update({n: registry[n].fn for n in EXTRAS if n in registry})
     samples: dict[str, list[float]] = {n: [] for n in fns}
     # one untimed warm-up pass (round-4 ask #7): cache fills (the dedup
     # operators persist their shared shingle/fingerprint relations) and
