@@ -55,3 +55,96 @@ def test_stateful_stream_matches_batch(spark, sf_dir, tmp_path):
         assert f["last_ts"] == b["last_ts"]
         # fsum in the operator is order-exact; compare against fsum here too
         assert f["total_value"] == pytest.approx(math.fsum(b["vals"]), rel=1e-12)
+
+
+def _has_google_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not _has_google_protobuf(),
+    reason="transformWithStateInPandas's Python state protocol needs "
+    "google.protobuf at stream runtime; not shipped in this container "
+    "(inverse probe below pins the failure mode) — same documented "
+    "pattern as the spark-protobuf jar skip in test_ingest.py",
+)
+def test_tws_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Parity for the Spark 4 transformWithStateInPandas twin: final
+    update per key == batch groupBy recompute (same contract as the
+    applyInPandasWithState test above)."""
+    from transit_efficiency_analysis_spark.streaming.stateful import (
+        run_stateful_stream_tws,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    feed = str(tmp_path / "feed")
+    for i in range(3):
+        events.where(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+
+    run_stateful_stream_tws(spark, feed, str(tmp_path / "ckpt"), "tws_updates")
+    updates = spark.sql("SELECT * FROM tws_updates")
+    final = {
+        r["user_id"]: r
+        for r in updates.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .collect()
+    }
+    batch = {
+        r["user_id"]: r
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.collect_list("value").alias("vals"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for uid, b in batch.items():
+        f = final[uid]
+        assert f["n_events"] == b["n_events"]
+        assert f["last_ts"] == b["last_ts"]
+        assert f["total_value"] == pytest.approx(math.fsum(b["vals"]), rel=1e-12)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    _has_google_protobuf(),
+    reason="inverse probe only applies where google.protobuf is absent",
+)
+def test_tws_without_protobuf_fails_loudly_and_restores_conf(
+    spark, sf_dir, tmp_path
+):
+    """Without google.protobuf the TWS stream must fail LOUDLY at
+    initialization (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE /
+    driver-worker crash), never run with wrong data — and the scoped
+    RocksDB provider conf must be restored afterwards."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from transit_efficiency_analysis_spark.streaming.stateful import (
+        run_stateful_stream_tws,
+    )
+
+    events = load_table(spark, sf_dir, "events").limit(50)
+    feed = str(tmp_path / "feed")
+    events.coalesce(1).write.mode("append").parquet(feed)
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(conf_key, None)
+    with pytest.raises(StreamingQueryException):
+        run_stateful_stream_tws(
+            spark, feed, str(tmp_path / "ckpt"), "tws_noproto"
+        )
+    assert spark.conf.get(conf_key, None) == before

@@ -411,3 +411,95 @@ def q_sql_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.expr("collate(w, 'UTF8_LCASE')")).alias("n_ci"),
         F.count(F.lit(1)).alias("n_tokens"),
     )
+
+
+@demo(
+    "q_sql_session_variables",
+    sql="""
+    SELECT l_returnflag, count(*) AS n,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+                AS DECIMAL(18,4)) AS DOUBLE) AS total
+    FROM lineitem
+    WHERE l_quantity >= 30
+    GROUP BY l_returnflag
+    """,
+)
+def q_sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (Spark 4 ``DECLARE VARIABLE`` / ``SET
+    VAR``): the stateful cousin of parameter markers — a variable is
+    declared once per session and referenced by name inside any later
+    statement, binding as a literal at analysis time (constant folding
+    and pushdown see it exactly like an inline constant; the oracle is
+    the inlined form). ``DECLARE OR REPLACE`` keeps the demo idempotent
+    across invocations in one session."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql("DECLARE OR REPLACE VARIABLE min_qty INT DEFAULT 0")
+    spark.sql("SET VAR min_qty = 30")
+    return spark.sql(
+        """
+        SELECT l_returnflag, count(*) AS n,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+                    AS DECIMAL(18,4)) AS DOUBLE) AS total
+        FROM lineitem
+        WHERE l_quantity >= min_qty
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@demo(
+    "q_sql_group_by_all",
+    sql="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+                AS DECIMAL(18,4)) AS DOUBLE) AS total
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus, n, total
+    """,
+)
+def q_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` / ``ORDER BY ALL`` (Spark 4; DuckDB-originated
+    shorthand): every non-aggregate select item becomes a grouping key,
+    every output column an order key — the analyzer rewrite produces
+    the IDENTICAL plan as the explicit form (which is the oracle), so
+    the shorthand costs nothing at any scale."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+                    AS DECIMAL(18,4)) AS DOUBLE) AS total
+        FROM lineitem
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+@demo(
+    "q_sql_star_except_lateral",
+    sql="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate, o_orderpriority,
+           o_custkey * 10 + (o_orderkey % 10) AS route_code,
+           route_code % 7 AS shard
+    FROM orders
+    """,
+)
+def q_sql_star_except_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SELECT * EXCEPT (...)`` star pruning + LATERAL COLUMN ALIAS
+    (Spark 4 surface): drop the payload column at the star instead of
+    enumerating survivors, then reference a just-defined select item
+    (``route_code``) from a later item in the same list — the analyzer
+    inlines the alias, so the plan is identical to writing the
+    expression twice (the oracle's explicit form). The EXCEPT prunes
+    o_totalprice at the scan (column pruning still applies)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT * EXCEPT (o_totalprice),
+               o_custkey * 10 + (o_orderkey % 10) AS route_code,
+               route_code % 7 AS shard
+        FROM orders
+        """
+    )

@@ -94,3 +94,123 @@ def run_stateful_stream(
         .start()
     )
     q.awaitTermination()
+
+
+# --- Spark 4 successor API: transformWithStateInPandas ----------------------
+#
+# The new arbitrary-stateful-processing API (SPARK-49564 umbrella): a
+# StatefulProcessor object with named state variables (value/list/map
+# state, timers, TTL) instead of one opaque state tuple, requiring the
+# RocksDB state store provider. Functionally this operator is the twin of
+# ``running_user_aggregates`` above, and the parity contract is the same:
+# final update per key == the batch groupBy recompute
+# (tests/test_stateful_streaming.py).
+#
+# Environment note: the TWS Python worker speaks a protobuf protocol to
+# the JVM (`pyspark/sql/streaming/proto/StateMessage_pb2`), so it needs
+# the `google.protobuf` package at STREAM RUNTIME. This container ships
+# no protobuf (the reason sources/gtfs_rt_wire.py exists); the parity
+# test skips with an inverse probe — same documented pattern as the
+# spark-protobuf-jar skip in tests/test_ingest.py — and an inverse test
+# pins that the failure without protobuf is the clean
+# STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE, not silent wrong data.
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+class RunningUserAggProcessor:
+    """StatefulProcessor for per-user running (n, fsum(value), max ts).
+
+    Defined duck-typed (init/handleInputRows/close) and mixed with the
+    real ``StatefulProcessor`` base lazily in
+    :func:`running_user_aggregates_tws`, so importing this module never
+    requires the streaming-state machinery.
+    """
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState(
+            "agg", "n LONG, total DOUBLE, max_ts TIMESTAMP"
+        )
+
+    def handleInputRows(self, key, rows, timer_values) -> Iterable[pd.DataFrame]:
+        import math
+
+        n, total, max_ts = (
+            self._state.get() if self._state.exists() else (0, 0.0, None)
+        )
+        for pdf in rows:
+            n += len(pdf)
+            total = math.fsum([total] + list(pdf["value"].dropna()))
+            batch_max = pdf["ts"].max()
+            if max_ts is None or (
+                batch_max is not pd.NaT and batch_max > max_ts
+            ):
+                max_ts = batch_max
+        self._state.update((n, float(total), max_ts))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [float(total)],
+                "last_ts": [max_ts],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_aggregates_tws(events_stream: DataFrame) -> DataFrame:
+    """``transformWithStateInPandas`` form of :func:`running_user_aggregates`.
+
+    Same output schema and update semantics; named ValueState instead of
+    the applyInPandasWithState tuple. The caller must run under the
+    RocksDB state store provider (see :func:`run_stateful_stream_tws`).
+    """
+    from pyspark.sql.streaming import StatefulProcessor
+
+    processor_cls = type(
+        "RunningUserAggStateful", (RunningUserAggProcessor, StatefulProcessor), {}
+    )
+    return events_stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=processor_cls(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def run_stateful_stream_tws(
+    spark: SparkSession, feed_dir: str, checkpoint_dir: str, query_name: str
+) -> None:
+    """AvailableNow replay through the transformWithStateInPandas operator.
+
+    Scopes the RocksDB provider conf try/finally (repo convention: demos
+    never leak session confs)."""
+    schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, _ROCKSDB_PROVIDER)
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed_dir)
+        )
+        q = (
+            running_user_aggregates_tws(stream)
+            .writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
