@@ -1,0 +1,58 @@
+"""Plan-shape budgets for the round-9 continuation operators: the
+SCALE.md claims for the duplicated-span family and the domain-affinity
+scorer must be visible in the physical plan."""
+
+from __future__ import annotations
+
+from transit_efficiency_analysis_spark.demo import load_registry
+from transit_efficiency_analysis_spark.plans import (
+    assert_no_python_row_udf,
+    assert_read_schema_only,
+    physical_plan,
+)
+
+
+def test_dup_spans_plan_prunes_scan_and_never_cartesians(spark, sf_dir):
+    df = load_registry()["q_text_dup_spans"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # SCALE.md: shuffles carry k-gram/doc-keyed rows, never a cross
+    # product of documents; the scan reads only (doc_id, text).
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert_read_schema_only(df, "documents", {"doc_id", "text"})
+    assert_no_python_row_udf(df)
+
+
+def test_dup_span_removal_no_cartesian_no_python(spark, sf_dir):
+    df = load_registry()["q_text_dup_span_removal"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert_read_schema_only(df, "documents", {"doc_id", "text"})
+    assert_no_python_row_udf(df)
+
+
+def test_affinity_ratio_table_broadcasts(spark, sf_dir):
+    """The ≤64-row bucket-ratio relation must come back to the feature
+    rows as a broadcast, and scoring must stay free of Python UDFs."""
+    df = load_registry()["q_corpus_domain_affinity"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert_no_python_row_udf(df)
+
+
+def test_token_budget_no_global_data_window(spark, sf_dir):
+    """The cumulative sum must run per range bucket: the plan carries a
+    RangePartitioning exchange and a Window partitioned on the bucket id
+    — never a Window whose partition spec is empty over the scored-docs
+    relation (that would serialize 100 TB into one task). The tiny
+    offsets window (n_buckets rows) is the only unpartitioned one and is
+    identifiable by its _psum input."""
+    df = load_registry()["q_corpus_token_budget"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "rangepartitioning" in plan.lower()
+    assert "_pid" in plan
+    # every Window line mentioning the data-side cumulative column must
+    # carry a non-empty partition spec
+    for line in plan.splitlines():
+        if "Window" in line and "cum_tokens" in line:
+            assert "_pid" in line, f"data window lost its bucket key: {line}"

@@ -11,7 +11,7 @@ Usage:
 
 With no family args every family runs; naming families (substring match
 against result keys: minhash, simhash, sim_lsh, derived, storm, incr,
-dup_spans, gapfill, funnel, maintenance, pagerank, triangles) runs just
+dup_spans, affinity, budget, gapfill, funnel, maintenance, pagerank, triangles) runs just
 those —
 the 64x stretch points re-run only the heaviest pipelines.
 
@@ -93,7 +93,33 @@ def main() -> int:
     docs_n = _union_copies(docs, "doc_id", copies, perturb_text)
     embs_n = _union_copies(embs, "vec_id", copies, perturb_vec)
 
+    from transit_efficiency_analysis_spark.operators.affinity import (
+        domain_affinity_scores,
+    )
+    from transit_efficiency_analysis_spark.operators.budget import running_total
     from transit_efficiency_analysis_spark.operators.spans import duplicated_spans
+
+    def _token_budget(d: DataFrame) -> DataFrame:
+        w = F.split(F.col("text"), " ")
+        scored = d.select(
+            "doc_id",
+            F.size(w).cast("long").alias("n_tokens"),
+            (F.size(F.array_distinct(w)) / F.size(w)).alias("quality"),
+        )
+        budget = scored.agg(
+            (F.sum("n_tokens") / F.lit(4)).cast("long").alias("budget")
+        )
+        return (
+            running_total(
+                scored,
+                order_by=[F.col("quality").desc(), F.col("doc_id").asc()],
+                weight="n_tokens",
+                cum_col="cum_tokens",
+                n_buckets=32,
+            )
+            .join(F.broadcast(budget))
+            .where(F.col("cum_tokens") <= F.col("budget"))
+        )
 
     pipelines = {
         "minhash_lsh": lambda d: minhash_lsh_pairs(d, "doc_id", "text", threshold=0.5),
@@ -102,6 +128,15 @@ def main() -> int:
         # remap keeps copies' k-gram spaces disjoint, so Nx corpus =>
         # ~Nx duplicated spans (within-copy structure isomorphic).
         "dup_spans": lambda d: duplicated_spans(d, k=5),
+        # domain affinity: the bucket-ratio table is bounded at 64 rows
+        # whatever the corpus — time must track the bigram explode.
+        # Target = copy-0 docs (prefix marker from the vocab remap).
+        "domain_affinity": lambda d: domain_affinity_scores(
+            d, F.col("text").startswith("c0"), n_buckets=64
+        ),
+        # token-budget selection: distributed prefix sum; output rows
+        # track the budget fraction of the corpus (~25% of docs).
+        "token_budget": lambda d: _token_budget(d),
     }
     results = {}
     for name, fn in pipelines.items():
