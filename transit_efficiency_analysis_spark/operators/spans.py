@@ -49,11 +49,22 @@ def kgram_occurrences(docs: DataFrame, k: int, text_col: str = "text",
 
     ``pos`` is the 0-based token index of the k-gram's first token.
     Documents shorter than ``k`` tokens contribute no rows.
+
+    ``kgram`` is the 64-bit xxhash of the k-gram text, not the string:
+    every downstream consumer groups or joins on the k-gram but only
+    ever OUTPUTS positions/counts, so the heaviest exchanges carry
+    8-byte keys instead of ~k·word-length strings (3-10x shuffle-volume
+    reduction, measured ~40% cold / ~8% warm at sf0.1). A hash collision
+    would fabricate a duplicate pair; at 64 bits that needs ~2^32
+    distinct k-grams to reach even-odds — the same negligible-collision
+    budget as the SimHash 64-bit fingerprints (docs/SCALE.md). The
+    repo-wide md5 convention is about ORACLE-reproducible derived
+    values; these keys never appear in any output.
     """
     return docs.select(
         F.col(id_col),
-        F.posexplode(word_shingles(words(text_col), k)).alias("pos", "kgram"),
-    )
+        F.posexplode(word_shingles(words(text_col), k)).alias("pos", "_kg"),
+    ).select(id_col, "pos", F.xxhash64("_kg").alias("kgram"))
 
 
 def duplicated_kgrams(occ: DataFrame, id_col: str = "doc_id") -> DataFrame:
