@@ -68,18 +68,23 @@ def kgram_occurrences(docs: DataFrame, k: int, text_col: str = "text",
 
 
 def duplicated_kgrams(occ: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(kgram, n_docs, canonical_id) for k-grams seen in >= 2 distinct docs.
+    """(kgram, canonical_id) for k-grams seen in >= 2 distinct docs.
 
     One groupBy over the occurrence relation; partial aggregation makes
-    the shuffle carry per-map-partition distinct k-grams only.
+    the shuffle carry per-map-partition distinct k-grams only. The
+    ">= 2 distinct documents" test is ``min(id) != max(id)`` — exact for
+    the threshold 2 and a single-phase aggregate, where
+    ``count_distinct(id) >= 2`` would expand into a second
+    (kgram, id)-keyed exchange just to count ids we don't need.
     """
     return (
         occ.groupBy("kgram")
         .agg(
-            F.count_distinct(id_col).alias("n_docs"),
             F.min(id_col).alias("canonical_id"),
+            F.max(id_col).alias("_max_id"),
         )
-        .where(F.col("n_docs") >= 2)
+        .where(F.col("canonical_id") != F.col("_max_id"))
+        .drop("_max_id")
     )
 
 
