@@ -198,3 +198,27 @@ def test_domain_affinity_separates_domains(spark):
     assert min(sports) > max(finance)
     # Feature counts: 6 tokens -> 5 bigrams.
     assert out[0].n_feats == 5
+
+
+def test_semantic_dedup_keep_first_within_cell(spark):
+    from transit_efficiency_analysis_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),      # identical to 0 -> dup_of 0
+        (2, [1.0, 0.01, 0.0, 0.0]),     # cos ~0.99995 to 0 -> dup_of 0
+        (3, [0.0, 1.0, 0.0, 0.0]),      # orthogonal -> kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup(
+            df, n_centroids=2, lloyd_rounds=1, threshold=0.95
+        ).collect()
+    }
+    assert out[0].kept and out[0].dup_of is None
+    assert out[3].kept and out[3].dup_of is None
+    assert not out[1].kept and out[1].dup_of == 0
+    assert not out[2].kept and out[2].dup_of == 0

@@ -437,3 +437,42 @@ def q_dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         max_hamming=6,
     )
+
+
+def _semantic_dedup_sql() -> str:
+    from transit_efficiency_analysis_spark.demo.similarity import _IVF_LLOYD_SQL
+
+    return f"""
+    WITH {_IVF_LLOYD_SQL},
+    asg AS (SELECT vec_id, v, vn, cell FROM ranked1 WHERE crank = 1),
+    dups AS (
+        SELECT b.vec_id, min(a.vec_id) AS dup_of
+        FROM asg a JOIN asg b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+         AND list_inner_product(a.v, b.v) / (a.vn * b.vn) >= 0.3
+        GROUP BY b.vec_id
+    )
+    SELECT g.vec_id, CAST(g.cell AS BIGINT) AS cell,
+           (d.dup_of IS NULL) AS kept, d.dup_of
+    FROM asg g LEFT JOIN dups d ON g.vec_id = d.vec_id
+    """
+
+
+@demo("q_dedup_semantic", sql=_semantic_dedup_sql())
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (Abbas et al. 2023): k-means-cell
+    blocking (hash-seeded + one Lloyd round — the exact centroids the
+    IVF demos pin) then keep-first within each cell: a vector is
+    dropped when a lower-id cellmate has cosine >= 0.3 (the synthetic
+    embeddings top out ~0.34, same calibration note as
+    q_dedup_embedding). dup_of records the keeper; the within-cell
+    pairing is bounded by cell size — the IVF candidate argument, no
+    n² (operators/similarity.py semantic_dedup)."""
+    from transit_efficiency_analysis_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        e, "vec_id", "embedding", n_centroids=8, lloyd_rounds=1, threshold=0.3
+    )

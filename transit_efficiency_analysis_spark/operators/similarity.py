@@ -716,3 +716,80 @@ def ivf_pq_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    lloyd_rounds: int = 1,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster-blocked
+    keep-first semantic dedup over an embedding column.
+
+    1. k-means cells via :func:`ivf_centroids` (hash-seeded + Lloyd
+       rounds — deterministic, oracle-expressible);
+    2. every vector broadcast-assigned to its nearest cell (map-only);
+    3. within each cell, a vector is a DUPLICATE if any lower-id vector
+       in the same cell has cosine >= ``threshold`` — the paper's
+       keep-one-per-ε-ball rule made deterministic by the id total
+       order; ``dup_of`` records the smallest such keeper.
+
+    Returns (id, cell, kept, dup_of); ``dup_of`` is NULL for kept rows.
+
+    Scale: the only data-proportional join is the within-cell pairing,
+    bounded by cell size exactly like the IVF candidate argument — size
+    cells with ``n_centroids ~ n / target_cell_size`` and the pairing
+    is (n × target_cell_size), never n². The keep rule is one
+    min-aggregation; no iteration, no connected components (the ε-ball
+    keeper relation needs no transitive closure by construction).
+    """
+    cents = ivf_centroids(df, id_col, vec_col, n_centroids, lloyd_rounds)
+    base = df.select(
+        F.col(id_col).alias("vec_id"),
+        as_double(F.col(vec_col)).alias("v"),
+        norm(as_double(F.col(vec_col))).alias("vn"),
+    )
+    cell_sim = dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn"))
+    assigned = (
+        base.join(F.broadcast(cents))
+        .select("vec_id", "v", "vn", "cell", cell_sim.alias("csim"))
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("csim").desc(), F.col("cell")
+                )
+            ),
+        )
+        .where(F.col("crank") == 1)
+        .select("vec_id", "v", "vn", "cell")
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("a_v"),
+        F.col("vn").alias("a_vn"), F.col("cell").alias("a_cell"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("b_v"),
+        F.col("vn").alias("b_vn"), F.col("cell").alias("b_cell"),
+    )
+    sim = dot(F.col("a_v"), F.col("b_v")) / (F.col("a_vn") * F.col("b_vn"))
+    dups = (
+        a.join(
+            b,
+            (F.col("a_cell") == F.col("b_cell"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .where(sim >= threshold)
+        .groupBy(F.col("b_id").alias("vec_id"))
+        .agg(F.min("a_id").alias("dup_of"))
+    )
+    return assigned.join(dups, "vec_id", "left").select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        F.col("dup_of").isNull().alias("kept"),
+        "dup_of",
+    )
