@@ -11,7 +11,7 @@ Usage:
 
 With no family args every family runs; naming families (substring match
 against result keys: minhash, simhash, sim_lsh, derived, storm, incr,
-dup_spans, affinity, budget, gapfill, funnel, maintenance, pagerank, triangles) runs just
+dup_spans, affinity, budget, semantic, gapfill, funnel, maintenance, pagerank, triangles) runs just
 those —
 the 64x stretch points re-run only the heaviest pipelines.
 
@@ -167,6 +167,34 @@ def main() -> int:
         }
         print(f"# sim_lsh_topk: 1x {t1:.1f}s ({r1} rows) -> {copies}x {tn:.1f}s "
               f"({rn} rows), ratio {tn/t1:.1f}", file=sys.stderr)
+
+    if want("semantic_dedup"):
+        # SemDeDup at scale: with FIXED n_centroids the within-cell
+        # pairing grows quadratically in cell size (the same cliff as
+        # fixed-plane LSH); the documented scale mode derives cell count
+        # from corpus size (n_centroids ~ n / target_cell_size) to hold
+        # cell occupancy constant. Measure the scaled mode.
+        from transit_efficiency_analysis_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        n1, nn = embs_1.count(), embs_n.count()
+
+        def _sem(d: DataFrame, n: int) -> DataFrame:
+            return semantic_dedup(
+                d, "vec_id", "embedding",
+                n_centroids=max(8, n // 64), lloyd_rounds=1, threshold=0.3,
+            ).where(~F.col("kept"))
+
+        t0 = time.time(); r1 = _sem(embs_1, n1).count(); t1 = time.time() - t0
+        t0 = time.time(); rn = _sem(embs_n, nn).count(); tn = time.time() - t0
+        results["semantic_dedup_scaled"] = {
+            "t1": round(t1, 2), "tN": round(tn, 2),
+            "ratio": round(tn / t1, 2), "rows1": r1, "rowsN": rn,
+        }
+        print(f"# semantic_dedup_scaled: 1x {t1:.1f}s ({r1} dups) -> "
+              f"{copies}x {tn:.1f}s ({rn} dups), ratio {tn/t1:.1f}",
+              file=sys.stderr)
 
     if want("sim_lsh_topk_derived"):
         # The 100 TB mode: planes derived from corpus size
