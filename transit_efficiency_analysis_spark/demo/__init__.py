@@ -116,16 +116,17 @@ _WINDOW_FRONT = [
     "q_sql_star_except_lateral",
     # SemDeDup semantic dedup (also new this round):
     "q_dedup_semantic",
+    # Streaming dedup-at-ingest for the span family (also new):
+    "q_stream_dup_screen",
 ]
 
 # Prior-green re-verification filler, least-recently-verified first.
 # After round 8 the stale tail is exactly the 31 r4-era rows the r8
 # comment pre-committed (they hit the 4-round SLO boundary this round) —
-# all 31 take slots. The remaining 3 slots go to r5-era rows (r5 rows
+# all 31 take slots. The remaining 2 slots go to r5-era rows (r5 rows
 # reach the boundary at round 10; 45 exist, so round 10's window takes
-# the other 42 plus the oldest r6 rows), picked headline-and-§2-first:
-# the two headline-bench dedup queries (minhash_lsh, simhash_pairs)
-# and the materialized dashboard.
+# the other 43 plus the oldest r6 rows), picked headline-and-§2-first:
+# the two headline-bench dedup queries (minhash_lsh, simhash_pairs).
 _WINDOW_FILLER: list[str] = [
     # r4-era (driver rows from CORRECTNESS_r04) — all 31, pre-committed
     # at round 8: TPC-H q2..q22 battery remainder + sql_tpch_q1, three
@@ -162,19 +163,19 @@ _WINDOW_FILLER: list[str] = [
     "q_join_asof_tolerance",
     "q_text_ngram_stats",
     "q_text_contamination_capped",
-    # r5-era (driver rows from CORRECTNESS_r05) — 3 oldest-tier picks
+    # r5-era (driver rows from CORRECTNESS_r05) — 2 oldest-tier picks
     "q_dedup_minhash_lsh",
     "q_dedup_simhash_pairs",
-    "q_agg_dashboard_materialized",
-    # (q_ts_now_audit, q_upsert_scd2_history, q_sim_ivf_topk, q_sim_lsh_recall,
+    # (q_agg_dashboard_materialized, q_ts_now_audit, q_upsert_scd2_history,
+    # q_sim_ivf_topk, q_sim_lsh_recall,
     # q_retrieval_bm25, q_retrieval_tfidf, q_retrieval_hybrid_rrf,
     # q_sink_jsonl, q_sample_split and q_corpus_prep_pipeline ceded
-    # their slots to the ten new span/budget/affinity/SQL-surface/
-    # semantic-dedup demos — new entries outrank re-verification per
-    # the SLO; all ten are r5-era and round 10's window takes them
-    # with the other 32 remaining r5 rows, i.e. all 42 outstanding r5
-    # rows fit round 10's 50-slot window with 8 slots to spare for r6
-    # rows.)
+    # their slots to the eleven new span/budget/affinity/SQL-surface/
+    # semantic-dedup/stream-screen demos — new entries outrank
+    # re-verification per the SLO; all eleven are r5-era and round
+    # 10's window takes them with the other 32 remaining r5 rows,
+    # i.e. all 43 outstanding r5 rows fit round 10's 50-slot window
+    # with 7 slots to spare for r6 rows.)
 ]
 
 _WINDOW = _WINDOW_FRONT + _WINDOW_FILLER

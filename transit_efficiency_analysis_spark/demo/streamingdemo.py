@@ -756,3 +756,122 @@ def q_stream_join_left_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for d in (out_dir, ckpt_dir, *feeds.values()):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def _dup_screen_sql() -> str:
+    from transit_efficiency_analysis_spark.demo.textprep import _K, _KG_SQL
+
+    return f"""
+    WITH {_KG_SQL},
+    hits AS (
+        SELECT DISTINCT a.doc_id, a.pos, a.pos + {_K} - 1 AS e
+        FROM kg a JOIN kg b ON a.kgram = b.kgram
+         AND (b.doc_id % 4 < a.doc_id % 4
+              OR (b.doc_id % 4 = a.doc_id % 4 AND b.doc_id <> a.doc_id))
+    ),
+    m AS (
+        SELECT doc_id, pos, e,
+               max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        FROM hits
+    ),
+    isl AS (
+        SELECT doc_id, pos, e,
+               sum(CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS island
+        FROM m
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(e) AS BIGINT) AS span_end,
+           CAST(max(e) - min(pos) + 1 AS BIGINT) AS span_tokens,
+           count(*) AS n_dup_starts
+    FROM isl GROUP BY doc_id, island
+    """
+
+
+@demo("q_stream_dup_screen", sql=_dup_screen_sql())
+def q_stream_dup_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup-at-ingest for the duplicated-span family: the
+    documents table arrives as 4 event-ordered micro-batches
+    (doc_id % 4, mtime-pinned like the other ordered feeds); each
+    foreachBatch screens the batch against the MAINTAINED corpus
+    k-gram table (operators/spans.py spans_against_kgram_set) plus
+    within-batch duplicates, appends the batch's spans to the result,
+    then appends the batch's distinct k-grams to the standing table —
+    the production shape where a 100 TB corpus's k-gram index is
+    appended per accepted batch, never recomputed. The oracle is the
+    one-shot SQL of the same batch-visibility rule ("a position is
+    duplicated iff some occurrence exists in an EARLIER batch or in a
+    different doc of the SAME batch"), so the driver hash proves the
+    stream of batch screens equals the batch-semantics recompute.
+    Per-batch cost: batch k-gram explode + one membership join against
+    the standing table."""
+    from transit_efficiency_analysis_spark.demo.textprep import _K
+    from transit_efficiency_analysis_spark.operators.spans import (
+        kgram_occurrences,
+        spans_against_kgram_set,
+    )
+
+    batch = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    feed_dir = tempfile.mkdtemp(prefix="stream_dupscreen_feed_")
+    ckpt_dir = tempfile.mkdtemp(prefix="stream_dupscreen_ckpt_")
+    result_dir = os.path.join(
+        tempfile.mkdtemp(prefix="stream_dupscreen_res_"), "spans"
+    )
+    kgram_tbl = os.path.join(
+        tempfile.mkdtemp(prefix="stream_dupscreen_kg_"), "kgrams"
+    )
+
+    def _kgram_set() -> DataFrame:
+        if os.path.isdir(kgram_tbl) and any(
+            p.startswith("part-") for p in os.listdir(kgram_tbl)
+        ):
+            return spark.read.parquet(kgram_tbl)
+        return spark.createDataFrame([], "kgram long")
+
+    def screen(bdf: DataFrame, _batch_id: int) -> None:
+        spans_against_kgram_set(bdf, _kgram_set(), k=_K).write.mode(
+            "append"
+        ).parquet(result_dir)
+        kgram_occurrences(bdf, _K).select("kgram").distinct().write.mode(
+            "append"
+        ).parquet(kgram_tbl)
+
+    try:
+        t0 = time.time() - 3600
+        written: set[str] = set()
+        for b in range(4):
+            batch.where(F.col("doc_id") % 4 == b).coalesce(1).write.mode(
+                "append"
+            ).parquet(feed_dir)
+            new = set(glob.glob(os.path.join(feed_dir, "part-*"))) - written
+            for p in new:
+                os.utime(p, (t0 + b, t0 + b))
+            written |= new
+        docs = (
+            spark.readStream.format("parquet")
+            .schema(batch.schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(feed_dir)
+        )
+        q = (
+            docs.writeStream.foreachBatch(screen)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+        return lazy_result(
+            spark, spark.read.parquet(result_dir), "stream_dup_screen_"
+        )
+    finally:
+        for d in (
+            feed_dir,
+            ckpt_dir,
+            os.path.dirname(result_dir),
+            os.path.dirname(kgram_tbl),
+        ):
+            shutil.rmtree(d, ignore_errors=True)

@@ -216,14 +216,32 @@ def duplicated_spans_incremental(
     deployment doesn't pay. Same maintenance shape as
     ``minhash_lsh_pairs_incremental`` (operators/dedup.py).
     """
-    batch_occ = kgram_occurrences(batch, k, text_col, id_col)
-    corpus_kgrams = (
-        kgram_occurrences(corpus, k, text_col, id_col)
-        .select("kgram")
-        .distinct()
+    corpus_kgrams = kgram_occurrences(corpus, k, text_col, id_col).select(
+        "kgram"
     )
+    return spans_against_kgram_set(batch, corpus_kgrams, k, text_col, id_col)
+
+
+def spans_against_kgram_set(
+    batch: DataFrame,
+    kgram_set: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Batch spans against an explicit corpus k-gram relation.
+
+    The MAINTAINED-TABLE form of :func:`duplicated_spans_incremental`:
+    ``kgram_set`` is any relation with a ``kgram`` column (64-bit xxhash
+    of the k-gram text, the :func:`kgram_occurrences` convention) — in
+    production the standing table a streaming ingest appends each
+    accepted batch's k-grams to. Duplicate rows in the set are tolerated
+    (it is de-duplicated before the membership join; at scale keep the
+    table unique with MERGE instead and drop the distinct).
+    """
+    batch_occ = kgram_occurrences(batch, k, text_col, id_col)
     batch_dup = duplicated_kgrams(batch_occ, id_col).select("kgram")
-    dup = corpus_kgrams.unionByName(batch_dup).distinct()
+    dup = kgram_set.select("kgram").unionByName(batch_dup).distinct()
     hits = batch_occ.join(dup, "kgram").select(id_col, "pos")
     return _merge_islands(hits, k, id_col).drop("island")
 
