@@ -170,6 +170,28 @@ def main() -> None:
     tpch_timings = {n: round(median(xs), 3) for n, xs in tpch_samples.items()}
     tpch_spread = {n: round(max(xs) - min(xs), 3) for n, xs in tpch_samples.items()}
 
+    # FULL record (spreads, extras, battery detail, env annotation) goes to
+    # stderr; stdout carries ONE compact line. Round-9 lesson (VERDICT r9
+    # "what's wrong" #1): the driver captures a bounded tail of stdout, and
+    # the r9 line — grown past ~3.5 KB with env/battery fields — fell out of
+    # the capture window, so BENCH_r09.json recorded "parsed": null. The
+    # final stdout line must stay well under ~1.5 KB: headline medians +
+    # totals only, all detail relegated to stderr (still in the transcript).
+    detail = {
+        "metric": "headline_queries_detail",
+        "spread": spread,
+        "extras": extras,
+        "extras_spread": extras_spread,
+        "tpch_battery": {
+            "total": round(sum(tpch_timings.values()), 3),
+            "queries": tpch_timings,
+            "spread": tpch_spread,
+            "runs": runs,
+        },
+        "env_before": env_before,
+        "env_after": _machine_context(spark),
+    }
+    print(json.dumps(detail), file=sys.stderr)
     print(
         json.dumps(
             {
@@ -177,20 +199,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "spread": spread,
-                "extras": extras,
-                "extras_spread": extras_spread,
                 "runs": runs,
                 "warmup": 1,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "tpch_battery": {
-                    "total": round(sum(tpch_timings.values()), 3),
-                    "queries": tpch_timings,
-                    "spread": tpch_spread,
-                    "runs": runs,
-                },
-                "env_before": env_before,
-                "env_after": _machine_context(spark),
+                "tpch_total": detail["tpch_battery"]["total"],
             }
         )
     )

@@ -43,7 +43,7 @@ def test_target_exists_propagates_stat_errors(spark, tmp_path):
 def test_simhash_incremental_rejects_overflowing_combo_key(spark):
     df = spark.createDataFrame([Row(doc_id="a", body="hello world")])
     # bits = 64/2 = 32; 32 * 2 = 64 > 62 would overflow the packed long
-    with pytest.raises(AssertionError, match="positive long"):
+    with pytest.raises(ValueError, match="positive long"):
         simhash_pairs_incremental(
             df, df, "doc_id", "body", n_blocks=2, block_choose=2
         )

@@ -85,9 +85,11 @@ def test_recursive_chain_leaves_no_cached_rdd_blocks(spark, sf_dir):
 
 
 def test_merge_condition_builders_reject_empty_inputs():
-    with pytest.raises(AssertionError):
+    # ValueError, not assert: `python -O` strips asserts, which would
+    # revert to the malformed-MERGE-SQL failure mode (ADVICE r9)
+    with pytest.raises(ValueError):
         merge_match_condition([])
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         merge_newer_condition([])
     # non-empty behavior unchanged
     assert merge_match_condition(["k"]) == "t.`k` <=> s.`k`"

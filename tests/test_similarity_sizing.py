@@ -46,9 +46,9 @@ def test_target_bucket_size_holds_mean_occupancy(spark):
 
 def test_explicit_params_still_required(spark):
     df = _vecs(spark, 8)
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         lsh_topk(df, planes=None, dims=8)
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         ivf_topk(df, n_centroids=None)
 
 
@@ -211,7 +211,7 @@ def test_multiprobe_derived_planes_matches_fixed(spark):
     )
     assert derived == fixed
     assert stats == fixed
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         multiprobe_lsh_topk(df, planes=None, dims=8)
 
 

@@ -67,7 +67,8 @@ def _pair_counts(reps: DataFrame) -> DataFrame:
 
 def apply_merge(reps: DataFrame, left: str, right: str) -> DataFrame:
     """Greedy left-to-right application of one merge to every word rep."""
-    assert _SYM.match(left) and _SYM.match(right), "symbols must be [A-Za-z0-9]+"
+    if not (_SYM.match(left) and _SYM.match(right)):
+        raise ValueError("symbols must be [A-Za-z0-9]+")
     fold = f"""
       aggregate(slice(split(seg, '[|]'), 2, size(split(seg, '[|]')) - 1),
                 element_at(split(seg, '[|]'), 1),

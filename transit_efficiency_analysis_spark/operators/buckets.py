@@ -54,8 +54,10 @@ def cap_buckets(
     ORDER BY md5(id), id) <= max_bucket_size`` exactly; the prefix
     prefilter only bounds how many rows the ranking window touches.
     """
-    assert max_bucket_size >= 1
-    assert prefilter_margin >= 2
+    if max_bucket_size < 1:
+        raise ValueError("max_bucket_size must be >= 1")
+    if prefilter_margin < 2:
+        raise ValueError("prefilter_margin must be >= 2")
     keys = list(bucket_cols)
     h = F.md5(F.col(id_col).cast("string"))
     order = [h, F.col(id_col)]

@@ -356,10 +356,13 @@ def simhash_pairs(
     """
     from itertools import combinations
 
-    assert 64 % n_blocks == 0, "n_blocks must divide 64"
-    assert 1 <= block_choose <= n_blocks
+    if 64 % n_blocks != 0:
+        raise ValueError("n_blocks must divide 64")
+    if not (1 <= block_choose <= n_blocks):
+        raise ValueError("block_choose must be in [1, n_blocks]")
     bits = 64 // n_blocks
-    assert bits * block_choose <= 62, "combo key must fit a positive long"
+    if bits * block_choose > 62:
+        raise ValueError("combo key must fit a positive long")
     fp = simhash_fingerprints(df, id_col, text_col)
     if checkpoint:
         fp = fp.persist(StorageLevel.DISK_ONLY)
@@ -545,7 +548,8 @@ def ngram_jaccard_pairs(
     shingle-equality join (pairs sharing zero shingles have Jaccard 0 and
     are below any positive threshold, so the inner join loses nothing).
     """
-    assert threshold > 0, "count-join formulation requires a positive threshold"
+    if threshold <= 0:
+        raise ValueError("count-join formulation requires a positive threshold")
     exp = shingles_exploded(df, id_col, text_col, k)
     blocks = df.select(F.col(id_col).alias("doc_id"), block.alias("blk"))
     exp = exp.join(blocks, "doc_id")
@@ -797,13 +801,15 @@ def simhash_pairs_incremental(
     """
     from itertools import combinations
 
-    assert 64 % n_blocks == 0 and 1 <= block_choose <= n_blocks
+    if not (64 % n_blocks == 0 and 1 <= block_choose <= n_blocks):
+        raise ValueError("n_blocks must divide 64 and block_choose be in [1, n_blocks]")
     bits = 64 // n_blocks
     # same guard as simhash_pairs: the combo key packs block_choose
     # bits-wide blocks into one positive long; without it non-default
     # params (e.g. n_blocks=2, block_choose=2) silently overflow bkey and
     # produce wrong candidate keys instead of failing fast
-    assert bits * block_choose <= 62, "combo key must fit a positive long"
+    if bits * block_choose > 62:
+        raise ValueError("combo key must fit a positive long")
     mask = F.lit(2**bits - 1)
 
     def block(i: int) -> Column:

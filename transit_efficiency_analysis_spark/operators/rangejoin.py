@@ -35,7 +35,8 @@ def interval_point_join(
     Returns all columns of both inputs. ``bucket_width`` only affects the
     plan (explode factor / bucket density), never the result set.
     """
-    assert bucket_width > 0
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
 
     def bucket_of(c: Column) -> Column:
         return F.floor(c / F.lit(float(bucket_width))).cast("long")

@@ -161,7 +161,8 @@ def lsh_bucket_assignments(
         planes = derive_planes(
             n_rows if n_rows is not None else df.count(), target_bucket_size
         )
-    assert planes is not None, "pass planes or target_bucket_size"
+    if planes is None:
+        raise ValueError("pass planes or target_bucket_size")
     return df.select(
         F.col(id_col).alias("vec_id"),
         quantize_vec(F.col(vec_col)).alias("__q"),
@@ -207,7 +208,8 @@ def lsh_topk(
         planes = derive_planes(
             n_rows if n_rows is not None else df.count(), target_bucket_size
         )
-    assert planes is not None, "pass planes or target_bucket_size"
+    if planes is None:
+        raise ValueError("pass planes or target_bucket_size")
     base = df.select(
         F.col(id_col).alias("vec_id"),
         as_double(F.col(vec_col)).alias("v"),
@@ -288,7 +290,8 @@ def multiprobe_lsh_topk(
         planes = derive_planes(
             n_rows if n_rows is not None else df.count(), target_bucket_size
         )
-    assert planes is not None, "pass planes or target_bucket_size"
+    if planes is None:
+        raise ValueError("pass planes or target_bucket_size")
     projs = lsh_projection_exprs(F.col("__q"), planes, dims)
     bucket = F.lit(0).cast("long")
     for p, proj in enumerate(projs):
@@ -483,7 +486,8 @@ def ivf_topk(
             math.ceil((n_rows if n_rows is not None else df.count())
                       / max(target_cell_size, 1)),
         )
-    assert n_centroids is not None, "pass n_centroids or target_cell_size"
+    if n_centroids is None:
+        raise ValueError("pass n_centroids or target_cell_size")
     cents = ivf_centroids(df, id_col, vec_col, n_centroids, lloyd_rounds=lloyd_rounds)
     base = df.select(
         F.col(id_col).alias("vec_id"),

@@ -298,8 +298,11 @@ def merge_match_condition(keys: list[str]) -> str:
     Pure string builder so the generated SQL is unit-testable without a
     Delta runtime (tests/test_upsert.py). ``keys`` must be non-empty
     (matching ``merge_batch``'s implicit contract) — an empty list would
-    yield an empty string and malformed MERGE SQL downstream."""
-    assert keys, "merge_match_condition: keys must be non-empty"
+    yield an empty string and malformed MERGE SQL downstream. Raises
+    ``ValueError`` (not ``assert``, which ``python -O`` strips — ADVICE
+    r9) so the guard survives optimized interpreters."""
+    if not keys:
+        raise ValueError("merge_match_condition: keys must be non-empty")
     return " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in keys)
 
 
@@ -311,8 +314,10 @@ def merge_newer_condition(order_by: list[str]) -> str:
     ``merge_batch``'s row_number dedup when ``order_by`` is a total
     order. Pure string builder, unit-tested without Delta. ``order_by``
     must be non-empty — an empty list would yield an empty string and
-    malformed MERGE SQL downstream."""
-    assert order_by, "merge_newer_condition: order_by must be non-empty"
+    malformed MERGE SQL downstream. Raises ``ValueError`` (not
+    ``assert``, which ``python -O`` strips — ADVICE r9)."""
+    if not order_by:
+        raise ValueError("merge_newer_condition: order_by must be non-empty")
     newer_terms = []
     for i, c in enumerate(order_by):
         eqs = " AND ".join(f"t.`{p}` <=> s.`{p}`" for p in order_by[:i])

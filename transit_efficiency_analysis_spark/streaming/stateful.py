@@ -52,8 +52,14 @@ def _update_user_state(
         import math
 
         total = math.fsum([total] + list(pdf["value"].dropna()))
+        # An all-null chunk yields batch_max = NaT. Never assign NaT into
+        # max_ts: NaT comparisons are always False, so a NaT state would
+        # ignore every later real timestamp and silently diverge from the
+        # batch F.max('ts') recompute (which skips nulls) — ADVICE r9.
         batch_max = pdf["ts"].max()
-        if max_ts is None or (batch_max is not pd.NaT and batch_max > max_ts):
+        if not pd.isna(batch_max) and (
+            max_ts is None or pd.isna(max_ts) or batch_max > max_ts
+        ):
             max_ts = batch_max
     state.update((n, float(total), max_ts))
     yield pd.DataFrame(
@@ -143,9 +149,12 @@ class RunningUserAggProcessor:
         for pdf in rows:
             n += len(pdf)
             total = math.fsum([total] + list(pdf["value"].dropna()))
+            # same NaT guard as _update_user_state (ADVICE r9): an
+            # all-null chunk must leave max_ts untouched, and a NaT that
+            # leaked into state must not absorb later real timestamps
             batch_max = pdf["ts"].max()
-            if max_ts is None or (
-                batch_max is not pd.NaT and batch_max > max_ts
+            if not pd.isna(batch_max) and (
+                max_ts is None or pd.isna(max_ts) or batch_max > max_ts
             ):
                 max_ts = batch_max
         self._state.update((n, float(total), max_ts))
