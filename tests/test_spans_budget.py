@@ -101,7 +101,9 @@ def test_running_total_matches_single_window_reference(spark):
     order = [F.col("score").desc(), F.col("id").asc()]
     got = {
         r.id: r.cum
-        for r in running_total(df, order, "wt", n_buckets=8).collect()
+        for r in running_total(
+            df, order, "wt", n_buckets=8, bucket_by=-F.col("score")
+        ).collect()
     }
     ref_w = (
         Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
@@ -120,14 +122,16 @@ def test_running_total_plan_range_partitions_not_single_task(spark):
         F.col("id"), (F.col("id") % 13).alias("wt")
     )
     plan = running_total(
-        df, [F.col("id").asc()], "wt", n_buckets=8
+        df, [F.col("id").asc()], "wt", n_buckets=8, bucket_by=F.col("id")
     )._jdf.queryExecution().executedPlan().toString()
-    # The relation must go through a range exchange, and the
-    # data-proportional window must be partitioned by the range bucket
-    # (a naive global cumsum would show a Window with an empty
-    # partition spec over the full relation instead).
-    assert "rangepartitioning" in plan.lower()
+    # The data-proportional window must be partitioned by the
+    # deterministic literal-boundary bucket (a naive global cumsum would
+    # show a Window with an empty partition spec over the full relation;
+    # the pre-r10 form coupled correctness to a sampled range exchange
+    # via spark_partition_id — ADVICE r9).
     assert "_pid" in plan
+    assert "spark_partition_id" not in plan.lower()
+    assert "hashpartitioning(_pid" in plan.lower()
 
 
 def test_incremental_equals_full_restricted_to_batch(spark, sf_dir):

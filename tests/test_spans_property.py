@@ -118,7 +118,10 @@ def test_running_total_property(spark, n, mod, buckets):
     )
     order = [F.col("score").desc(), F.col("id").asc()]
     got = {
-        r.id: r.cum for r in running_total(df, order, "wt", n_buckets=buckets).collect()
+        r.id: r.cum
+        for r in running_total(
+            df, order, "wt", n_buckets=buckets, bucket_by=-F.col("score")
+        ).collect()
     }
     ref_w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
     ref = {

@@ -471,6 +471,9 @@ def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         weight="n_tokens",
         cum_col="cum_tokens",
         n_buckets=8,
+        # monotone along quality DESC; deterministic literal-boundary
+        # bucket id, never spark_partition_id (ADVICE r9)
+        bucket_by=-F.col("quality"),
     )
     return (
         cum.join(F.broadcast(budget))
