@@ -226,3 +226,110 @@ def test_semantic_dedup_keep_first_within_cell(spark):
     assert out[3].kept and out[3].dup_of is None
     assert not out[1].kept and out[1].dup_of == 0
     assert not out[2].kept and out[2].dup_of == 0
+
+
+def test_semantic_dedup_hier_single_coarse_group_equals_flat(spark):
+    """With coarse_cells=1 every fine cell sits in the single coarse
+    group, so the two-level assignment degenerates to the exact flat
+    assignment — output must equal semantic_dedup bit-for-bit (the same
+    equality discipline as the derived-vs-fixed LSH sizing pins)."""
+    from transit_efficiency_analysis_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_hier,
+    )
+
+    rows = [
+        (i, [float((i * 7 + d * 3) % 11) / 11.0 + 0.1 for d in range(4)])
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    flat = sorted(
+        semantic_dedup(
+            df, n_centroids=4, lloyd_rounds=0, threshold=0.999
+        ).collect()
+    )
+    hier = sorted(
+        semantic_dedup_hier(
+            df, n_centroids=4, coarse_cells=1, threshold=0.999
+        ).collect()
+    )
+    assert hier == flat
+
+
+def test_semantic_dedup_hier_keep_first_exact_within_realized_cells(spark):
+    """The hierarchy may place a vector in a coarser cell than the flat
+    assignment (the documented recall trade) — but whatever cells it
+    realizes, kept/dup_of must be EXACT keep-first within them. Verified
+    against a brute-force Python recompute over the returned cells."""
+    import math
+
+    from transit_efficiency_analysis_spark.operators.similarity import (
+        semantic_dedup_hier,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.01, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+        (5, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    vec = dict(rows)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup_hier(
+            df, n_centroids=4, coarse_cells=2, threshold=0.95
+        ).collect()
+    }
+    assert len(out) == len(rows)  # assignment is a function, no fan-out
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    for i, r in out.items():
+        witnesses = [
+            j
+            for j, rj in out.items()
+            if j < i and rj.cell == r.cell and cos(vec[j], vec[i]) >= 0.95
+        ]
+        if witnesses:
+            assert not r.kept and r.dup_of == min(witnesses)
+        else:
+            assert r.kept and r.dup_of is None
+
+
+def test_semantic_dedup_hier_witness_is_witness_not_keeper(spark):
+    """dup_of is the smallest lower-id near-duplicate WITNESS, not
+    necessarily a kept row (documented semantics, ADVICE r9): chain
+    a~b, b~c with a~c below threshold leaves c pointing at dropped b."""
+    from transit_efficiency_analysis_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    # unit vectors at angles 0, 20 and 40 degrees: cos(20deg)~0.94 >= 0.9
+    # for adjacent pairs, cos(40deg)~0.766 < 0.9 for the far pair
+    import math
+
+    def at(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r), 0.0, 0.0]
+
+    df = spark.createDataFrame(
+        [(0, at(0.0)), (1, at(20.0)), (2, at(40.0))],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup(
+            df, n_centroids=1, lloyd_rounds=0, threshold=0.9
+        ).collect()
+    }
+    assert out[0].kept
+    assert not out[1].kept and out[1].dup_of == 0
+    # 2 is near 1 (dropped) but not near 0: witness is the dropped row
+    assert not out[2].kept and out[2].dup_of == 1

@@ -196,6 +196,38 @@ def main() -> int:
               f"{copies}x {tn:.1f}s ({rn} dups), ratio {tn/t1:.1f}",
               file=sys.stderr)
 
+    if want("semantic_hier"):
+        # Two-level assignment escape (r9 verdict #4): same derived cell
+        # count as semantic_dedup_scaled, but vectors score C + K/C
+        # centroids (C ~ sqrt(K)) instead of all K — the flat mode's 16x
+        # ratio was dominated by the O(n x K) assignment join.
+        import math as _math
+
+        from transit_efficiency_analysis_spark.operators.similarity import (
+            semantic_dedup_hier,
+        )
+
+        n1, nn = embs_1.count(), embs_n.count()
+
+        def _semh(d: DataFrame, n: int) -> DataFrame:
+            k = max(8, n // 64)
+            return semantic_dedup_hier(
+                d, "vec_id", "embedding",
+                n_centroids=k,
+                coarse_cells=max(2, int(_math.isqrt(k))),
+                threshold=0.3,
+            ).where(~F.col("kept"))
+
+        t0 = time.time(); r1 = _semh(embs_1, n1).count(); t1 = time.time() - t0
+        t0 = time.time(); rn = _semh(embs_n, nn).count(); tn = time.time() - t0
+        results["semantic_hier_scaled"] = {
+            "t1": round(t1, 2), "tN": round(tn, 2),
+            "ratio": round(tn / t1, 2), "rows1": r1, "rowsN": rn,
+        }
+        print(f"# semantic_hier_scaled: 1x {t1:.1f}s ({r1} dups) -> "
+              f"{copies}x {tn:.1f}s ({rn} dups), ratio {tn/t1:.1f}",
+              file=sys.stderr)
+
     if want("sim_lsh_topk_derived"):
         # The 100 TB mode: planes derived from corpus size
         # (target_bucket_size=64 -> planes = ceil(log2(n/64))), holding

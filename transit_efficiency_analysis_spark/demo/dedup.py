@@ -476,3 +476,98 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(
         e, "vec_id", "embedding", n_centroids=8, lloyd_rounds=1, threshold=0.3
     )
+
+
+_SEMANTIC_HIER_SQL = """
+    WITH seeds AS (
+        SELECT vec_id AS sid, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT 16
+    ),
+    cent AS (
+        SELECT row_number() OVER (ORDER BY md5(CAST(sid AS VARCHAR)), sid) - 1 AS cell,
+               cv, sqrt(list_inner_product(cv, cv)) AS cn
+        FROM seeds
+    ),
+    cseeds AS (
+        SELECT cell AS csid, cv AS ccv FROM cent
+        ORDER BY md5(CAST(cell AS VARCHAR)), cell
+        LIMIT 4
+    ),
+    ccent AS (
+        SELECT row_number() OVER (ORDER BY md5(CAST(csid AS VARCHAR)), csid) - 1 AS ccell,
+               ccv, sqrt(list_inner_product(ccv, ccv)) AS ccn
+        FROM cseeds
+    ),
+    f2c AS (
+        SELECT cell, cv, cn, ccell FROM (
+            SELECT c.cell, c.cv, c.cn, cc.ccell,
+                   row_number() OVER (
+                       PARTITION BY c.cell
+                       ORDER BY list_inner_product(c.cv, cc.ccv) / (c.cn * cc.ccn) DESC,
+                                cc.ccell
+                   ) AS frank
+            FROM cent c CROSS JOIN ccent cc
+        ) WHERE frank = 1
+    ),
+    base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS vn
+        FROM embeddings
+    ),
+    v2c AS (
+        SELECT vec_id, v, vn, ccell FROM (
+            SELECT b.vec_id, b.v, b.vn, cc.ccell,
+                   row_number() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY list_inner_product(b.v, cc.ccv) / (b.vn * cc.ccn) DESC,
+                                cc.ccell
+                   ) AS crank
+            FROM base b CROSS JOIN ccent cc
+        ) WHERE crank = 1
+    ),
+    asg AS (
+        SELECT vec_id, v, vn, cell FROM (
+            SELECT p.vec_id, p.v, p.vn, f.cell,
+                   row_number() OVER (
+                       PARTITION BY p.vec_id
+                       ORDER BY list_inner_product(p.v, f.cv) / (p.vn * f.cn) DESC,
+                                f.cell
+                   ) AS frank
+            FROM v2c p JOIN f2c f USING (ccell)
+        ) WHERE frank = 1
+    ),
+    dups AS (
+        SELECT b.vec_id, min(a.vec_id) AS dup_of
+        FROM asg a JOIN asg b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+         AND list_inner_product(a.v, b.v) / (a.vn * b.vn) >= 0.3
+        GROUP BY b.vec_id
+    )
+    SELECT g.vec_id, CAST(g.cell AS BIGINT) AS cell,
+           (d.dup_of IS NULL) AS kept, d.dup_of
+    FROM asg g LEFT JOIN dups d ON g.vec_id = d.vec_id
+"""
+
+
+@demo("q_dedup_semantic_hier", sql=_SEMANTIC_HIER_SQL)
+def q_dedup_semantic_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with two-level (coarse→fine) centroid quantization — the
+    assignment-cost escape the flat q_dedup_semantic's measured 16x
+    ratio (5.58, assignment-join-dominated) called for: 16 fine
+    centroids clustered into 4 coarse groups; each vector scores 4
+    coarse + ~4 fine centroids instead of all 16 (O(n·2√K) vs O(n·K)).
+    Same keep-first ε-ball rule within the fine cell; same witness
+    semantics for dup_of. Every stage is md5-seeded deterministic
+    column algebra, so the DuckDB oracle mirrors the two-level
+    assignment exactly (operators/similarity.py semantic_dedup_hier)."""
+    from transit_efficiency_analysis_spark.operators.similarity import (
+        semantic_dedup_hier,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_hier(
+        e, "vec_id", "embedding", n_centroids=16, coarse_cells=4, threshold=0.3
+    )

@@ -740,9 +740,17 @@ def semantic_dedup(
     3. within each cell, a vector is a DUPLICATE if any lower-id vector
        in the same cell has cosine >= ``threshold`` — the paper's
        keep-one-per-ε-ball rule made deterministic by the id total
-       order; ``dup_of`` records the smallest such keeper.
+       order; ``dup_of`` records the SMALLEST such lower-id
+       near-duplicate.
 
     Returns (id, cell, kept, dup_of); ``dup_of`` is NULL for kept rows.
+    ``dup_of`` is a dedup WITNESS — the smallest lower-id cellmate
+    within ``threshold`` — not necessarily itself kept: for a chain
+    a~b, b~c with a≁c, c's witness is b while b is dropped with
+    witness a (ADVICE r9). Consumers that need a surviving canonical
+    representative should group by ``cell`` and pick the cell's kept
+    rows, or follow the witness chain (bounded by cell size); the
+    keep/drop decision itself never needs the chain — kept is exact.
 
     Scale: the only data-proportional join is the within-cell pairing,
     bounded by cell size exactly like the IVF candidate argument — size
@@ -772,6 +780,15 @@ def semantic_dedup(
         .where(F.col("crank") == 1)
         .select("vec_id", "v", "vn", "cell")
     )
+    return _keep_first_in_cells(assigned, threshold)
+
+
+def _keep_first_in_cells(assigned: DataFrame, threshold: float) -> DataFrame:
+    """Keep-first ε-ball rule over a (vec_id, v, vn, cell) assignment:
+    drop a vector when any lower-id cellmate has cosine >= threshold;
+    ``dup_of`` is the smallest such witness (see :func:`semantic_dedup`
+    on witness-vs-keeper semantics). One within-cell pair join + one
+    min-aggregation — bounded by cell size, never n²."""
     a = assigned.select(
         F.col("vec_id").alias("a_id"), F.col("v").alias("a_v"),
         F.col("vn").alias("a_vn"), F.col("cell").alias("a_cell"),
@@ -797,3 +814,98 @@ def semantic_dedup(
         F.col("dup_of").isNull().alias("kept"),
         "dup_of",
     )
+
+
+def semantic_dedup_hier(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    coarse_cells: int = 4,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup with TWO-LEVEL (coarse→fine) centroid quantization —
+    the assignment-cost escape for :func:`semantic_dedup`.
+
+    The flat form's dominant cost at scale is the exact assignment
+    join: every vector scores against every fine centroid, O(n × K)
+    (measured 16× ratio 5.58, docs/SCALE.md). Here the K fine
+    centroids are themselves clustered into ``coarse_cells`` groups
+    (same deterministic hash-seeding, K × C work — negligible), and
+    each vector scores only the C coarse centroids plus the fine
+    centroids of its winning coarse group: O(n × (C + K/C)) — with
+    C ≈ √K that is O(n × 2√K), an 8× cut at K=256 and growing with K.
+    The classic IVF-on-centroids trade: a vector whose true nearest
+    fine centroid lives in a different coarse group gets a slightly
+    coarser cell; the keep-first rule inside the cell stays exact, so
+    the failure mode is a missed cross-cell near-duplicate — the same
+    recall trade every blocked dedup in this tree makes, never a false
+    drop. All steps are deterministic column algebra (md5-seeded, exact
+    tie-breaks) so the DuckDB oracle mirrors the assignment bit-for-bit.
+
+    Returns (vec_id, cell, kept, dup_of) exactly like
+    :func:`semantic_dedup`; ``cell`` is the fine cell id.
+    """
+    cents = ivf_centroids(df, id_col, vec_col, n_centroids, lloyd_rounds=0)
+    # cluster the centroids: coarse ids over the K fine centroids
+    ccents = ivf_centroids(
+        cents, "cell", "cv", n_centroids=coarse_cells, lloyd_rounds=0
+    ).select(
+        F.col("cell").alias("ccell"),
+        F.col("cv").alias("ccv"),
+        F.col("cn").alias("ccn"),
+    )
+    # fine → coarse map: K × C broadcast, tiny
+    f2c_sim = dot(F.col("cv"), F.col("ccv")) / (F.col("cn") * F.col("ccn"))
+    f2c = (
+        cents.join(F.broadcast(ccents))
+        .select("cell", "cv", "cn", "ccell", f2c_sim.alias("fsim"))
+        .withColumn(
+            "frank",
+            F.row_number().over(
+                Window.partitionBy("cell").orderBy(
+                    F.col("fsim").desc(), F.col("ccell")
+                )
+            ),
+        )
+        .where(F.col("frank") == 1)
+        .select("cell", "cv", "cn", "ccell")
+    )
+    base = df.select(
+        F.col(id_col).alias("vec_id"),
+        as_double(F.col(vec_col)).alias("v"),
+        norm(as_double(F.col(vec_col))).alias("vn"),
+    )
+    # vector → coarse group: n × C
+    v2c_sim = dot(F.col("v"), F.col("ccv")) / (F.col("vn") * F.col("ccn"))
+    v2c = (
+        base.join(F.broadcast(ccents))
+        .select("vec_id", "v", "vn", "ccell", v2c_sim.alias("csim"))
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("csim").desc(), F.col("ccell")
+                )
+            ),
+        )
+        .where(F.col("crank") == 1)
+        .select("vec_id", "v", "vn", "ccell")
+    )
+    # vector → fine cell WITHIN its coarse group: n × (K/C) average
+    fine_sim = dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn"))
+    assigned = (
+        v2c.join(F.broadcast(f2c), "ccell")
+        .select("vec_id", "v", "vn", "cell", fine_sim.alias("fsim"))
+        .withColumn(
+            "frank",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("fsim").desc(), F.col("cell")
+                )
+            ),
+        )
+        .where(F.col("frank") == 1)
+        .select("vec_id", "v", "vn", "cell")
+    )
+    return _keep_first_in_cells(assigned, threshold)
