@@ -41,16 +41,21 @@ def test_affinity_ratio_table_broadcasts(spark, sf_dir):
 
 
 def test_token_budget_no_global_data_window(spark, sf_dir):
-    """The cumulative sum must run per range bucket: the plan carries a
-    RangePartitioning exchange and a Window partitioned on the bucket id
-    — never a Window whose partition spec is empty over the scored-docs
-    relation (that would serialize 100 TB into one task). The tiny
-    offsets window (n_buckets rows) is the only unpartitioned one and is
+    """The cumulative sum must run per literal-boundary bucket: the plan
+    carries a hash exchange on the deterministic ``_pid`` bucket id and a
+    Window partitioned on it — never a Window whose partition spec is
+    empty over the scored-docs relation (that would serialize 100 TB into
+    one task). Since r10 the bucket id is a literal-quantile expression,
+    not spark_partition_id over a sampled range exchange (that coupled
+    correctness to exchange reuse — ADVICE r9), so the plan must show
+    hashpartitioning(_pid...) and no spark_partition_id. The tiny offsets
+    window (n_buckets rows) is the only unpartitioned one and is
     identifiable by its _psum input."""
     df = load_registry()["q_corpus_token_budget"].fn(spark, sf_dir)
     plan = physical_plan(df)
-    assert "rangepartitioning" in plan.lower()
     assert "_pid" in plan
+    assert "hashpartitioning(_pid" in plan.lower()
+    assert "spark_partition_id" not in plan.lower()
     # every Window line mentioning the data-side cumulative column must
     # carry a non-empty partition spec
     for line in plan.splitlines():

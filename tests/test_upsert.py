@@ -338,3 +338,77 @@ def test_merge_into_delta_backend_parity(spark, tmp_path):
         )
     got = {r[0]: (r[1], r[2], r[3]) for r in stored.collect()}
     assert got == _expected_latest(rows)
+
+
+def test_merge_into_sql_executes_merge_conditions(spark, tmp_path):
+    """merge_into_sql runs merge_match_condition/merge_newer_condition
+    for real (full-outer-join compilation over parquet state): batch-
+    split invariant vs merge_batch, matched-but-OLDER sources must keep
+    the stored row, unmatched sources insert, first batch bootstraps."""
+    from transit_efficiency_analysis_spark.operators.upsert import merge_into_sql
+
+    rows = _mk_rows([(k % 4, (k * 37) % 500, k % 6) for k in range(30)])
+    batches = [rows[:10], rows[10:18], rows[18:]]
+    target = str(tmp_path / "sql_state_tbl")
+
+    state_mem = spark.createDataFrame([], SCHEMA)
+    for b in batches:
+        inc = spark.createDataFrame(b, SCHEMA)
+        stored = merge_into_sql(target, inc, keys=["key"], order_by=["ts", "seq"])
+        state_mem = merge_batch(state_mem, inc, keys=["key"], order_by=["ts", "seq"])
+
+    got = sorted(tuple(r) for r in stored.collect())
+    want = sorted(tuple(r) for r in state_mem.collect())
+    assert got == want
+    assert {r[0]: (r[1], r[2], r[3]) for r in got} == _expected_latest(rows)
+    # storage is the carrier: a fresh read sees the committed state
+    again = sorted(tuple(r) for r in spark.read.parquet(target).collect())
+    assert again == want
+
+
+def test_merge_into_sql_older_batch_never_clobbers(spark, tmp_path):
+    """The strictly-newer guard, isolated: an entire batch of stale
+    observations for already-stored keys must leave the table unchanged
+    (the broken-newer-condition failure mode the oracle demo also pins)."""
+    from transit_efficiency_analysis_spark.operators.upsert import merge_into_sql
+
+    target = str(tmp_path / "stale_tbl")
+    fresh = _mk_rows([(0, 100, 1), (1, 200, 2)])
+    merge_into_sql(
+        target, spark.createDataFrame(fresh, SCHEMA),
+        keys=["key"], order_by=["ts", "seq"],
+    )
+    # seq continues AFTER the stored rows but ts is strictly older
+    stale = [
+        (0, BASE + timedelta(minutes=5), 9.0, 10),
+        (1, BASE + timedelta(minutes=5), 9.0, 11),
+    ]
+    out = merge_into_sql(
+        target, spark.createDataFrame(stale, SCHEMA),
+        keys=["key"], order_by=["ts", "seq"],
+    )
+    got = {r.key: (r.ts, r.value) for r in out.collect()}
+    assert got == {
+        0: (BASE + timedelta(minutes=100), 1.0),
+        1: (BASE + timedelta(minutes=200), 2.0),
+    }
+
+
+def test_merge_into_sql_null_keys_match_nullsafe(spark, tmp_path):
+    """<=> in the executed match condition: a NULL key component matches
+    NULL (one stored row per NULL key, updated in place), never fans out
+    into repeated inserts."""
+    from transit_efficiency_analysis_spark.operators.upsert import merge_into_sql
+
+    target = str(tmp_path / "nullkey_tbl")
+    b1 = [(None, BASE + timedelta(minutes=1), 1.0, 0),
+          (7, BASE + timedelta(minutes=1), 1.0, 1)]
+    b2 = [(None, BASE + timedelta(minutes=2), 2.0, 2)]
+    merge_into_sql(target, spark.createDataFrame(b1, SCHEMA),
+                   keys=["key"], order_by=["ts", "seq"])
+    out = merge_into_sql(target, spark.createDataFrame(b2, SCHEMA),
+                         keys=["key"], order_by=["ts", "seq"])
+    rows = sorted(out.collect(), key=lambda r: (r.key is None, r.key or 0))
+    assert len(rows) == 2
+    null_row = [r for r in rows if r.key is None]
+    assert len(null_row) == 1 and null_row[0].value == 2.0

@@ -41,6 +41,22 @@ def test_window_is_50_registered_names():
     assert list(registry)[:50] == _WINDOW
 
 
+def test_freshness_slo_holds():
+    """tools/check_window.py must pass: never-checked entries hold a
+    slot, the window is not a verbatim repeat of the previous round's
+    set, and nothing falls further behind than one rotation cycle.
+    Added round 11 after the round-10 rotation was skipped silently."""
+    import sys
+
+    sys.path.insert(0, os.path.join(_REPO, "tools"))
+    try:
+        import check_window
+    finally:
+        sys.path.pop(0)
+    errors = check_window.check(_WINDOW, list(load_registry()))
+    assert not errors, "freshness SLO violated:\n" + "\n".join(errors)
+
+
 def test_filler_names_have_prior_green_row():
     green = _ever_green()
     assert green, "no CORRECTNESS_r*.json files found"

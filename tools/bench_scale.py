@@ -11,7 +11,7 @@ Usage:
 
 With no family args every family runs; naming families (substring match
 against result keys: minhash, simhash, sim_lsh, derived, storm, incr,
-dup_spans, affinity, budget, semantic, gapfill, funnel, maintenance, pagerank, triangles) runs just
+dup_spans, affinity, budget, semantic, gapfill, funnel, maintenance, pagerank, triangles, rebuild_delays) runs just
 those —
 the 64x stretch points re-run only the heaviest pipelines.
 
@@ -116,6 +116,7 @@ def main() -> int:
                 weight="n_tokens",
                 cum_col="cum_tokens",
                 n_buckets=32,
+                bucket_by=-F.col("quality"),
             )
             .join(F.broadcast(budget))
             .where(F.col("cum_tokens") <= F.col("budget"))
@@ -458,6 +459,101 @@ def main() -> int:
             }
             print(f"# triangles: 1x {tr1:.1f}s ({trr1} nodes) -> {copies}x "
                   f"{dt:.1f}s ({rows} nodes), ratio {dt/tr1:.1f}", file=sys.stderr)
+
+    # Flagship compute_delays (VERDICT r9 #7 / r10 #6): Nx disjoint-trip
+    # copies of BOTH join sides (prefixing trip_id keeps copies' key
+    # spaces disjoint — Nx inputs => Nx matched rows, the clean "feed
+    # history grew" experiment). Two layouts:
+    #   * shuffle join (plain views): both sides exchange on the
+    #     composite key per query — must scale ~linearly;
+    #   * bucketed layout at Nx: both sides pre-bucketed on trip_id
+    #     (a subset of the 4 join keys — HashPartitioning(trip_id)
+    #     satisfies the join's ClusteredDistribution, verified
+    #     count_shuffles == 0), the pay-once storage strategy the
+    #     operators/delay.py docstring prescribes for 100 TB. The
+    #     layout write is reported separately (it amortizes over every
+    #     later query); the join wall-clock is what a rebuild costs.
+    if want("rebuild_delays"):
+        import shutil
+
+        from transit_efficiency_analysis_spark.operators.delay import (
+            compute_delays,
+        )
+        from transit_efficiency_analysis_spark.operators.testdata_adapter import (
+            gtfs_data_view,
+            trip_updates_view,
+        )
+        from transit_efficiency_analysis_spark.plans import count_shuffles
+
+        orders = load_table(spark, sf_dir, "orders")
+        lineitem = load_table(spark, sf_dir, "lineitem")
+        gd0 = gtfs_data_view(orders, lineitem).cache()
+        tu0 = trip_updates_view(orders, lineitem).cache()
+        gd0.count(), tu0.count()
+
+        def _trip_copies(df: DataFrame, n: int) -> DataFrame:
+            out = None
+            for i in range(n):
+                c = df.withColumn(
+                    "trip_id", F.concat(F.lit(f"c{i}_"), F.col("trip_id"))
+                )
+                out = c if out is None else out.unionByName(c)
+            return out
+
+        t0 = time.time()
+        r1 = compute_delays(
+            _trip_copies(tu0, 1), _trip_copies(gd0, 1), sort=False
+        ).count()
+        t1 = time.time() - t0
+        t0 = time.time()
+        rn = compute_delays(
+            _trip_copies(tu0, copies), _trip_copies(gd0, copies), sort=False
+        ).count()
+        tn = time.time() - t0
+        results["rebuild_delays"] = {
+            "t1": round(t1, 2), "tN": round(tn, 2),
+            "ratio": round(tn / t1, 2), "rows1": r1, "rowsN": rn,
+        }
+        print(f"# rebuild_delays: 1x {t1:.1f}s ({r1} rows) -> {copies}x "
+              f"{tn:.1f}s ({rn} rows), ratio {tn/t1:.1f}", file=sys.stderr)
+
+        spark.sql("CREATE DATABASE IF NOT EXISTS scale_bench")
+        for t in ("tu_b", "gd_b"):
+            spark.sql(f"DROP TABLE IF EXISTS scale_bench.{t}")
+        shutil.rmtree("/tmp/teas_warehouse/scale_bench.db", ignore_errors=True)
+        t0 = time.time()
+        (
+            _trip_copies(tu0, copies).write.mode("overwrite")
+            .bucketBy(32, "trip_id").sortBy("trip_id")
+            .saveAsTable("scale_bench.tu_b")
+        )
+        (
+            _trip_copies(gd0, copies).write.mode("overwrite")
+            .bucketBy(32, "trip_id").sortBy("trip_id")
+            .saveAsTable("scale_bench.gd_b")
+        )
+        t_layout = time.time() - t0
+        joined_b = compute_delays(
+            spark.table("scale_bench.tu_b"),
+            spark.table("scale_bench.gd_b"),
+            sort=False,
+        )
+        n_shuf = count_shuffles(joined_b)
+        t0 = time.time()
+        rb = joined_b.count()
+        tb = time.time() - t0
+        results["rebuild_delays_bucketed"] = {
+            "tN": round(tb, 2), "layout_s": round(t_layout, 2),
+            "shuffles": n_shuf, "rowsN": rb,
+            "speedup_vs_shuffle": round(tn / tb, 2) if tb > 0 else None,
+        }
+        print(f"# rebuild_delays_bucketed @ {copies}x: join {tb:.1f}s "
+              f"({rb} rows, {n_shuf} shuffles; layout write {t_layout:.1f}s, "
+              f"pay-once) vs shuffle-join {tn:.1f}s", file=sys.stderr)
+        if rb != rn:
+            print(f"# rebuild_delays_bucketed ROW MISMATCH: {rb} != {rn}",
+                  file=sys.stderr)
+            return 1
 
     ratios = [v["ratio"] for v in results.values() if "ratio" in v]
     worst = max(ratios) if ratios else 0.0

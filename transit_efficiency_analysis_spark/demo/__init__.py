@@ -76,106 +76,94 @@ _DEMO_MODULES = [
 # tests/test_window.py asserts every filler name really has a prior green
 # CORRECTNESS row (guards the round-4 mislabel: q_text_pack was filed as
 # "r3-green filler" while actually new-and-red in r4).
-# Standing freshness SLO (adopted round 8): no registry entry's latest
-# driver row may be older than 4 rounds, and no entry may stay
-# registered-but-never-driver-checked past the round after it lands.
-# Each round's window therefore takes (1) never-checked entries first,
-# (2) the oldest driver rows next, (3) anything whose implementation or
-# oracle changed since its last green row. With 224 entries and a
-# 50-slot window, a full refresh cycle is ~5 rounds — the SLO holds as
-# long as new-demo growth stays under ~30/round.
+# Standing freshness SLO (adopted round 8, recalibrated round 11): no
+# registry entry's latest driver row may be older than one full rotation
+# cycle — ceil(len(REGISTRY) / 50) rounds, currently ceil(237/50) = 5 —
+# and no entry may stay registered-but-never-driver-checked past the
+# round after it lands. (The original 4-round figure was set when the
+# registry was ~200 entries; at 237 a 4-round cycle would need a
+# 60-slot window the driver doesn't have, so 4 was unachievable by
+# arithmetic, not negligence. The cycle-length form is the tightest
+# bound strict oldest-first rotation can actually deliver.)
+# Each round's window takes (1) never-checked entries first, (2) the
+# oldest driver rows next, (3) anything whose implementation or oracle
+# changed since its last green row. tools/check_window.py enforces all
+# of this mechanically (wired into pytest via tests/test_window.py) so a
+# skipped rotation can never ship silently again — the round-10 miss
+# shipped exactly because the rotation lived only in a comment.
+# Round-11 window. Never-driver-checked entries take slots first (SLO
+# deadline: the round after they land, which for both is THIS round —
+# they were registered in round 10 and round 10's window was never
+# rotated, the miss VERDICT r10 flagged).
 _WINDOW_FRONT = [
-    # Round-9 implementation changes (policy: anything whose code changed
-    # since its last green row re-verifies this round). The shared
-    # lazy-result rewrite moved to _tmpcache.lazy_result and is now keyed
-    # per demo (one reused/overwritten result dir instead of one mkdtemp
-    # per invocation — ADVICE r8); the five streaming demos that return
-    # through it plus q_sql_recursive_chain (localCheckpoint ->
-    # lazy-result swap, VERDICT r8 nit #1) therefore take window slots.
-    "q_sql_recursive_chain",
-    "q_stream_daily_agg",
-    "q_stream_daily_agg_append",
-    "q_stream_upsert_foreachbatch",
-    "q_stream_join_append",
-    "q_stream_join_left_append",
-    # New this round (never-driver-checked entries take slots first):
-    # the cross-document duplicated-span family (exact-substring dedup
-    # at k-gram granularity + novelty scoring + incremental screening,
-    # operators/spans.py), the distributed token-budget selection
-    # (operators/budget.py), and hashed-n-gram domain affinity
-    # (operators/affinity.py).
-    "q_text_dup_spans",
-    "q_text_dup_span_removal",
-    "q_text_novelty",
-    "q_corpus_token_budget",
-    "q_text_dup_spans_incremental",
-    "q_corpus_domain_affinity",
-    # Spark-4 SQL-surface additions (also new this round):
-    "q_sql_session_variables",
-    "q_sql_group_by_all",
-    "q_sql_star_except_lateral",
-    # SemDeDup semantic dedup (also new this round):
-    "q_dedup_semantic",
-    # Streaming dedup-at-ingest for the span family (also new):
-    "q_stream_dup_screen",
+    # Round-10 additions, never driver-checked:
+    "q_dedup_semantic_hier",
+    "q_sim_lsh_topk_derived",
+    # New in round 11 (the pure-Parquet transactional MERGE runtime —
+    # VERDICT r10 gap #3): new entries take slots the round they land.
+    "q_upsert_merge_parquet",
 ]
 
-# Prior-green re-verification filler, least-recently-verified first.
-# After round 8 the stale tail is exactly the 31 r4-era rows the r8
-# comment pre-committed (they hit the 4-round SLO boundary this round) —
-# all 31 take slots. The remaining 2 slots go to r5-era rows (r5 rows
-# reach the boundary at round 10; 45 exist, so round 10's window takes
-# the other 43 plus the oldest r6 rows), picked headline-and-§2-first:
-# the two headline-bench dedup queries (minhash_lsh, simhash_pairs).
+# Prior-green re-verification filler, least-recently-verified first:
+# ALL 43 r5-era rows (their latest driver row is CORRECTNESS_r05 — six
+# rounds stale, the freshness backlog VERDICT r10 item #2 called out),
+# then 4 r6-era rows picked flagship-and-§2-first (q_rebuild_full is the
+# flagship entry(); the others are §2 headline families — q_upsert_cond
+# ceded its pick to the new q_upsert_merge_parquet, which exercises the
+# same upsert family more deeply). The remaining 42 r6 rows are exactly
+# one rotation cycle old after this round — round 12's window takes
+# them plus the oldest r7 rows.
 _WINDOW_FILLER: list[str] = [
-    # r4-era (driver rows from CORRECTNESS_r04) — all 31, pre-committed
-    # at round 8: TPC-H q2..q22 battery remainder + sql_tpch_q1, three
-    # sinks, array_agg/explode, grouping_sets, two samplers, two LSH
-    # similarity demos, asof_tolerance, ngram_stats, contamination_capped
-    "q_tpch_q2",
-    "q_tpch_q4",
-    "q_tpch_q6",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q9",
-    "q_tpch_q11",
-    "q_tpch_q13",
-    "q_tpch_q14",
-    "q_tpch_q15",
-    "q_tpch_q16",
-    "q_tpch_q17",
-    "q_tpch_q18",
-    "q_tpch_q19",
-    "q_tpch_q20",
-    "q_tpch_q21",
-    "q_tpch_q22",
-    "q_sql_tpch_q1",
-    "q_sink_orc",
-    "q_sink_partitioned",
-    "q_sink_roundtrip",
-    "q_array_agg",
-    "q_array_explode",
-    "q_grouping_sets",
-    "q_sample_rebalance",
-    "q_sample_weighted",
-    "q_sim_lsh_buckets",
-    "q_sim_lsh_multiprobe_topk",
-    "q_join_asof_tolerance",
-    "q_text_ngram_stats",
-    "q_text_contamination_capped",
-    # r5-era (driver rows from CORRECTNESS_r05) — 2 oldest-tier picks
-    "q_dedup_minhash_lsh",
-    "q_dedup_simhash_pairs",
-    # (q_agg_dashboard_materialized, q_ts_now_audit, q_upsert_scd2_history,
-    # q_sim_ivf_topk, q_sim_lsh_recall,
-    # q_retrieval_bm25, q_retrieval_tfidf, q_retrieval_hybrid_rrf,
-    # q_sink_jsonl, q_sample_split and q_corpus_prep_pipeline ceded
-    # their slots to the eleven new span/budget/affinity/SQL-surface/
-    # semantic-dedup/stream-screen demos — new entries outrank
-    # re-verification per the SLO; all eleven are r5-era and round
-    # 10's window takes them with the other 32 remaining r5 rows,
-    # i.e. all 43 outstanding r5 rows fit round 10's 50-slot window
-    # with 7 slots to spare for r6 rows.)
+    # r5-era (driver rows from CORRECTNESS_r05) — all 43
+    "q_agg_dashboard_materialized",
+    "q_agg_incremental_maintenance",
+    "q_agg_mode",
+    "q_agg_share",
+    "q_approx_distinct",
+    "q_approx_quantiles",
+    "q_approx_topk_cms",
+    "q_clean_mad_outliers",
+    "q_clean_winsorize",
+    "q_corpus_prep_pipeline",
+    "q_events_attribution",
+    "q_events_funnel",
+    "q_events_retention",
+    "q_join_bloom_prefilter",
+    "q_join_incremental_maintenance",
+    "q_join_nullsafe",
+    "q_layout_zorder",
+    "q_multimodal_resize",
+    "q_retrieval_bm25",
+    "q_retrieval_hybrid_rrf",
+    "q_retrieval_tfidf",
+    "q_sample_split",
+    "q_sim_centroid_outliers",
+    "q_sim_ivf_topk",
+    "q_sim_lsh_recall",
+    "q_sink_codec_zstd",
+    "q_sink_dynamic_overwrite",
+    "q_sink_jsonl",
+    "q_sink_schema_evolution",
+    "q_stats_regression",
+    "q_text_bpe_encode",
+    "q_text_bpe_merges",
+    "q_text_collocations",
+    "q_text_pack",
+    "q_text_pack_concat",
+    "q_text_vocab_coverage",
+    "q_topk_per_group",
+    "q_ts_gapfill_ffill",
+    "q_ts_now_audit",
+    "q_upsert_scd2_history",
+    "q_validate_expectations",
+    "q_window_ntile",
+    "q_window_ohlc",
+    # r6-era (driver rows from CORRECTNESS_r06) — 5 oldest-tier picks,
+    # flagship/§2-first
+    "q_rebuild_full",
+    "q_agg_dashboard",
+    "q_join_star",
+    "q_ts_gtfs_parse",
 ]
 
 _WINDOW = _WINDOW_FRONT + _WINDOW_FILLER

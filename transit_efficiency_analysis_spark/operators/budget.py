@@ -76,17 +76,23 @@ def running_total(
             "non-decreasing along order_by, e.g. the negated leading "
             "sort column for a DESC order)"
         )
+    if n_buckets < 1:
+        raise ValueError(f"running_total: n_buckets must be >= 1, got {n_buckets}")
     w = F.col(weight) if isinstance(weight, str) else weight
     key = F.col(bucket_by) if isinstance(bucket_by, str) else bucket_by
 
     # Boundaries: approximate quantiles of the bucket key, collected once
     # (bounded: n_buckets - 1 scalars) and embedded as literals. They
-    # steer balance only — any boundary set yields correct sums.
-    qs = [i / n_buckets for i in range(1, n_buckets)]
-    (bounds,) = df.select(
-        F.percentile_approx(key, qs, 10_000).alias("b")
-    ).first()
-    uniq = sorted({b for b in (bounds or []) if b is not None})
+    # steer balance only — any boundary set yields correct sums. With a
+    # single bucket there are no boundaries and no percentile action.
+    if n_buckets == 1:
+        uniq: list = []
+    else:
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        (bounds,) = df.select(
+            F.percentile_approx(key, qs, 10_000).alias("b")
+        ).first()
+        uniq = sorted({b for b in (bounds or []) if b is not None})
 
     bucket = F.lit(0)
     for b in uniq:

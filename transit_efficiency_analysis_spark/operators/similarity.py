@@ -846,6 +846,15 @@ def semantic_dedup_hier(
     Returns (vec_id, cell, kept, dup_of) exactly like
     :func:`semantic_dedup`; ``cell`` is the fine cell id.
     """
+    if n_centroids < 1:
+        raise ValueError(
+            f"semantic_dedup_hier: n_centroids must be >= 1, got {n_centroids}"
+        )
+    if not 1 <= coarse_cells <= n_centroids:
+        raise ValueError(
+            "semantic_dedup_hier: coarse_cells must satisfy "
+            f"1 <= coarse_cells <= n_centroids, got {coarse_cells}"
+        )
     cents = ivf_centroids(df, id_col, vec_col, n_centroids, lloyd_rounds=0)
     # cluster the centroids: coarse ids over the K fine centroids
     ccents = ivf_centroids(
@@ -876,36 +885,50 @@ def semantic_dedup_hier(
         as_double(F.col(vec_col)).alias("v"),
         norm(as_double(F.col(vec_col))).alias("vn"),
     )
-    # vector → coarse group: n × C
-    v2c_sim = dot(F.col("v"), F.col("ccv")) / (F.col("vn") * F.col("ccn"))
-    v2c = (
-        base.join(F.broadcast(ccents))
-        .select("vec_id", "v", "vn", "ccell", v2c_sim.alias("csim"))
-        .withColumn(
-            "crank",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(
-                    F.col("csim").desc(), F.col("ccell")
-                )
-            ),
+    # Assignment is MAP-ONLY (round 11, VERDICT r10 #8): instead of
+    # fanning each vector out to n × C rows through a broadcast join and
+    # collapsing with a per-vec_id rank window (an exchange of C vector
+    # copies), the centroid set rides along as ONE broadcast array-of-
+    # structs row and a per-row aggregate fold computes the argmax in
+    # place — the lsh_bucket_expr pattern. sort_array orders the structs
+    # by the leading cell id, and the fold replaces only on STRICTLY
+    # greater similarity, so ties keep the smallest cell id — the same
+    # tie-break the rank window (sim DESC, cell ASC) produced; the
+    # DuckDB oracle mirrors it unchanged.
+    def _argmax_cell(arr: Column, cell_f: str, vec_f: str, norm_f: str) -> Column:
+        init = F.struct(
+            F.lit(float("-inf")).alias("s"), F.lit(-1).cast("long").alias("c")
         )
-        .where(F.col("crank") == 1)
-        .select("vec_id", "v", "vn", "ccell")
+
+        def merge(acc: Column, e: Column) -> Column:
+            sim = dot(F.col("v"), e[vec_f]) / (F.col("vn") * e[norm_f])
+            return F.when(
+                sim > acc["s"],
+                F.struct(sim.alias("s"), e[cell_f].cast("long").alias("c")),
+            ).otherwise(acc)
+
+        return F.aggregate(arr, init, merge)["c"]
+
+    # vector → coarse group: fold over the C coarse centroids
+    cc_arr = ccents.agg(
+        F.sort_array(F.collect_list(F.struct("ccell", "ccv", "ccn"))).alias("cc")
     )
-    # vector → fine cell WITHIN its coarse group: n × (K/C) average
-    fine_sim = dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn"))
-    assigned = (
-        v2c.join(F.broadcast(f2c), "ccell")
-        .select("vec_id", "v", "vn", "cell", fine_sim.alias("fsim"))
-        .withColumn(
-            "frank",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(
-                    F.col("fsim").desc(), F.col("cell")
-                )
-            ),
-        )
-        .where(F.col("frank") == 1)
-        .select("vec_id", "v", "vn", "cell")
+    v2c = base.crossJoin(F.broadcast(cc_arr)).select(
+        "vec_id",
+        "v",
+        "vn",
+        _argmax_cell(F.col("cc"), "ccell", "ccv", "ccn").alias("ccell"),
+    )
+    # vector → fine cell WITHIN its coarse group: the K fine centroids
+    # grouped into C broadcast arrays (~K/C structs each); the join key
+    # is the coarse id, the fold scores only that group's centroids
+    fc_arr = f2c.groupBy(F.col("ccell").cast("long").alias("ccell")).agg(
+        F.sort_array(F.collect_list(F.struct("cell", "cv", "cn"))).alias("fc")
+    )
+    assigned = v2c.join(F.broadcast(fc_arr), "ccell").select(
+        "vec_id",
+        "v",
+        "vn",
+        _argmax_cell(F.col("fc"), "cell", "cv", "cn").alias("cell"),
     )
     return _keep_first_in_cells(assigned, threshold)

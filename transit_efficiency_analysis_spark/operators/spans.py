@@ -265,3 +265,48 @@ def novelty_scores(docs: DataFrame, k: int = 5, text_col: str = "text",
         F.count("is_dup").alias("n_dup"),
         (1.0 - F.count("is_dup") / F.count(F.lit(1))).alias("novelty"),
     )
+
+
+# --- standing k-gram table maintenance (streaming dedup-at-ingest) ----------
+#
+# The q_stream_dup_screen demo appends each batch's DISTINCT k-grams to the
+# standing table, which still accumulates one row per (batch, kgram) for
+# k-grams re-seen across batches — unbounded growth proportional to ingested
+# batches, not to distinct k-grams. The two retention rules docs/SCALE.md
+# prescribes, as composable operators (measured by
+# tools/bench_stream_kgram.py; growth rows in docs/SCALE.md):
+
+
+def new_kgrams_for_append(
+    batch: DataFrame, standing: DataFrame, k: int = 5,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """MERGE-unique append set: the batch's distinct k-grams NOT already
+    in the standing table (one anti-join on the 8-byte kgram key).
+    Appending exactly this relation per batch keeps the standing table
+    unique without ever rewriting it — growth is bounded by the corpus's
+    DISTINCT k-gram count, not by batches ingested. At scale bucket the
+    standing table by ``kgram`` so both the membership join and this
+    anti-join are shuffle-free on the standing side."""
+    return (
+        kgram_occurrences(batch, k, text_col, id_col)
+        .select("kgram")
+        .distinct()
+        .join(standing.select("kgram"), "kgram", "left_anti")
+    )
+
+
+def kgram_table_ttl(standing: DataFrame, current_batch: int, ttl: int) -> DataFrame:
+    """Bounded-horizon retention: keep k-grams last seen within ``ttl``
+    batches of ``current_batch``. Requires a ``last_seen`` column —
+    maintain it by MERGE-ing ``(kgram, last_seen=batch_id)`` per batch
+    (``operators.upsert.merge_into_sql`` with ``keys=['kgram']``,
+    ``order_by=['last_seen']`` is the pure-Parquet runtime; Delta MERGE
+    at scale). Dropping a k-gram narrows dedup semantics to "duplicated
+    against the last ``ttl`` batches" — a retention POLICY for horizon-
+    bounded ingest (news feeds, logs), not an optimization of the exact
+    rule. Run as an occasional compaction (O(table) rewrite), not per
+    batch."""
+    if ttl < 0:
+        raise ValueError(f"kgram_table_ttl: ttl must be >= 0, got {ttl}")
+    return standing.where(F.col("last_seen") >= F.lit(current_batch - ttl))

@@ -45,6 +45,11 @@ def _update_user_state(
 ) -> Iterable[pd.DataFrame]:
     (user_id,) = key
     n, total, max_ts = state.get if state.exists else (0, 0.0, None)
+    # Normalize a legacy NaT persisted by a pre-guard checkpoint ONCE, up
+    # front: if every later chunk is all-null the fold below never touches
+    # max_ts, and re-persisting/emitting NaT would diverge from the batch
+    # F.max recompute (NULL) — ADVICE r10.
+    max_ts = None if pd.isna(max_ts) else max_ts
     for pdf in pdfs:
         n += len(pdf)
         # math.fsum: exact rounded sum, independent of batch/row order —
@@ -146,6 +151,10 @@ class RunningUserAggProcessor:
         n, total, max_ts = (
             self._state.get() if self._state.exists() else (0, 0.0, None)
         )
+        # same up-front legacy-NaT normalization as _update_user_state
+        # (ADVICE r10): an all-null stream after a poisoned checkpoint
+        # must emit NULL, not re-persist NaT
+        max_ts = None if pd.isna(max_ts) else max_ts
         for pdf in rows:
             n += len(pdf)
             total = math.fsum([total] + list(pdf["value"].dropna()))
