@@ -466,13 +466,21 @@ def main() -> int:
     # history grew" experiment). Two layouts:
     #   * shuffle join (plain views): both sides exchange on the
     #     composite key per query — must scale ~linearly;
-    #   * bucketed layout at Nx: both sides pre-bucketed on trip_id
-    #     (a subset of the 4 join keys — HashPartitioning(trip_id)
-    #     satisfies the join's ClusteredDistribution, verified
-    #     count_shuffles == 0), the pay-once storage strategy the
-    #     operators/delay.py docstring prescribes for 100 TB. The
-    #     layout write is reported separately (it amortizes over every
-    #     later query); the join wall-clock is what a rebuild costs.
+    #   * bucketed layout at Nx: both sides pre-bucketed AND pre-sorted
+    #     on the FULL composite key, with tu.stop_id normalized to long
+    #     at write (the reference keeps it string and casts inside the
+    #     join condition; a storage layout designed for the join
+    #     normalizes the type once so the join keys are plain columns
+    #     and the cast folds away). With the full key bucketed the
+    #     4-key SortMergeJoin needs no exchange AND no per-task sort
+    #     under default confs (count_shuffles == 0 — asserted). A
+    #     trip_id-only bucket layout also reaches 0 exchanges but only
+    #     under spark.sql.requireAllClusterKeysForCoPartition=false
+    #     (subset co-partitioning), and still pays the 4-key sort —
+    #     measured slower than the full-key layout; the full-key form
+    #     is the one docs/SCALE.md records. The layout write is
+    #     reported separately (it amortizes over every later query);
+    #     the join wall-clock is what a rebuild costs.
     if want("rebuild_delays"):
         import shutil
 
@@ -521,15 +529,18 @@ def main() -> int:
         for t in ("tu_b", "gd_b"):
             spark.sql(f"DROP TABLE IF EXISTS scale_bench.{t}")
         shutil.rmtree("/tmp/teas_warehouse/scale_bench.db", ignore_errors=True)
+        keys = ["trip_id", "start_date", "stop_sequence", "stop_id"]
         t0 = time.time()
         (
-            _trip_copies(tu0, copies).write.mode("overwrite")
-            .bucketBy(32, "trip_id").sortBy("trip_id")
+            _trip_copies(tu0, copies)
+            .withColumn("stop_id", F.col("stop_id").cast("long"))
+            .write.mode("overwrite")
+            .bucketBy(32, *keys).sortBy(*keys)
             .saveAsTable("scale_bench.tu_b")
         )
         (
             _trip_copies(gd0, copies).write.mode("overwrite")
-            .bucketBy(32, "trip_id").sortBy("trip_id")
+            .bucketBy(32, *keys).sortBy(*keys)
             .saveAsTable("scale_bench.gd_b")
         )
         t_layout = time.time() - t0
@@ -542,6 +553,10 @@ def main() -> int:
         t0 = time.time()
         rb = joined_b.count()
         tb = time.time() - t0
+        if n_shuf != 0:
+            print(f"# rebuild_delays_bucketed: expected 0 shuffles, got "
+                  f"{n_shuf}", file=sys.stderr)
+            return 1
         results["rebuild_delays_bucketed"] = {
             "tN": round(tb, 2), "layout_s": round(t_layout, 2),
             "shuffles": n_shuf, "rowsN": rb,
