@@ -158,3 +158,17 @@ def test_bench_scale_token_budget_family_runs():
     rec = json.loads(out.stdout.strip().splitlines()[-1])
     tb = rec["pipelines"]["token_budget"]
     assert tb["rows1"] > 0 and tb["rowsN"] > tb["rows1"]
+
+
+def test_merge_parquet_demo_isolated_per_sf(spark):
+    """The merge demo's committed state must be keyed per sf_dir: one
+    process running it at two scale factors (driver smoke at sf0.001 +
+    correctness gate at sf0.01) must never merge one corpus's batches
+    onto the other's state — idempotent per sf, different across sfs."""
+    from transit_efficiency_analysis_spark.demo import load_registry
+
+    fn = load_registry()["q_upsert_merge_parquet"].fn
+    a = fn(spark, "/root/testdata/sf0.001").count()
+    b = fn(spark, "/root/testdata/sf0.01").count()
+    assert fn(spark, "/root/testdata/sf0.001").count() == a
+    assert a != b

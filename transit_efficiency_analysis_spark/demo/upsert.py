@@ -210,10 +210,14 @@ def q_upsert_merge_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "event_id", "ts", "value"
     )
-    d = _RESULT_CACHE.get("upsert_merge_parquet")
+    # keyed per sf_dir: merging one scale factor's batches onto another's
+    # committed state would be a real (cross-corpus) merge, not the
+    # fixed point the oracle describes
+    key = f"upsert_merge_parquet_{sf_dir.strip('/').replace('/', '_')}"
+    d = _RESULT_CACHE.get(key)
     if d is None:
         d = tempfile.mkdtemp(prefix="demo_merge_parquet_")
-        _RESULT_CACHE["upsert_merge_parquet"] = d
+        _RESULT_CACHE[key] = d
     target = f"{d}/state"
     keys = ["user_id", "event_type"]
     order_by = ["ts", "event_id"]
