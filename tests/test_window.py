@@ -65,3 +65,67 @@ def test_filler_names_have_prior_green_row():
         f"window 'filler' entries without a prior green driver row "
         f"(belongs in _WINDOW_FRONT instead): {impostors}"
     )
+
+
+def _check_with(tmp_path, monkeypatch, rounds: dict[int, list[str]],
+                window: list[str], registry: list[str]):
+    """Run check_window.check against synthetic CORRECTNESS files."""
+    import sys
+
+    sys.path.insert(0, os.path.join(_REPO, "tools"))
+    try:
+        import check_window
+    finally:
+        sys.path.pop(0)
+    for rnd, names in rounds.items():
+        payload = {n: {"hash_match": True} for n in names}
+        with open(tmp_path / f"CORRECTNESS_r{rnd:02d}.json", "w") as f:
+            json.dump(payload, f)
+    monkeypatch.setattr(check_window, "_REPO", str(tmp_path))
+    monkeypatch.setattr(check_window, "WINDOW_SIZE", len(window))
+    return check_window.check(window, registry)
+
+
+def test_check_window_flags_skipped_rotation(tmp_path, monkeypatch):
+    """The exact round-10 failure signature: window == previous round's
+    checked set must fail R2."""
+    reg = [f"q{i}" for i in range(6)]
+    errs = _check_with(
+        tmp_path, monkeypatch,
+        rounds={1: ["q0", "q1", "q2"], 2: ["q0", "q1", "q2"]},
+        window=["q0", "q1", "q2"], registry=reg,
+    )
+    assert any("R2" in e for e in errs)
+
+
+def test_check_window_flags_unwindowed_new_entry(tmp_path, monkeypatch):
+    reg = ["q0", "q1", "q2", "q_new"]
+    errs = _check_with(
+        tmp_path, monkeypatch,
+        rounds={1: ["q0", "q1", "q2"]},
+        window=["q0", "q1", "q2"], registry=reg,
+    )
+    assert any("R1" in e and "q_new" in e for e in errs)
+
+
+def test_check_window_flags_stale_entry_beyond_cycle(tmp_path, monkeypatch):
+    # 6 registry entries, window 2 -> cycle max(4, 3) = 4 rounds.
+    # q5 last checked r1; at upcoming r7 its age is 6 > 4 and it has no
+    # slot -> R3.
+    reg = [f"q{i}" for i in range(6)]
+    errs = _check_with(
+        tmp_path, monkeypatch,
+        rounds={1: reg, 6: ["q0", "q1"]},
+        window=["q2", "q3"], registry=reg,
+    )
+    assert any("R3" in e and "q5" in e for e in errs)
+
+
+def test_check_window_passes_honest_rotation(tmp_path, monkeypatch):
+    reg = [f"q{i}" for i in range(4)]
+    errs = _check_with(
+        tmp_path, monkeypatch,
+        rounds={1: reg, 2: ["q0", "q1"]},
+        window=["q2", "q3"], registry=["q2", "q3", "q0", "q1"],
+    )
+    assert errs == []

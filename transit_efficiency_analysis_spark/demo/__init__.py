@@ -102,17 +102,25 @@ _WINDOW_FRONT = [
     # New in round 11 (the pure-Parquet transactional MERGE runtime —
     # VERDICT r10 gap #3): new entries take slots the round they land.
     "q_upsert_merge_parquet",
+    # Implementation changed this round (policy: re-verify the round the
+    # code changes): the dup-screen's standing-table maintenance moved
+    # to the MERGE-unique append set (operators/spans.py
+    # new_kgrams_for_append) — screening proven policy-invariant, but
+    # the driver row should postdate the change.
+    "q_stream_dup_screen",
 ]
 
 # Prior-green re-verification filler, least-recently-verified first:
 # ALL 43 r5-era rows (their latest driver row is CORRECTNESS_r05 — six
 # rounds stale, the freshness backlog VERDICT r10 item #2 called out),
-# then 4 r6-era rows picked flagship-and-§2-first (q_rebuild_full is the
-# flagship entry(); the others are §2 headline families — q_upsert_cond
-# ceded its pick to the new q_upsert_merge_parquet, which exercises the
-# same upsert family more deeply). The remaining 42 r6 rows are exactly
-# one rotation cycle old after this round — round 12's window takes
-# them plus the oldest r7 rows.
+# then 3 r6-era rows picked flagship-and-§2-first (q_rebuild_full is the
+# flagship entry(); q_upsert_cond ceded its pick to the new
+# q_upsert_merge_parquet, which exercises the same upsert family more
+# deeply, and q_ts_gtfs_parse — pure column expressions, untouched
+# since r6 — ceded its pick to the re-verification of the changed
+# q_stream_dup_screen). The remaining 43 r6 rows are exactly one
+# rotation cycle old after this round — round 12's window takes them
+# plus the oldest r7 rows.
 _WINDOW_FILLER: list[str] = [
     # r5-era (driver rows from CORRECTNESS_r05) — all 43
     "q_agg_dashboard_materialized",
@@ -163,7 +171,6 @@ _WINDOW_FILLER: list[str] = [
     "q_rebuild_full",
     "q_agg_dashboard",
     "q_join_star",
-    "q_ts_gtfs_parse",
 ]
 
 _WINDOW = _WINDOW_FRONT + _WINDOW_FILLER

@@ -801,16 +801,22 @@ def q_stream_dup_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-batch duplicates, appends the batch's spans to the result,
     then appends the batch's distinct k-grams to the standing table —
     the production shape where a 100 TB corpus's k-gram index is
-    appended per accepted batch, never recomputed. The oracle is the
-    one-shot SQL of the same batch-visibility rule ("a position is
-    duplicated iff some occurrence exists in an EARLIER batch or in a
-    different doc of the SAME batch"), so the driver hash proves the
-    stream of batch screens equals the batch-semantics recompute.
-    Per-batch cost: batch k-gram explode + one membership join against
-    the standing table."""
+    appended per accepted batch, never recomputed. Since round 11 the
+    append set is the MERGE-unique relation (only k-grams NOT already
+    standing — operators/spans.py new_kgrams_for_append, the retention
+    rule docs/SCALE.md measured: table bounded by distinct k-grams
+    instead of growing per batch; screening is policy-invariant, proven
+    by tools/bench_stream_kgram.py's per-batch span assertion, so the
+    oracle is unchanged). The oracle is the one-shot SQL of the same
+    batch-visibility rule ("a position is duplicated iff some
+    occurrence exists in an EARLIER batch or in a different doc of the
+    SAME batch"), so the driver hash proves the stream of batch screens
+    equals the batch-semantics recompute. Per-batch cost: batch k-gram
+    explode + one membership join + one anti-join against the standing
+    table."""
     from transit_efficiency_analysis_spark.demo.textprep import _K
     from transit_efficiency_analysis_spark.operators.spans import (
-        kgram_occurrences,
+        new_kgrams_for_append,
         spans_against_kgram_set,
     )
 
@@ -835,7 +841,7 @@ def q_stream_dup_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         spans_against_kgram_set(bdf, _kgram_set(), k=_K).write.mode(
             "append"
         ).parquet(result_dir)
-        kgram_occurrences(bdf, _K).select("kgram").distinct().write.mode(
+        new_kgrams_for_append(bdf, _kgram_set(), k=_K).write.mode(
             "append"
         ).parquet(kgram_tbl)
 
