@@ -61,3 +61,19 @@ def test_token_budget_no_global_data_window(spark, sf_dir):
     for line in plan.splitlines():
         if "Window" in line and "cum_tokens" in line:
             assert "_pid" in line, f"data window lost its bucket key: {line}"
+
+
+def test_dup_spans_single_scan_two_exchanges(spark, sf_dir):
+    """Round-11 rewrite: the in-corpus dup test is a min/max window over
+    the kgram partition (operators/spans.py _flag_occurrences), not a
+    groupBy + join-back — so the whole detection plan is ONE scan of the
+    documents table and exactly two exchanges (kgram window, doc-keyed
+    island window). The old form scanned/exploded the corpus twice and
+    added the dup-set aggregation as a third wide stage (measured ~2x
+    slower at sf0.1)."""
+    from transit_efficiency_analysis_spark.plans import count_shuffles
+
+    df = load_registry()["q_text_dup_spans"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert count_shuffles(df) == 2
+    assert plan.count("FileScan") == 1

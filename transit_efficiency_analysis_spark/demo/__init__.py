@@ -108,19 +108,26 @@ _WINDOW_FRONT = [
     # new_kgrams_for_append) — screening proven policy-invariant, but
     # the driver row should postdate the change.
     "q_stream_dup_screen",
+    # Also implementation-changed: the in-corpus span family's dup test
+    # moved from groupBy+join-back to the single-exchange kgram window
+    # (operators/spans.py _flag_occurrences, measured ~2x at sf0.1);
+    # outputs proven identical, but same rule — driver rows postdate
+    # the change. These three took the slots of the r6 re-verification
+    # picks (q_rebuild_full, q_agg_dashboard, q_join_star — unchanged
+    # code, green r6 rows; round 12's window takes them with the other
+    # r6 rows, which hit the cycle boundary then anyway).
+    "q_text_dup_spans",
+    "q_text_dup_span_removal",
+    "q_text_novelty",
 ]
 
 # Prior-green re-verification filler, least-recently-verified first:
 # ALL 43 r5-era rows (their latest driver row is CORRECTNESS_r05 — six
-# rounds stale, the freshness backlog VERDICT r10 item #2 called out),
-# then 3 r6-era rows picked flagship-and-§2-first (q_rebuild_full is the
-# flagship entry(); q_upsert_cond ceded its pick to the new
-# q_upsert_merge_parquet, which exercises the same upsert family more
-# deeply, and q_ts_gtfs_parse — pure column expressions, untouched
-# since r6 — ceded its pick to the re-verification of the changed
-# q_stream_dup_screen). The remaining 43 r6 rows are exactly one
-# rotation cycle old after this round — round 12's window takes them
-# plus the oldest r7 rows.
+# rounds stale, the freshness backlog VERDICT r10 item #2 called out).
+# No r6 picks survived: the front's seven new/changed entries outrank
+# re-verification of unchanged code, so all 46 r6 rows are exactly one
+# rotation cycle old after this round — round 12's window MUST take
+# them (tools/check_window.py R3 enforces it) plus the oldest r7 rows.
 _WINDOW_FILLER: list[str] = [
     # r5-era (driver rows from CORRECTNESS_r05) — all 43
     "q_agg_dashboard_materialized",
@@ -166,11 +173,6 @@ _WINDOW_FILLER: list[str] = [
     "q_validate_expectations",
     "q_window_ntile",
     "q_window_ohlc",
-    # r6-era (driver rows from CORRECTNESS_r06) — 5 oldest-tier picks,
-    # flagship/§2-first
-    "q_rebuild_full",
-    "q_agg_dashboard",
-    "q_join_star",
 ]
 
 _WINDOW = _WINDOW_FRONT + _WINDOW_FILLER

@@ -76,6 +76,15 @@ def duplicated_kgrams(occ: DataFrame, id_col: str = "doc_id") -> DataFrame:
     the threshold 2 and a single-phase aggregate, where
     ``count_distinct(id) >= 2`` would expand into a second
     (kgram, id)-keyed exchange just to count ids we don't need.
+
+    Use this form when the duplicated-kgram SET is the product (the
+    incremental/streaming screens ship it across a batch boundary). The
+    in-corpus consumers (:func:`duplicated_spans`,
+    :func:`remove_duplicated_spans`, :func:`novelty_scores`) use
+    :func:`_flag_occurrences` instead — joining this relation back to
+    the occurrences it came from re-scans and re-shuffles the corpus;
+    the window form pays ONE kgram exchange total (r11, measured ~2x at
+    sf0.1).
     """
     return (
         occ.groupBy("kgram")
@@ -85,6 +94,26 @@ def duplicated_kgrams(occ: DataFrame, id_col: str = "doc_id") -> DataFrame:
         )
         .where(F.col("canonical_id") != F.col("_max_id"))
         .drop("_max_id")
+    )
+
+
+def _flag_occurrences(occ: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The occurrence relation with per-kgram ``canonical_id`` (min doc)
+    and ``is_dup`` (seen in >= 2 distinct docs) attached IN PLACE.
+
+    One exchange on the kgram — a ``min/max`` window over each kgram's
+    (tiny) occurrence group — where the groupBy-then-join-back form
+    costs two wide stages: the partial-agg shuffle of ~distinct k-grams
+    PLUS a second scan/explode of the corpus shuffled into the join
+    (and, if the dup set broadcasts, a driver-side collect that grows
+    with the corpus — exactly what must not happen at 100 TB). Same
+    single-phase ``min != max`` distinct-docs test as
+    :func:`duplicated_kgrams`.
+    """
+    w = Window.partitionBy("kgram")
+    return (
+        occ.withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("is_dup", F.col("canonical_id") != F.max(id_col).over(w))
     )
 
 
@@ -126,8 +155,11 @@ def duplicated_spans(docs: DataFrame, k: int = 5, text_col: str = "text",
     of L tokens).
     """
     occ = kgram_occurrences(docs, k, text_col, id_col)
-    dup = duplicated_kgrams(occ, id_col).select("kgram")
-    hits = occ.join(dup, "kgram").select(id_col, "pos")
+    hits = (
+        _flag_occurrences(occ, id_col)
+        .where(F.col("is_dup"))
+        .select(id_col, "pos")
+    )
     return _merge_islands(hits, k, id_col).drop("island")
 
 
@@ -148,10 +180,9 @@ def remove_duplicated_spans(docs: DataFrame, k: int = 5,
     token is covered come back with ``text_clean = ''``.
     """
     occ = kgram_occurrences(docs, k, text_col, id_col)
-    dup = duplicated_kgrams(occ, id_col).select("kgram", "canonical_id")
     covered = (
-        occ.join(dup, "kgram")
-        .where(F.col(id_col) != F.col("canonical_id"))
+        _flag_occurrences(occ, id_col)
+        .where(F.col("is_dup") & (F.col(id_col) != F.col("canonical_id")))
         .select(
             F.col(id_col).alias("_cid"),
             F.explode(
@@ -256,14 +287,12 @@ def novelty_scores(docs: DataFrame, k: int = 5, text_col: str = "text",
     frequency relation as :func:`duplicated_spans`, one extra groupBy.
     """
     occ = kgram_occurrences(docs, k, text_col, id_col)
-    dup = duplicated_kgrams(occ, id_col).select(
-        "kgram", F.lit(1).alias("is_dup")
-    )
-    flagged = occ.join(dup, "kgram", "left")
+    flagged = _flag_occurrences(occ, id_col)
+    n_dup = F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
     return flagged.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_kgrams"),
-        F.count("is_dup").alias("n_dup"),
-        (1.0 - F.count("is_dup") / F.count(F.lit(1))).alias("novelty"),
+        n_dup.alias("n_dup"),
+        (1.0 - n_dup / F.count(F.lit(1))).alias("novelty"),
     )
 
 
