@@ -402,3 +402,47 @@ def test_semantic_dedup_hier_assignment_is_map_only(spark, sf_dir):
     # pairing stage only: the dup-pair groupBy and the keep-first
     # join-back — 2 data-proportional exchanges, not 4
     assert count_shuffles(out) <= 2
+
+
+from hypothesis import given, settings, strategies as st
+
+_words_st = st.lists(
+    st.sampled_from([f"w{i}" for i in range(12)]), min_size=0, max_size=30
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=st.lists(_words_st, min_size=1, max_size=8))
+def test_flag_occurrences_equals_groupby_join_form(spark, texts):
+    """The r11 single-exchange window form must equal the
+    duplicated_kgrams groupBy + join-back form on arbitrary corpora —
+    same is_dup flags and the same canonical (min doc) ids per
+    occurrence. A tiny vocabulary forces heavy cross-doc k-gram
+    collisions, the regime where the two forms could diverge."""
+    from transit_efficiency_analysis_spark.operators.spans import (
+        _flag_occurrences,
+        duplicated_kgrams,
+        kgram_occurrences,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    occ = kgram_occurrences(docs, k=3)
+    win = {
+        (r.doc_id, r.pos): (r.canonical_id, r.is_dup)
+        for r in _flag_occurrences(occ).collect()
+    }
+    dup = duplicated_kgrams(occ).withColumnRenamed("canonical_id", "_can")
+    ref_rows = occ.join(dup, "kgram", "left").collect()
+    ref = {}
+    mins = {}
+    for r in occ.join(
+        occ.groupBy("kgram").agg(F.min("doc_id").alias("_mn")), "kgram"
+    ).collect():
+        mins[(r.doc_id, r.pos)] = r._mn
+    for r in ref_rows:
+        ref[(r.doc_id, r.pos)] = (
+            mins[(r.doc_id, r.pos)],
+            r._can is not None,
+        )
+    assert win == ref
