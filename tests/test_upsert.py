@@ -412,3 +412,53 @@ def test_merge_into_sql_null_keys_match_nullsafe(spark, tmp_path):
     assert len(rows) == 2
     null_row = [r for r in rows if r.key is None]
     assert len(null_row) == 1 and null_row[0].value == 2.0
+
+
+@settings(max_examples=8, deadline=None)
+@given(raw=rows_strategy, split=st.integers(min_value=0, max_value=25))
+def test_merge_into_sql_batch_split_invariant(spark, tmp_path_factory, raw, split):
+    """Property form of the executed-MERGE parity: ANY two-way batch
+    split folded through merge_into_sql's storage path equals the
+    in-memory merge_batch fold (merge_batch IS the specification)."""
+    from transit_efficiency_analysis_spark.operators.upsert import merge_into_sql
+
+    rows = _mk_rows(raw)
+    split = min(split, len(rows))
+    target = str(tmp_path_factory.mktemp("msql") / "tbl")
+    state_mem = spark.createDataFrame([], SCHEMA)
+    stored = None
+    for b in (rows[:split], rows[split:]):
+        if not b:
+            continue
+        inc = spark.createDataFrame(b, SCHEMA)
+        stored = merge_into_sql(target, inc, keys=["key"], order_by=["ts", "seq"])
+        state_mem = merge_batch(state_mem, inc, keys=["key"], order_by=["ts", "seq"])
+    got = sorted(tuple(r) for r in stored.collect())
+    want = sorted(tuple(r) for r in state_mem.collect())
+    assert got == want
+
+
+def test_merge_sql_plan_single_join_no_cartesian(spark):
+    """The executed MERGE must compile to ONE full-outer EQUI-join on
+    the match keys — never a cartesian/nested-loop (which a malformed
+    match condition would produce) — so the storage merge is one
+    exchange pair at 100 TB. Tested on the plan itself (merge_sql_plan),
+    not the committed re-read."""
+    from transit_efficiency_analysis_spark.operators.upsert import (
+        merge_sql_plan,
+        upsert_keep_newest,
+    )
+    from transit_efficiency_analysis_spark.plans import physical_plan
+
+    existing = spark.createDataFrame(_mk_rows([(0, 10, 1), (1, 20, 2)]), SCHEMA)
+    batch = upsert_keep_newest(
+        spark.createDataFrame(_mk_rows([(0, 30, 3)]), SCHEMA),
+        keys=["key"],
+        order_by=["ts", "seq"],
+    )
+    plan = physical_plan(
+        merge_sql_plan(existing, batch, keys=["key"], order_by=["ts", "seq"])
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "FullOuter" in plan

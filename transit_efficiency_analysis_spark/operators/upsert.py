@@ -368,6 +368,20 @@ def merge_into_sql(
         return overwrite_table(collapsed, target)
 
     existing = spark.read.parquet(target)
+    merged = merge_sql_plan(existing, collapsed, keys, order_by)
+    return overwrite_table(merged, target)
+
+
+def merge_sql_plan(
+    existing: DataFrame,
+    collapsed: DataFrame,
+    keys: list[str],
+    order_by: list[str],
+) -> DataFrame:
+    """The executed-MERGE row algebra of :func:`merge_into_sql`, as a
+    plan (no storage commit) — factored out so the full-outer-join shape
+    is plan-testable without going through parquet. ``collapsed`` must
+    already be one row per key (``upsert_keep_newest``)."""
     t = existing.withColumn("__p", F.lit(True)).alias("t")
     s = collapsed.withColumn("__p", F.lit(True)).alias("s")
     match = merge_match_condition(keys)
@@ -375,15 +389,15 @@ def merge_into_sql(
     take_s = F.expr("s.`__p` IS NOT NULL") & (
         F.expr("t.`__p` IS NULL") | F.expr(newer)
     )
-    merged = t.join(s, F.expr(match), "full_outer").select(
+    return t.join(s, F.expr(match), "full_outer").select(
         *[
             F.when(take_s, F.col(f"s.`{c}`"))
             .otherwise(F.col(f"t.`{c}`"))
             .alias(c)
-            for c in incoming.columns
+            for c in collapsed.columns
+            if c != "__p"
         ]
     )
-    return overwrite_table(merged, target)
 
 
 def _merge_into_delta(
