@@ -78,10 +78,11 @@ _DEMO_MODULES = [
 # "r3-green filler" while actually new-and-red in r4).
 # Standing freshness SLO (adopted round 8, recalibrated round 11): no
 # registry entry's latest driver row may be older than one full rotation
-# cycle — ceil(len(REGISTRY) / 50) rounds, currently ceil(237/50) = 5 —
+# cycle — ceil(len(REGISTRY) / 50) rounds (check_window computes it
+# live from the registry size; no literal count here, it drifted) —
 # and no entry may stay registered-but-never-driver-checked past the
 # round after it lands. (The original 4-round figure was set when the
-# registry was ~200 entries; at 237 a 4-round cycle would need a
+# registry was ~200 entries; past ~200 a 4-round cycle would need a
 # 60-slot window the driver doesn't have, so 4 was unachievable by
 # arithmetic, not negligence. The cycle-length form is the tightest
 # bound strict oldest-first rotation can actually deliver.)
@@ -91,88 +92,89 @@ _DEMO_MODULES = [
 # of this mechanically (wired into pytest via tests/test_window.py) so a
 # skipped rotation can never ship silently again — the round-10 miss
 # shipped exactly because the rotation lived only in a comment.
-# Round-11 window. Never-driver-checked entries take slots first (SLO
-# deadline: the round after they land, which for both is THIS round —
-# they were registered in round 10 and round 10's window was never
-# rotated, the miss VERDICT r10 flagged).
+# The round this window targets (the round whose driver run will
+# execute it). tools/check_window.py uses it to tell "this window's
+# results were just recorded" (grace: newest artifact == window and
+# 50/50 green) from "rotation skipped" (artifacts newer than the
+# window's target round) — the ADVICE r11 medium item.
+_WINDOW_ROUND = 12
+
+# Round-12 window. No new registry entries this round, so no
+# never-driver-checked names; the front holds the four demos whose
+# implementation changes this round (policy: driver rows must postdate
+# the change), and the filler takes ALL 46 r6-era rows — they hit the
+# 5-round rotation-cycle boundary this round, and check_window R3
+# lists exactly this set (VERDICT r11 gap #1 / ask #1).
 _WINDOW_FRONT = [
-    # Round-10 additions, never driver-checked:
-    "q_dedup_semantic_hier",
-    "q_sim_lsh_topk_derived",
-    # New in round 11 (the pure-Parquet transactional MERGE runtime —
-    # VERDICT r10 gap #3): new entries take slots the round they land.
+    # Implementation changes in round 12 (re-verify the round the code
+    # changes):
+    # - pure-Parquet MERGE goes batch-proportional via partitioned
+    #   rewrite + null-aware newer condition (VERDICT ask #2, ADVICE
+    #   upsert.py item):
     "q_upsert_merge_parquet",
-    # Implementation changed this round (policy: re-verify the round the
-    # code changes): the dup-screen's standing-table maintenance moved
-    # to the MERGE-unique append set (operators/spans.py
-    # new_kgrams_for_append) — screening proven policy-invariant, but
-    # the driver row should postdate the change.
+    # - the within-batch half of the incremental/streaming span screens
+    #   adopts the single-exchange _flag_occurrences window form
+    #   (VERDICT ask #3, the deferred r11 item):
+    "q_text_dup_spans_incremental",
     "q_stream_dup_screen",
-    # Also implementation-changed: the in-corpus span family's dup test
-    # moved from groupBy+join-back to the single-exchange kgram window
-    # (operators/spans.py _flag_occurrences, measured ~2x at sf0.1);
-    # outputs proven identical, but same rule — driver rows postdate
-    # the change. These three took the slots of the r6 re-verification
-    # picks (q_rebuild_full, q_agg_dashboard, q_join_star — unchanged
-    # code, green r6 rows; round 12's window takes them with the other
-    # r6 rows, which hit the cycle boundary then anyway).
-    "q_text_dup_spans",
-    "q_text_dup_span_removal",
-    "q_text_novelty",
+    # - hier SemDeDup assignment fold reworked to recover the 1x CPU
+    #   cost + NULL-sim guard (VERDICT ask #4, ADVICE similarity item):
+    "q_dedup_semantic_hier",
 ]
 
 # Prior-green re-verification filler, least-recently-verified first:
-# ALL 43 r5-era rows (their latest driver row is CORRECTNESS_r05 — six
-# rounds stale, the freshness backlog VERDICT r10 item #2 called out).
-# No r6 picks survived: the front's seven new/changed entries outrank
-# re-verification of unchanged code, so all 46 r6 rows are exactly one
-# rotation cycle old after this round — round 12's window MUST take
-# them (tools/check_window.py R3 enforces it) plus the oldest r7 rows.
+# ALL 46 r6-era rows (latest driver row CORRECTNESS_r06 — exactly one
+# rotation cycle old at round 12; check_window R3 forces them here).
+# This includes the flagship tier: q_rebuild_full, q_join_star,
+# q_agg_dashboard, q_ts_gtfs_parse, q_upsert_cond, the case-* family.
 _WINDOW_FILLER: list[str] = [
-    # r5-era (driver rows from CORRECTNESS_r05) — all 43
-    "q_agg_dashboard_materialized",
-    "q_agg_incremental_maintenance",
-    "q_agg_mode",
-    "q_agg_share",
-    "q_approx_distinct",
-    "q_approx_quantiles",
-    "q_approx_topk_cms",
-    "q_clean_mad_outliers",
-    "q_clean_winsorize",
-    "q_corpus_prep_pipeline",
-    "q_events_attribution",
-    "q_events_funnel",
-    "q_events_retention",
-    "q_join_bloom_prefilter",
-    "q_join_incremental_maintenance",
-    "q_join_nullsafe",
-    "q_layout_zorder",
-    "q_multimodal_resize",
-    "q_retrieval_bm25",
-    "q_retrieval_hybrid_rrf",
-    "q_retrieval_tfidf",
-    "q_sample_split",
-    "q_sim_centroid_outliers",
-    "q_sim_ivf_topk",
-    "q_sim_lsh_recall",
-    "q_sink_codec_zstd",
-    "q_sink_dynamic_overwrite",
-    "q_sink_jsonl",
-    "q_sink_schema_evolution",
-    "q_stats_regression",
-    "q_text_bpe_encode",
-    "q_text_bpe_merges",
-    "q_text_collocations",
-    "q_text_pack",
-    "q_text_pack_concat",
-    "q_text_vocab_coverage",
-    "q_topk_per_group",
-    "q_ts_gapfill_ffill",
-    "q_ts_now_audit",
-    "q_upsert_scd2_history",
-    "q_validate_expectations",
-    "q_window_ntile",
-    "q_window_ohlc",
+    # r6-era (driver rows from CORRECTNESS_r06) — all 46
+    "q_agg_dashboard",
+    "q_agg_salted_distinct",
+    "q_case_avg",
+    "q_case_bucket",
+    "q_case_diff",
+    "q_case_null",
+    "q_dedup_clusters_twophase",
+    "q_dedup_minhash_banded",
+    "q_dedup_simhash_pairs_h3",
+    "q_dedup_window_latest",
+    "q_expr_cast",
+    "q_expr_math",
+    "q_filter_entity",
+    "q_filter_sentinel",
+    "q_graph_pagerank",
+    "q_graph_triangles",
+    "q_join_anti",
+    "q_join_diff",
+    "q_join_outer",
+    "q_join_semi",
+    "q_join_star",
+    "q_limit_topk",
+    "q_proj_concat",
+    "q_proj_rename",
+    "q_proj_select",
+    "q_rebuild_full",
+    "q_sample_temperature",
+    "q_set_except",
+    "q_set_intersect",
+    "q_set_union",
+    "q_sim_int8_quantize",
+    "q_sim_ivf_lloyd_topk",
+    "q_sim_ivf_pq_topk",
+    "q_stats_drift_tvd",
+    "q_ts_date_parse",
+    "q_ts_dow_name",
+    "q_ts_gtfs_parse",
+    "q_ts_hour_local",
+    "q_ts_tz_localize",
+    "q_ts_unix",
+    "q_upsert_cond",
+    "q_upsert_ignore",
+    "q_window_lag",
+    "q_window_ntile_approx",
+    "q_window_rank",
+    "q_window_running",
 ]
 
 _WINDOW = _WINDOW_FRONT + _WINDOW_FILLER
