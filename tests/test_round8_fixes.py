@@ -117,9 +117,13 @@ def test_merge_match_condition_strings():
 
 
 def test_merge_newer_condition_strings():
-    assert merge_newer_condition(["ts"]) == "(s.`ts` > t.`ts`)"
+    # null-aware since round 12 (ADVICE r11): a non-NULL source value
+    # beats a stored NULL, matching merge_batch's desc-NULLS-LAST order
+    null_term = "(t.`ts` IS NULL AND s.`ts` IS NOT NULL) OR s.`ts` > t.`ts`"
+    assert merge_newer_condition(["ts"]) == f"({null_term})"
+    seq_term = "(t.`seq` IS NULL AND s.`seq` IS NOT NULL) OR s.`seq` > t.`seq`"
     assert merge_newer_condition(["ts", "seq"]) == (
-        "(s.`ts` > t.`ts`) OR (t.`ts` <=> s.`ts` AND s.`seq` > t.`seq`)"
+        f"({null_term}) OR (t.`ts` <=> s.`ts` AND ({seq_term}))"
     )
 
 
@@ -150,12 +154,18 @@ def test_merge_newer_condition_semantics(spark):
     }
 
     def newer(tv, sv):
-        # SQL comparison semantics: any comparison with NULL is unknown
-        # (never satisfies), <=> treats NULL as equal
+        # merge_batch's ordering: desc NULLS LAST, so any value beats
+        # NULL; a NULL source never beats a value; NULL ties NULL (<=>)
         (ta, tb), (sa, sb) = tv, sv
-        first = sa is not None and ta is not None and sa > ta
+
+        def col_newer(t, s):
+            if t is None:
+                return s is not None
+            return s is not None and s > t
+
+        first = col_newer(ta, sa)
         tie_first = sa == ta  # both None compares equal under <=>
-        second = sb is not None and tb is not None and sb > tb
+        second = col_newer(tb, sb)
         return first or (tie_first and second)
 
     want = {
