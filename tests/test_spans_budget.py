@@ -446,3 +446,34 @@ def test_flag_occurrences_equals_groupby_join_form(spark, texts):
             r._can is not None,
         )
     assert win == ref
+
+
+def test_incremental_screen_single_batch_side_exchange(spark):
+    """Round 12 (deferred r11 item): the within-batch half of
+    spans_against_kgram_set uses the _flag_occurrences window form —
+    the batch is exploded ONCE and exchanged ONCE on the kgram (the
+    min/max window), with the corpus-membership join reusing that
+    partitioning. The pre-r12 duplicated_kgrams+join form consumed the
+    batch occurrence subtree twice (a groupBy AND the membership join),
+    which shows up as two posexplode generates in the physical plan."""
+    from transit_efficiency_analysis_spark.operators.spans import (
+        spans_against_kgram_set,
+    )
+
+    batch = _corpus(spark)
+    kgram_set = spark.createDataFrame([(123456789,)], "kgram long")
+    plan = (
+        spans_against_kgram_set(batch, kgram_set, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("posexplode") == 1, plan
+    kgram_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning(kgram" in ln
+    ]
+    # one for the batch window; at most one more for the standing set's
+    # de-dup (none here: a single-row set folds into the aggregate)
+    assert 1 <= len(kgram_exchanges) <= 2, plan

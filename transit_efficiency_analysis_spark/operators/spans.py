@@ -269,11 +269,28 @@ def spans_against_kgram_set(
     accepted batch's k-grams to. Duplicate rows in the set are tolerated
     (it is de-duplicated before the membership join; at scale keep the
     table unique with MERGE instead and drop the distinct).
+
+    The within-batch half uses :func:`_flag_occurrences` (round 12, the
+    deferred r11 item): the batch occurrences exchange ONCE on the
+    kgram for the min/max window, and the corpus-membership LEFT join
+    reuses that same hash partitioning — only the (distinct) standing
+    set shuffles in. The pre-r12 form paid the batch-side exchange
+    TWICE per micro-batch (a ``duplicated_kgrams`` groupBy AND the
+    membership join over the union-ed dup set) — the shape that matters
+    at sustained ingest. Plan-pinned in tests/test_spans_budget.py:
+    exactly one batch-side kgram exchange.
     """
-    batch_occ = kgram_occurrences(batch, k, text_col, id_col)
-    batch_dup = duplicated_kgrams(batch_occ, id_col).select("kgram")
-    dup = kgram_set.select("kgram").unionByName(batch_dup).distinct()
-    hits = batch_occ.join(dup, "kgram").select(id_col, "pos")
+    flagged = _flag_occurrences(
+        kgram_occurrences(batch, k, text_col, id_col), id_col
+    )
+    member = kgram_set.select("kgram").distinct().withColumn(
+        "_in_corpus", F.lit(True)
+    )
+    hits = (
+        flagged.join(member, "kgram", "left")
+        .where(F.col("is_dup") | F.col("_in_corpus").isNotNull())
+        .select(id_col, "pos")
+    )
     return _merge_islands(hits, k, id_col).drop("island")
 
 
