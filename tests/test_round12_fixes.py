@@ -256,3 +256,35 @@ def test_merge_sql_plan_parity_with_nullable_order_keys(spark, raw, split):
         )
         state_spec = merge_batch(state_spec, inc, keys=["key"], order_by=["ts", "seq"])
     assert _collect(state_plan) == _collect(state_spec)
+
+
+# ------------------------------------------------- hier SemDeDup
+
+
+def test_semantic_dedup_hier_keeps_zero_norm_vectors(spark):
+    """ADVICE r11: the map-only fold dropped vectors whose every
+    candidate similarity was NULL (zero-norm vector -> divide-by-zero).
+    With the r12 pre-normalized raw-dot fold a zero-norm vector scores
+    0.0 everywhere, ties to the smallest scanned cell, and must appear
+    in the output with kept=true (the flat semantic_dedup behavior) —
+    no silent row loss, even when zero vectors also seed zero-norm
+    centroids."""
+    from transit_efficiency_analysis_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_hier,
+    )
+
+    rows = [(i, [float(i + d) for d in range(4)]) for i in range(12)]
+    rows += [(100, [0.0, 0.0, 0.0, 0.0]), (101, [0.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup_hier(
+        df, n_centroids=4, coarse_cells=2, threshold=0.9
+    ).collect()
+    assert len(out) == len(rows), "every input vector must appear"
+    zero = {r.vec_id: r for r in out if r.vec_id >= 100}
+    assert set(zero) == {100, 101}
+    assert all(r.kept and r.cell >= 0 for r in zero.values())
+    # flat form agrees on the no-row-loss contract
+    flat = semantic_dedup_hier(df, n_centroids=4, coarse_cells=1)
+    assert flat.count() == len(rows)
+    assert semantic_dedup(df, n_centroids=4).count() == len(rows)

@@ -496,12 +496,16 @@ _SEMANTIC_HIER_SQL = """
         LIMIT 4
     ),
     ccent AS (
-        SELECT row_number() OVER (ORDER BY md5(CAST(csid AS VARCHAR)), csid) - 1 AS ccell,
-               ccv, sqrt(list_inner_product(ccv, ccv)) AS ccn
-        FROM cseeds
+        SELECT ccell, ccv, ccn, list_transform(ccv, x -> x / ccn) AS ccvu
+        FROM (
+            SELECT row_number() OVER (ORDER BY md5(CAST(csid AS VARCHAR)), csid) - 1 AS ccell,
+                   ccv, sqrt(list_inner_product(ccv, ccv)) AS ccn
+            FROM cseeds
+        )
     ),
     f2c AS (
-        SELECT cell, cv, cn, ccell FROM (
+        SELECT cell, cv, cn, list_transform(cv, x -> x / cn) AS cvu, ccell
+        FROM (
             SELECT c.cell, c.cv, c.cn, cc.ccell,
                    row_number() OVER (
                        PARTITION BY c.cell
@@ -518,11 +522,14 @@ _SEMANTIC_HIER_SQL = """
         FROM embeddings
     ),
     v2c AS (
+        -- raw dot against the pre-NORMALIZED centroid (r12): same
+        -- argmax as cosine (1/vn is a constant positive per-row
+        -- scale), mirroring the Spark fold's expression exactly
         SELECT vec_id, v, vn, ccell FROM (
             SELECT b.vec_id, b.v, b.vn, cc.ccell,
                    row_number() OVER (
                        PARTITION BY b.vec_id
-                       ORDER BY list_inner_product(b.v, cc.ccv) / (b.vn * cc.ccn) DESC,
+                       ORDER BY list_inner_product(b.v, cc.ccvu) DESC,
                                 cc.ccell
                    ) AS crank
             FROM base b CROSS JOIN ccent cc
@@ -533,7 +540,7 @@ _SEMANTIC_HIER_SQL = """
             SELECT p.vec_id, p.v, p.vn, f.cell,
                    row_number() OVER (
                        PARTITION BY p.vec_id
-                       ORDER BY list_inner_product(p.v, f.cv) / (p.vn * f.cn) DESC,
+                       ORDER BY list_inner_product(p.v, f.cvu) DESC,
                                 f.cell
                    ) AS frank
             FROM v2c p JOIN f2c f USING (ccell)
