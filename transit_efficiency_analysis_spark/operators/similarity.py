@@ -941,8 +941,15 @@ def semantic_dedup_hier(
     # post-fold fallback assigns the group's smallest cell id instead
     # of the -1 sentinel that used to vanish in the inner join.
     def _argmax_cell(arr: Column, cell_f: str, vec_f: str) -> Column:
+        # the all-NULL-candidates fallback is the INIT value (the
+        # group's smallest cell id — arr is sorted by cell), not a
+        # post-fold `when(folded == -1, ...)`: referencing the folded
+        # column twice re-evaluates the whole aggregate (higher-order
+        # functions get no common-subexpression elimination), which
+        # doubled assignment cost at 64x when first tried that way
         init = F.struct(
-            F.lit(float("-inf")).alias("s"), F.lit(-1).cast("long").alias("c")
+            F.lit(float("-inf")).alias("s"),
+            F.element_at(arr, 1)[cell_f].cast("long").alias("c"),
         )
 
         def merge(acc: Column, e: Column) -> Column:
@@ -952,10 +959,7 @@ def semantic_dedup_hier(
                 F.struct(d.alias("s"), e[cell_f].cast("long").alias("c")),
             ).otherwise(acc)
 
-        folded = F.aggregate(arr, init, merge)["c"]
-        return F.when(
-            folded == -1, F.element_at(arr, 1)[cell_f].cast("long")
-        ).otherwise(folded)
+        return F.aggregate(arr, init, merge)["c"]
 
     # vector → coarse group: fold over the C pre-normalized coarse
     # centroids
