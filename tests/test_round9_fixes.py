@@ -91,9 +91,12 @@ def test_merge_condition_builders_reject_empty_inputs():
         merge_match_condition([])
     with pytest.raises(ValueError):
         merge_newer_condition([])
-    # non-empty behavior unchanged
+    # non-empty behavior unchanged (newer-condition string is the
+    # null-aware r12 form — see test_round8_fixes for the full pins)
     assert merge_match_condition(["k"]) == "t.`k` <=> s.`k`"
-    assert merge_newer_condition(["v"]) == "(s.`v` > t.`v`)"
+    assert merge_newer_condition(["v"]) == (
+        "((t.`v` IS NULL AND s.`v` IS NOT NULL) OR s.`v` > t.`v`)"
+    )
 
 
 def test_bench_machine_context_fields(spark):
