@@ -580,10 +580,21 @@ def merge_into_partitioned(
         for r in incoming.select(bucket.alias(_BUCKET_COL)).distinct().collect()
     )
 
-    if exists:
+    # Read ONLY the touched partition dirs by path (basePath keeps the
+    # p_bucket partition-column semantics): file listing is O(touched),
+    # not O(num_buckets) — the full-table discovery read was the one
+    # per-table-scale cost left in the merge (measured as the 64x/512-
+    # bucket bump in docs/SCALE.md). A touched bucket with no dir yet
+    # (first observation of keys hashing there) simply isn't read.
+    touched_dirs = [
+        os.path.join(local, f"{_BUCKET_COL}={b}")
+        for b in touched
+        if os.path.isdir(os.path.join(local, f"{_BUCKET_COL}={b}"))
+    ]
+    if exists and touched_dirs:
         stored = (
-            spark.read.parquet(local)
-            .where(F.col(_BUCKET_COL).isin(touched))  # partition pruning
+            spark.read.option("basePath", local)
+            .parquet(*touched_dirs)
             .drop(_BUCKET_COL)
         )
         merged = merge_sql_plan(stored, collapsed, keys, order_by)
