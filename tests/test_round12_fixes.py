@@ -288,3 +288,61 @@ def test_semantic_dedup_hier_keeps_zero_norm_vectors(spark):
     flat = semantic_dedup_hier(df, n_centroids=4, coarse_cells=1)
     assert flat.count() == len(rows)
     assert semantic_dedup(df, n_centroids=4).count() == len(rows)
+
+
+# ------------------------------------------------- partitioned compaction
+
+
+def test_filter_partitioned_expires_and_preserves_layout(spark, tmp_path):
+    """filter_partitioned: rows failing the predicate are physically
+    gone, the bucket layout + meta survive, an entirely-expired bucket's
+    partition disappears, and merges continue working afterwards."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from transit_efficiency_analysis_spark.operators.upsert import (
+        filter_partitioned,
+        merge_into_partitioned,
+    )
+
+    target = str(tmp_path / "tbl")
+    rows = _mk_rows([(k, k, 1) for k in range(30)])  # ts = k minutes
+    merge_into_partitioned(
+        target, spark.createDataFrame(rows, SCHEMA),
+        keys=["key"], order_by=["ts", "seq"], num_buckets=8,
+    )
+    cutoff = BASE + timedelta(minutes=20)
+    out = filter_partitioned(spark, target, F.col("ts") >= F.lit(cutoff))
+    assert sorted(r.key for r in out.collect()) == list(range(20, 30))
+    # physical: a fresh read agrees (expired rows not merely filtered)
+    again = spark.read.parquet(target)
+    assert again.count() == 10
+    # layout: meta intact, only non-empty buckets remain
+    meta = json.load(open(os.path.join(target, ".merge_meta.json")))
+    assert meta["num_buckets"] == 8
+    links = [n for n in os.listdir(target) if n.startswith("p_bucket=")]
+    assert 0 < len(links) <= 8
+    # merges still work after compaction (incl. a key whose bucket was
+    # emptied: its partition is recreated)
+    late = _mk_rows([(0, 99, 7), (25, 99, 8)])
+    merged = merge_into_partitioned(
+        target, spark.createDataFrame(late, SCHEMA),
+        keys=["key"], order_by=["ts", "seq"], num_buckets=8,
+    )
+    got = {r.key for r in merged.collect()}
+    assert got == set(range(20, 30)) | {0}
+
+
+def test_filter_partitioned_rejects_non_partitioned_target(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from transit_efficiency_analysis_spark.operators.upsert import (
+        filter_partitioned,
+    )
+
+    plain = str(tmp_path / "plain")
+    spark.createDataFrame(_mk_rows([(0, 1, 1)]), SCHEMA).write.parquet(plain)
+    with pytest.raises(FileNotFoundError):
+        filter_partitioned(spark, plain, F.lit(True))

@@ -17,6 +17,15 @@ three maintenance policies:
                     and expire k-grams older than ``ttl`` batches
                     (``operators.spans.kgram_table_ttl``). Bounded by
                     the distinct k-grams of the last ttl+1 batches.
+- ``ttl_partitioned`` — the r12 production shape: batch-proportional
+                    partitioned MERGE of (kgram, last_seen) per batch
+                    (``merge_into_partitioned``), strict ttl semantics
+                    applied at SCREEN time through the last_seen
+                    predicate, physical expiry deferred to an
+                    occasional partition-preserving compaction
+                    (``filter_partitioned``, every ttl+1 batches here).
+                    Span counts must equal the per-batch-expired ttl
+                    policy's; physical rows plateau at each compaction.
 
 Screening results are policy-INVARIANT for append vs merge_unique (the
 membership join deduplicates the set anyway — asserted per batch); ttl
@@ -52,7 +61,7 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     ttl = int(sys.argv[3]) if len(sys.argv) > 3 else 3
-    policies = sys.argv[4:] or ["append", "merge_unique", "ttl"]
+    policies = sys.argv[4:] or ["append", "merge_unique", "ttl", "ttl_partitioned"]
 
     from transit_efficiency_analysis_spark.operators.spans import (
         kgram_occurrences,
@@ -81,16 +90,25 @@ def main() -> int:
 
             def standing() -> DataFrame:
                 if os.path.isdir(tbl) and any(
-                    p.startswith(("part-", "_")) for p in os.listdir(tbl)
+                    p.startswith(("part-", "_", "p_bucket="))
+                    for p in os.listdir(tbl)
                 ) or os.path.islink(tbl):
-                    return spark.read.parquet(tbl)
+                    df = spark.read.parquet(tbl)
+                    return df.drop("p_bucket") if "p_bucket" in df.columns else df
                 return spark.createDataFrame([], "kgram long")
 
             for b in range(n_batches):
                 bdf = batch(b)
                 t0 = time.time()
+                view = standing()
+                if policy == "ttl_partitioned" and "last_seen" in view.columns:
+                    # physical expiry is deferred (compaction cadence), so
+                    # the SCREEN applies the freshness predicate — exactly
+                    # the rows the per-batch-expired ttl table contains at
+                    # this point (last expiry ran as of batch b-1)
+                    view = kgram_table_ttl(view, b - 1, ttl)
                 n_spans = spans_against_kgram_set(
-                    bdf, standing().select("kgram"), k=K
+                    bdf, view.select("kgram"), k=K
                 ).count()
                 screen_s.append(round(time.time() - t0, 2))
                 span_counts.append(n_spans)
@@ -122,6 +140,34 @@ def main() -> int:
                     )
 
                     overwrite_table(kgram_table_ttl(merged, b, ttl), tbl)
+                elif policy == "ttl_partitioned":
+                    # the production shape (round 12): batch-proportional
+                    # partitioned MERGE of (kgram, last_seen) per batch;
+                    # physical expiry only every ttl+1 batches via the
+                    # partition-preserving compaction. The SCREEN above
+                    # already applied strict ttl semantics through the
+                    # standing() view, so deferred physical expiry never
+                    # widens the dedup horizon.
+                    from transit_efficiency_analysis_spark.operators.upsert import (
+                        filter_partitioned,
+                        merge_into_partitioned,
+                    )
+
+                    inc = (
+                        kgram_occurrences(bdf, K)
+                        .select("kgram")
+                        .distinct()
+                        .withColumn("last_seen", F.lit(b).cast("long"))
+                    )
+                    merge_into_partitioned(
+                        tbl, inc, keys=["kgram"], order_by=["last_seen"],
+                        num_buckets=32,
+                    )
+                    if b > 0 and b % (ttl + 1) == 0:
+                        filter_partitioned(
+                            spark, tbl,
+                            F.col("last_seen") >= F.lit(b - ttl),
+                        )
                 else:
                     raise SystemExit(f"unknown policy {policy!r}")
                 maintain_s.append(round(time.time() - t0, 2))

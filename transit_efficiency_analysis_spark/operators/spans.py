@@ -347,12 +347,17 @@ def kgram_table_ttl(standing: DataFrame, current_batch: int, ttl: int) -> DataFr
     batches of ``current_batch``. Requires a ``last_seen`` column —
     maintain it by MERGE-ing ``(kgram, last_seen=batch_id)`` per batch
     (``operators.upsert.merge_into_sql`` with ``keys=['kgram']``,
-    ``order_by=['last_seen']`` is the pure-Parquet runtime; Delta MERGE
-    at scale). Dropping a k-gram narrows dedup semantics to "duplicated
-    against the last ``ttl`` batches" — a retention POLICY for horizon-
-    bounded ingest (news feeds, logs), not an optimization of the exact
-    rule. Run as an occasional compaction (O(table) rewrite), not per
-    batch."""
+    ``order_by=['last_seen']`` is the pure-Parquet runtime; at scale
+    use ``merge_into_partitioned`` for O(batch) maintenance with this
+    filter applied at READ time and physical expiry deferred to
+    ``operators.upsert.filter_partitioned`` compactions — measured
+    semantics-identical in tools/bench_stream_kgram.py's
+    ``ttl_partitioned`` policy; Delta MERGE where available). Dropping
+    a k-gram narrows dedup semantics to "duplicated against the last
+    ``ttl`` batches" — a retention POLICY for horizon-bounded ingest
+    (news feeds, logs), not an optimization of the exact rule. Run the
+    physical expiry as an occasional compaction (O(table) rewrite),
+    not per batch."""
     if ttl < 0:
         raise ValueError(f"kgram_table_ttl: ttl must be >= 0, got {ttl}")
     return standing.where(F.col("last_seen") >= F.lit(current_batch - ttl))

@@ -627,3 +627,63 @@ def merge_into_partitioned(
                 f,
             )
     return spark.read.parquet(local).drop(_BUCKET_COL).select(*out_cols)
+
+
+def filter_partitioned(spark, target: str, condition: Column) -> DataFrame:
+    """Partition-preserving compaction for :func:`merge_into_partitioned`
+    tables: keep only rows satisfying ``condition``, rewriting every
+    partition in ONE Spark job (filtered write partitioned by
+    ``p_bucket`` → per-partition atomic swap). O(table) by definition —
+    run it as OCCASIONAL compaction (retention expiry, tombstone
+    removal), never per batch; per-batch state changes belong to
+    :func:`merge_into_partitioned`, which stays O(batch). Partitions
+    whose every row is filtered away are removed entirely (their
+    symlink and versions deleted); a later merge touching that bucket
+    recreates it. The bucket layout and ``.merge_meta.json`` are
+    preserved, so merges continue seamlessly after a compaction.
+
+    The retention shape this enables at 100 TB: a streaming ingest
+    MERGEs ``(key, last_seen)`` per batch (batch-proportional), the
+    READ side applies the freshness predicate (semantics exact at all
+    times), and this compaction physically drops expired rows on a
+    slow cadence — docs/SCALE.md "Streaming k-gram standing-table".
+    """
+    import json
+    import os
+    import shutil
+    import uuid
+
+    from transit_efficiency_analysis_spark.sinks import _local_path
+
+    local = _local_path(target)
+    if local is None:
+        raise ValueError("filter_partitioned needs a local/posix path")
+    meta_path = os.path.join(local, _META_NAME)
+    with open(meta_path) as f:
+        meta = json.load(f)  # missing meta -> not a partitioned table, raise
+
+    existing_buckets = [
+        int(name.split("=", 1)[1])
+        for name in os.listdir(local)
+        if name.startswith(f"{_BUCKET_COL}=")
+    ]
+    kept = spark.read.parquet(local).where(condition)
+    staging = os.path.join(local, f".staging_{uuid.uuid4().hex[:12]}")
+    kept.write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(staging)
+    try:
+        for b in existing_buckets:
+            part = os.path.join(staging, f"{_BUCKET_COL}={b}")
+            link = os.path.join(local, f"{_BUCKET_COL}={b}")
+            if os.path.isdir(part):
+                _swap_bucket(local, part, b)
+            else:
+                # every row of this bucket was filtered away: drop the
+                # partition (readers atomically stop seeing the link)
+                if os.path.lexists(link):
+                    os.remove(link)
+                for _, stale in _bucket_versions(os.path.join(local, ".v"), b):
+                    shutil.rmtree(stale, ignore_errors=True)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    assert meta["num_buckets"] >= 1  # layout untouched by construction
+    return spark.read.parquet(local).drop(_BUCKET_COL)
