@@ -346,3 +346,52 @@ def test_filter_partitioned_rejects_non_partitioned_target(spark, tmp_path):
     spark.createDataFrame(_mk_rows([(0, 1, 1)]), SCHEMA).write.parquet(plain)
     with pytest.raises(FileNotFoundError):
         filter_partitioned(spark, plain, F.lit(True))
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    raw=rows_strategy,
+    splits=st.tuples(
+        st.integers(min_value=0, max_value=12),
+        st.integers(min_value=13, max_value=25),
+    ),
+    cutoff_min=st.integers(min_value=0, max_value=500),
+)
+def test_merge_compact_interleaving_equals_spec_fold(
+    spark, tmp_path_factory, raw, splits, cutoff_min
+):
+    """Property: merge / compact / merge through real partitioned
+    storage equals the in-memory spec fold with the same filter applied
+    at the same point — compaction is semantically JUST a filter, never
+    a merge-state mutation (keys re-arriving after being compacted away
+    re-insert cleanly)."""
+    from pyspark.sql import functions as F
+
+    from transit_efficiency_analysis_spark.operators.upsert import (
+        filter_partitioned,
+        merge_into_partitioned,
+    )
+
+    rows = _mk_rows(raw)
+    a, b = splits
+    batches = [rows[:a], rows[a:b], rows[b:]]
+    cutoff = BASE + timedelta(minutes=cutoff_min)
+    pred = F.col("ts") >= F.lit(cutoff)
+
+    target = str(tmp_path_factory.mktemp("mcprop") / "tbl")
+    spec = spark.createDataFrame([], SCHEMA)
+    stored = None
+    for i, batch in enumerate(batches):
+        if batch:
+            inc = spark.createDataFrame(batch, SCHEMA)
+            stored = merge_into_partitioned(
+                target, inc, keys=["key"], order_by=["ts", "seq"],
+                num_buckets=4,
+            )
+            spec = merge_batch(spec, inc, keys=["key"], order_by=["ts", "seq"])
+        if i == 1 and stored is not None:
+            stored = filter_partitioned(spark, target, pred)
+            spec = spec.where(pred)
+    if stored is None:
+        return
+    assert _collect(stored) == _collect(spec)

@@ -686,4 +686,12 @@ def filter_partitioned(spark, target: str, condition: Column) -> DataFrame:
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     assert meta["num_buckets"] >= 1  # layout untouched by construction
+    if not any(
+        name.startswith(f"{_BUCKET_COL}=") for name in os.listdir(local)
+    ):
+        # the predicate emptied EVERY partition: no files remain, so a
+        # parquet read can't infer a schema — return the (empty) result
+        # with the pre-compaction schema; the meta file keeps the table
+        # mergeable (property-tested: keys re-arriving re-insert cleanly)
+        return spark.createDataFrame([], kept.drop(_BUCKET_COL).schema)
     return spark.read.parquet(local).drop(_BUCKET_COL)
