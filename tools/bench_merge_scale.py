@@ -119,6 +119,26 @@ def main() -> int:
             merge_into_sql(full_target, batch, keys, order_by)
             full_s = time.perf_counter() - t0
 
+            # the OTHER envelope end (worst case, recorded honestly): a
+            # wide batch whose keys hash into every bucket forces a
+            # read+rewrite of all partitions — expect ~the full-rewrite
+            # wall plus partition bookkeeping, which is exactly what the
+            # "trickle batches pay proportionally" claim excludes
+            wide = (
+                base.where(F.col("l_orderkey") % 100 == 0)
+                .withColumn("l_shipdate", F.date_add(F.col("l_shipdate"), 20_000))
+                .withColumn("l_suppkey", F.col("l_suppkey") + F.lit(200_000_000))
+            )
+            wide_touched = (
+                wide.select(_bucket_expr(keys, buckets).alias("b"))
+                .distinct()
+                .count()
+            )
+            t0 = time.perf_counter()
+            merge_into_partitioned(part_target, wide, keys, order_by,
+                                   num_buckets=buckets)
+            wide_s = time.perf_counter() - t0
+
             table.unpersist()
             points[n] = {
                 "table_rows": table_rows,
@@ -127,11 +147,14 @@ def main() -> int:
                 "merge_part_s": round(part_s, 2),
                 "touched": touched,
                 "merge_full_s": round(full_s, 2),
+                "wide_batch_s": round(wide_s, 2),
+                "wide_touched": wide_touched,
             }
             print(
                 f"# N={n}: table {table_rows} rows, {buckets} buckets, "
                 f"seed {seed_s:.1f}s, partitioned merge {part_s:.2f}s "
-                f"({touched} touched), full-rewrite merge {full_s:.2f}s",
+                f"({touched} touched), full-rewrite merge {full_s:.2f}s, "
+                f"wide batch {wide_s:.2f}s ({wide_touched}/{buckets} touched)",
                 file=sys.stderr,
             )
     finally:

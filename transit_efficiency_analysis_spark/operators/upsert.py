@@ -535,8 +535,15 @@ def merge_into_partitioned(
     one batch shuffle + scan/rewrite of ``touched/num_buckets`` of the
     table. Size ``num_buckets`` so a partition fits an executor
     comfortably (e.g. 4096 buckets ≈ 25 GB each); a trickle of small
-    batches touches few buckets and pays proportionally (measured in
-    docs/SCALE.md).
+    batches touches few buckets and pays proportionally (measured flat
+    to 64x table scale in docs/SCALE.md). The trade is symmetric and
+    measured at both ends: a WIDE batch whose keys hash into every
+    bucket degenerates to a full-table rewrite PLUS the partitioned
+    write's dynamic-partition sort, small-file fan-out and per-bucket
+    swaps — measured ~13x the plain rewrite at 16x/128 buckets. Route
+    wide batches through :func:`merge_into_sql` (one unpartitioned
+    rewrite), keep this runtime for trickle ingest, or use a
+    metadata-commit format (Delta/Iceberg) where available.
     """
     import json
     import os
