@@ -395,3 +395,18 @@ def test_merge_compact_interleaving_equals_spec_fold(
     if stored is None:
         return
     assert _collect(stored) == _collect(spec)
+
+
+def test_merge_partitioned_rejects_reserved_column(spark, tmp_path):
+    import pytest
+
+    from transit_efficiency_analysis_spark.operators.upsert import (
+        merge_into_partitioned,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 1, 2)], "key long, p_bucket long, seq long"
+    )
+    with pytest.raises(ValueError, match="p_bucket"):
+        merge_into_partitioned(str(tmp_path / "t"), df, keys=["key"],
+                               order_by=["seq"])

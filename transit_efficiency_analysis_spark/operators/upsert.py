@@ -554,6 +554,14 @@ def merge_into_partitioned(
 
     if num_buckets < 1:
         raise ValueError("merge_into_partitioned: num_buckets must be >= 1")
+    if _BUCKET_COL in incoming.columns:
+        raise ValueError(
+            f"merge_into_partitioned: incoming data carries a "
+            f"{_BUCKET_COL!r} column, which is this layout's reserved "
+            f"partition column — rename it (the write would silently "
+            f"shadow it and reads would resolve the partition value "
+            f"instead of the data)"
+        )
     local = _local_path(target)
     if local is None:
         raise ValueError(
