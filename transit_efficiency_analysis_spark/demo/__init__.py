@@ -97,84 +97,89 @@ _DEMO_MODULES = [
 # results were just recorded" (grace: newest artifact == window and
 # 50/50 green) from "rotation skipped" (artifacts newer than the
 # window's target round) — the ADVICE r11 medium item.
-_WINDOW_ROUND = 12
+_WINDOW_ROUND = 13
 
-# Round-12 window. No new registry entries this round, so no
+# Round-13 window. No new registry entries this round, so no
 # never-driver-checked names; the front holds the four demos whose
-# implementation changes this round (policy: driver rows must postdate
-# the change), and the filler takes ALL 46 r6-era rows — they hit the
-# 5-round rotation-cycle boundary this round, and check_window R3
-# lists exactly this set (VERDICT r11 gap #1 / ask #1).
+# implementation (and, for the SemDeDup/IVF-Lloyd pair, oracle) changes
+# this round (policy: driver rows must postdate the change), and the
+# filler takes ALL 46 r7-era rows — they hit the 5-round rotation-cycle
+# boundary this round, and check_window R3 lists exactly this set
+# (VERDICT r12 gap #1 / ask #2; the list was precomputed in
+# docs/ROUND12.md).
 _WINDOW_FRONT = [
-    # Implementation changes in round 12 (re-verify the round the code
+    # Implementation changes in round 13 (re-verify the round the code
     # changes):
-    # - pure-Parquet MERGE goes batch-proportional via partitioned
-    #   rewrite + null-aware newer condition (VERDICT ask #2, ADVICE
-    #   upsert.py item):
+    # - flat SemDeDup assignment rewritten to the broadcast-array fold
+    #   (VERDICT r12 ask #1 — the last n x K data-proportional
+    #   assignment exchange), oracle mirrored to the fold expression:
+    "q_dedup_semantic",
+    # - the Lloyd-round assignment inside ivf_centroids adopts the same
+    #   fold (the flat demo runs lloyd_rounds=1, so hitting the <=2x
+    #   16x-ratio target needs both assignments off the n x K form);
+    #   _IVF_LLOYD_SQL's lloyd-assignment CTE mirrors it:
+    "q_sim_ivf_lloyd_topk",
+    # - merge_into_partitioned auto-routes wide batches to the plain
+    #   rewrite + atomic-first meta commit + incoming persisted once
+    #   (VERDICT r12 ask #3/#6, ADVICE upsert.py items):
     "q_upsert_merge_parquet",
-    # - the within-batch half of the incremental/streaming span screens
-    #   adopts the single-exchange _flag_occurrences window form
-    #   (VERDICT ask #3, the deferred r11 item):
-    "q_text_dup_spans_incremental",
-    "q_stream_dup_screen",
-    # - hier SemDeDup assignment fold reworked to recover the 1x CPU
-    #   cost + NULL-sim guard (VERDICT ask #4, ADVICE similarity item):
+    # - the hier SemDeDup calls the fold helper at its new shared home
+    #   (pure refactor, outputs bit-identical — still a code change on
+    #   its executed path):
     "q_dedup_semantic_hier",
 ]
 
 # Prior-green re-verification filler, least-recently-verified first:
-# ALL 46 r6-era rows (latest driver row CORRECTNESS_r06 — exactly one
-# rotation cycle old at round 12; check_window R3 forces them here).
-# This includes the flagship tier: q_rebuild_full, q_join_star,
-# q_agg_dashboard, q_ts_gtfs_parse, q_upsert_cond, the case-* family.
+# ALL 46 r7-era rows (latest driver row CORRECTNESS_r07 — exactly one
+# rotation cycle old at round 13; check_window R3 forces them here).
 _WINDOW_FILLER: list[str] = [
-    # r6-era (driver rows from CORRECTNESS_r06) — all 46
-    "q_agg_dashboard",
-    "q_agg_salted_distinct",
-    "q_case_avg",
-    "q_case_bucket",
-    "q_case_diff",
-    "q_case_null",
-    "q_dedup_clusters_twophase",
-    "q_dedup_minhash_banded",
-    "q_dedup_simhash_pairs_h3",
-    "q_dedup_window_latest",
-    "q_expr_cast",
-    "q_expr_math",
-    "q_filter_entity",
-    "q_filter_sentinel",
-    "q_graph_pagerank",
-    "q_graph_triangles",
-    "q_join_anti",
-    "q_join_diff",
-    "q_join_outer",
-    "q_join_semi",
-    "q_join_star",
-    "q_limit_topk",
-    "q_proj_concat",
-    "q_proj_rename",
-    "q_proj_select",
-    "q_rebuild_full",
-    "q_sample_temperature",
-    "q_set_except",
-    "q_set_intersect",
-    "q_set_union",
-    "q_sim_int8_quantize",
-    "q_sim_ivf_lloyd_topk",
-    "q_sim_ivf_pq_topk",
-    "q_stats_drift_tvd",
-    "q_ts_date_parse",
-    "q_ts_dow_name",
-    "q_ts_gtfs_parse",
-    "q_ts_hour_local",
-    "q_ts_tz_localize",
-    "q_ts_unix",
-    "q_upsert_cond",
-    "q_upsert_ignore",
-    "q_window_lag",
-    "q_window_ntile_approx",
-    "q_window_rank",
-    "q_window_running",
+    # r7-era (driver rows from CORRECTNESS_r07) — all 46
+    "q_agg_cube",
+    "q_agg_dashboard_weather",
+    "q_agg_listagg",
+    "q_agg_pivot",
+    "q_agg_rollup",
+    "q_agg_stats",
+    "q_approx_sketch_union",
+    "q_approx_top_k",
+    "q_arrow_udf_scalar",
+    "q_dedup_clusters",
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_distinct_agg",
+    "q_jdbc_roundtrip",
+    "q_join_asof",
+    "q_join_lateral_topk",
+    "q_map_in_arrow",
+    "q_multimodal_features",
+    "q_null_surface",
+    "q_observe_metrics",
+    "q_retrieval_rerank",
+    "q_semi_variant",
+    "q_semi_xml_parse",
+    "q_sim_bruteforce_topk",
+    "q_sink_compaction",
+    "q_sink_xml_roundtrip",
+    "q_sql_parameterized",
+    "q_sql_pipe_q1",
+    "q_sql_recursive_bfs",
+    "q_sql_table_udf",
+    "q_sql_udf",
+    "q_sql_unpivot",
+    "q_src_binary_files",
+    "q_src_python_datasource",
+    "q_stream_dedup_append",
+    "q_stream_sessionize_append",
+    "q_text_fingerprint",
+    "q_text_langid",
+    "q_text_lm_score",
+    "q_text_quality",
+    "q_text_tokens",
+    "q_ts_epoch",
+    "q_ts_sub_min",
+    "q_upsert_replay",
+    "q_window_pctrank",
+    "q_window_session_native",
 ]
 
 _WINDOW = _WINDOW_FRONT + _WINDOW_FILLER
