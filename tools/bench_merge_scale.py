@@ -134,10 +134,36 @@ def main() -> int:
                 .distinct()
                 .count()
             )
+            # round-13 A/B, same session/state: the DIRECT write first
+            # (wide_threshold=1.1 disables the clustered route — the
+            # pre-r13 behavior), then the auto-routed clustered write
+            # (the second merge of the same wide batch is a fixed point:
+            # identical touched set and data volume)
+            t0 = time.perf_counter()
+            merge_into_partitioned(part_target, wide, keys, order_by,
+                                   num_buckets=buckets, wide_threshold=1.1)
+            wide_direct_s = time.perf_counter() - t0
             t0 = time.perf_counter()
             merge_into_partitioned(part_target, wide, keys, order_by,
                                    num_buckets=buckets)
             wide_s = time.perf_counter() - t0
+            # steady-state clustered point: the run above READ the
+            # direct run's fragmented output (tasks x buckets small
+            # files); this one reads the clustered one-file-per-bucket
+            # layout — the state a clustered-only deployment lives in
+            t0 = time.perf_counter()
+            merge_into_partitioned(part_target, wide, keys, order_by,
+                                   num_buckets=buckets)
+            wide_steady_s = time.perf_counter() - t0
+
+            # read-side overhead (VERDICT r12 ask #6): the same trickle
+            # merge returning only the touched slice (pruned path read)
+            # vs the default whole-table discovery read-back
+            t0 = time.perf_counter()
+            merge_into_partitioned(part_target, batch, keys, order_by,
+                                   num_buckets=buckets,
+                                   return_touched_only=True)
+            part_touched_s = time.perf_counter() - t0
 
             table.unpersist()
             points[n] = {
@@ -148,13 +174,19 @@ def main() -> int:
                 "touched": touched,
                 "merge_full_s": round(full_s, 2),
                 "wide_batch_s": round(wide_s, 2),
+                "wide_direct_s": round(wide_direct_s, 2),
+                "wide_steady_s": round(wide_steady_s, 2),
                 "wide_touched": wide_touched,
+                "merge_part_touched_s": round(part_touched_s, 2),
             }
             print(
                 f"# N={n}: table {table_rows} rows, {buckets} buckets, "
                 f"seed {seed_s:.1f}s, partitioned merge {part_s:.2f}s "
-                f"({touched} touched), full-rewrite merge {full_s:.2f}s, "
-                f"wide batch {wide_s:.2f}s ({wide_touched}/{buckets} touched)",
+                f"({touched} touched; touched-only return "
+                f"{part_touched_s:.2f}s), full-rewrite merge {full_s:.2f}s, "
+                f"wide batch direct {wide_direct_s:.2f}s / clustered "
+                f"{wide_s:.2f}s / steady {wide_steady_s:.2f}s "
+                f"({wide_touched}/{buckets} touched)",
                 file=sys.stderr,
             )
     finally:

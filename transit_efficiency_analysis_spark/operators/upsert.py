@@ -543,20 +543,23 @@ def merge_into_partitioned(
     batch — touched fraction >= ``wide_threshold`` of the buckets —
     degenerates to a full-table rewrite, and the naive partitioned
     write then pays a dynamic-partition sort + a tasks × buckets
-    small-file fan-out on top (measured ~8.5x the plain rewrite at
-    16x/128 buckets, docs/SCALE.md). The wide route keeps the LAYOUT
-    (so subsequent trickle merges continue seamlessly — routing to
+    small-file fan-out on top (measured ~6.5-7.5x the plain rewrite at
+    16x/64x on the round-13 idle battery; ~8.5x on round 12's —
+    docs/SCALE.md). The wide route keeps the LAYOUT (so subsequent
+    trickle merges continue seamlessly — routing to
     :func:`merge_into_sql` would silently convert the table to the
     unpartitioned versioned-dir layout out from under them) but
     CLUSTERS the staging write by bucket first: one extra exchange of
     the merged slice, after which each task writes exactly one
     partition dir — no per-task sort over all buckets, ``touched``
-    files instead of ``tasks × touched`` (measured ~1.2x the plain
-    rewrite at 16x/128 buckets; the residual is the clustering
-    exchange + per-bucket swaps, docs/SCALE.md "Round-13"). Trickle
-    batches keep the direct write: their merged slice is small and the
-    extra exchange would serialize it through ``touched`` tasks for no
-    benefit.
+    files instead of ``tasks × touched``. Measured steady-state
+    (one-file-per-bucket layout): ~1.9x/1.6x the plain rewrite at
+    16x/64x; the residual is intrinsic per-partition bookkeeping
+    (O(buckets) path listing, one write task per bucket, per-bucket
+    swaps) that a metadata-commit format (Delta/Iceberg) removes
+    (docs/SCALE.md "Round-13"). Trickle batches keep the direct write:
+    their merged slice is small and the extra exchange would serialize
+    it through ``touched`` tasks for no benefit.
 
     ``return_touched_only=True`` returns only the touched partitions'
     post-merge rows (partition-pruned path read, O(touched) listing)
