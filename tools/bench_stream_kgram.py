@@ -159,9 +159,13 @@ def main() -> int:
                         .distinct()
                         .withColumn("last_seen", F.lit(b).cast("long"))
                     )
+                    # maintenance-loop mode (round 13): the loop never
+                    # consumes the merge's return, so skip the
+                    # whole-table discovery read-back (O(num_buckets)
+                    # listing per batch) — the touched slice is enough
                     merge_into_partitioned(
                         tbl, inc, keys=["kgram"], order_by=["last_seen"],
-                        num_buckets=32,
+                        num_buckets=32, return_touched_only=True,
                     )
                     if b > 0 and b % (ttl + 1) == 0:
                         filter_partitioned(
