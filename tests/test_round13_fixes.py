@@ -381,3 +381,75 @@ def test_merge_into_delta_matches_sql_twin(spark, tmp_path):
     }
     assert {(r.key, r.ts, r.value, r.seq) for r in got.collect()} == expect
     assert {(r.key, r.ts, r.value, r.seq) for r in want.collect()} == expect
+
+
+# -------------------------------------------- fold-assign property test
+
+from hypothesis import given, settings, strategies as st
+
+_comp = st.sampled_from([0.0, 1.0, -1.0, 0.5, 2.0])
+_vec3 = st.tuples(_comp, _comp, _comp)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    vecs=st.lists(_vec3, min_size=1, max_size=8),
+    cents=st.lists(_vec3, min_size=1, max_size=5),
+)
+def test_fold_assign_matches_reference_argmax(spark, vecs, cents):
+    """_fold_assign == a Python reference argmax with the exact same
+    IEEE arithmetic (sequential left-fold dot, per-element cv/cn
+    normalization) and tie-breaks: max raw dot vs the pre-normalized
+    centroid, ties -> smallest cell, NULL scores (zero-norm centroid)
+    skipped, ALL-NULL -> smallest cell. The finite component set makes
+    exact ties common — the regime where fold and rank forms could
+    diverge."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from transit_efficiency_analysis_spark.functions.vectors import (
+        as_double,
+        norm,
+    )
+    from transit_efficiency_analysis_spark.operators.similarity import (
+        _fold_assign,
+    )
+
+    base = spark.createDataFrame(
+        [(i, list(v)) for i, v in enumerate(vecs)],
+        "vec_id long, emb array<double>",
+    ).select(
+        "vec_id",
+        as_double(F.col("emb")).alias("v"),
+        norm(as_double(F.col("emb"))).alias("vn"),
+    )
+    cdf = spark.createDataFrame(
+        [(j, list(c)) for j, c in enumerate(cents)],
+        "cell long, emb array<double>",
+    ).select(
+        "cell",
+        as_double(F.col("emb")).alias("cv"),
+        norm(as_double(F.col("emb"))).alias("cn"),
+    )
+    got = {r.vec_id: r.cell for r in _fold_assign(base, cdf).collect()}
+
+    def seq_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def ref_cell(v):
+        best_s, best_c = None, 0  # all-NULL fallback: smallest cell id
+        for j, c in enumerate(cents):
+            cn = math.sqrt(seq_dot(c, c))
+            if cn == 0.0:
+                continue  # cvu all-NULL -> dot NULL -> skipped
+            d = seq_dot(v, [x / cn for x in c])
+            if best_s is None or d > best_s:
+                best_s, best_c = d, j
+        return best_c
+
+    assert got == {i: ref_cell(v) for i, v in enumerate(vecs)}
+    assert len(got) == len(vecs)
