@@ -453,3 +453,50 @@ def test_fold_assign_matches_reference_argmax(spark, vecs, cents):
 
     assert got == {i: ref_cell(v) for i, v in enumerate(vecs)}
     assert len(got) == len(vecs)
+
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=500),
+        st.integers(min_value=0, max_value=5),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(raw=rows_strategy, split=st.integers(min_value=1, max_value=24))
+def test_merge_routes_commit_identical_state(
+    spark, tmp_path_factory, raw, split
+):
+    """Property: merging the same batch sequence through
+    wide_threshold=0.0 (every batch takes the clustered route) and
+    wide_threshold=1.1 (every batch takes the direct route) commits
+    IDENTICAL table state after every merge — routing is purely a
+    physical-write strategy, invisible to semantics."""
+    from transit_efficiency_analysis_spark.operators.upsert import (
+        merge_into_partitioned,
+    )
+
+    rows = _mk_rows(raw)
+    df = spark.createDataFrame(rows, SCHEMA)
+    b1 = df.where(df.seq < split)
+    b2 = df.where(df.seq >= split)
+    root = tmp_path_factory.mktemp("routes")
+    clustered, direct = str(root / "clustered"), str(root / "direct")
+    for batch in (b1, b2):
+        if batch.isEmpty():
+            continue
+        got_c = merge_into_partitioned(
+            clustered, batch, ["key"], ["ts", "seq"], num_buckets=4,
+            wide_threshold=0.0,
+        )
+        got_d = merge_into_partitioned(
+            direct, batch, ["key"], ["ts", "seq"], num_buckets=4,
+            wide_threshold=1.1,
+        )
+        state_c = sorted(map(tuple, got_c.collect()))
+        state_d = sorted(map(tuple, got_d.collect()))
+        assert state_c == state_d
