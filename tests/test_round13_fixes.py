@@ -500,3 +500,105 @@ def test_merge_routes_commit_identical_state(
         state_c = sorted(map(tuple, got_c.collect()))
         state_d = sorted(map(tuple, got_d.collect()))
         assert state_c == state_d
+
+
+# ------------------------------ ivf_topk fold assignment (shipped dark)
+
+
+def test_ivf_topk_fold_equals_window(spark, sf_dir):
+    """assign='fold' must reproduce assign='window' exactly on corpora
+    without zero-norm centroids — same neighbors, same ranks, same
+    cosines — at lloyd_rounds 0 and 1 (the raw-dot scoring preserves
+    cosine's FULL per-query cell ordering, not just the argmax)."""
+    from transit_efficiency_analysis_spark.operators.similarity import (
+        ivf_topk,
+    )
+    from transit_efficiency_analysis_spark.sources.registry import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    for lr in (0, 1):
+        w = sorted(map(tuple, ivf_topk(
+            e, n_centroids=8, n_probe=2, k=3, lloyd_rounds=lr,
+            assign="window",
+        ).collect()))
+        f = sorted(map(tuple, ivf_topk(
+            e, n_centroids=8, n_probe=2, k=3, lloyd_rounds=lr,
+            assign="fold",
+        ).collect()))
+        assert f == w
+
+
+def test_ivf_topk_fold_assignment_is_map_only(spark, sf_dir):
+    """The fold assignment relation must contain no per-vec_id rank
+    window and no data-proportional exchange at all — only the
+    broadcast of the centroid array."""
+    from pyspark.sql import functions as F
+
+    from transit_efficiency_analysis_spark.functions.vectors import (
+        as_double,
+        norm,
+    )
+    from transit_efficiency_analysis_spark.operators.similarity import (
+        _fold_topk_cells,
+        ivf_centroids,
+    )
+    from transit_efficiency_analysis_spark.plans import (
+        count_shuffles,
+        physical_plan,
+    )
+    from transit_efficiency_analysis_spark.sources.registry import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = ivf_centroids(e, "vec_id", "embedding", 8, lloyd_rounds=0)
+    base = e.select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("v"),
+        norm(as_double(F.col("embedding"))).alias("vn"),
+    )
+    ranked = _fold_topk_cells(base, cents, n_probe=2)
+    plan = physical_plan(ranked)
+    assert "windowspecdefinition(vec_id" not in plan
+    # the only exchanges feed the tiny centroid-array aggregate (the
+    # take-ordered seed + single-partition collect_list) — nothing
+    # keyed on the data side
+    assert "Exchange hashpartitioning(vec_id" not in plan
+    assert count_shuffles(ranked) <= 1  # the centroid-array singleton agg
+    # sanity: every vector got <= n_probe distinct cells, crank in {1,2}
+    got = ranked.groupBy("vec_id").count().agg(F.max("count")).first()[0]
+    assert got <= 2
+
+
+def test_ivf_topk_fold_zero_norm_centroid_divergence(spark):
+    """The documented divergence: the fold never probes a zero-norm
+    centroid (NULL score filtered), while the window form ranks NULL
+    sims last and probes them when n_probe exceeds the non-NULL cell
+    count. With exactly one useful centroid and n_probe=2, the window
+    form pads with the zero-norm cell and the fold probes one cell —
+    top-k over the same single useful cell, so RESULTS still agree;
+    the assignment relation itself differs (asserted directly)."""
+    from pyspark.sql import functions as F
+
+    from transit_efficiency_analysis_spark.functions.vectors import (
+        as_double,
+        norm,
+    )
+    from transit_efficiency_analysis_spark.operators.similarity import (
+        _fold_topk_cells,
+    )
+
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0])], "cell int, emb array<double>"
+    ).select(
+        "cell",
+        as_double(F.col("emb")).alias("cv"),
+        norm(as_double(F.col("emb"))).alias("cn"),
+    )
+    base = spark.createDataFrame(
+        [(7, [2.0, 1.0])], "vec_id long, emb array<double>"
+    ).select(
+        "vec_id",
+        as_double(F.col("emb")).alias("v"),
+        norm(as_double(F.col("emb"))).alias("vn"),
+    )
+    got = {(r.cell, r.crank) for r in _fold_topk_cells(base, cents, 2).collect()}
+    assert got == {(1, 1)}  # the zero-norm cell 0 is never probed

@@ -471,6 +471,91 @@ def _fold_assign(base: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+def _fold_topk_cells(base: DataFrame, cents: DataFrame, n_probe: int) -> DataFrame:
+    """(vec_id, v, vn, cell, crank): each vector's top-``n_probe``
+    nearest cells, MAP-ONLY — the drop-in replacement for the
+    broadcast-join + per-vec_id rank-window relation that
+    :func:`ivf_topk`'s ``ranked.where(crank <= n_probe)`` consumers
+    read (``assign="fold"``; shipped dark in round 13 — the demos flip
+    in round 15 with their oracle mirrors and re-verification slots,
+    docs/ROUND13.md).
+
+    Per row: one ``transform`` over the K pre-normalized centroid
+    structs (the same raw-dot scoring as :func:`_argmax_cell` — the
+    FULL ordering equals cosine's, not just the argmax, because 1/|v|
+    is a constant positive per-row scale), one K log K ``array_sort``
+    with the exact rank-window comparator (score DESC, cell ASC), one
+    ``slice`` — vs the window form's n × K row exchange. NULL scores
+    (zero-norm centroids) are filtered BEFORE the sort, so a zero-norm
+    centroid is never probed — the one semantic divergence from the
+    window form, which ranks NULL sims last and therefore probes them
+    once ``n_probe`` exceeds the non-NULL cell count (tested +
+    documented in tests/test_round13_fixes.py). If EVERY score is NULL
+    (all centroids zero-norm, or a zero-norm query against them) the
+    fallback probes the ``n_probe`` smallest cell ids — exactly what
+    the all-NULL rank produced.
+    """
+    arr = cents.select(
+        "cell",
+        F.transform("cv", lambda x: F.try_divide(x, F.col("cn"))).alias("cvu"),
+    ).agg(F.sort_array(F.collect_list(F.struct("cell", "cvu"))).alias("ca"))
+
+    def cmp(left: Column, right: Column) -> Column:
+        return (
+            F.when(left["s"] > right["s"], F.lit(-1))
+            .when(left["s"] < right["s"], F.lit(1))
+            .when(left["c"] < right["c"], F.lit(-1))
+            .when(left["c"] > right["c"], F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
+    scored = F.slice(
+        F.array_sort(
+            F.filter(
+                F.transform(
+                    F.col("ca"),
+                    lambda e: F.struct(
+                        dot(F.col("v"), e["cvu"]).alias("s"),
+                        e["cell"].cast("long").alias("c"),
+                    ),
+                ),
+                lambda x: x["s"].isNotNull(),
+            ),
+            cmp,
+        ),
+        1,
+        n_probe,
+    )
+    fallback = F.transform(
+        F.slice(F.col("ca"), 1, n_probe),
+        lambda e: F.struct(
+            F.lit(None).cast("double").alias("s"),
+            e["cell"].cast("long").alias("c"),
+        ),
+    )
+    staged = base.crossJoin(F.broadcast(arr)).select(
+        "vec_id", "v", "vn", "ca", scored.alias("__top")
+    )
+    # __top is referenced twice below, but it is ALIASED in its own
+    # projection first: CollapseProject declines to inline a non-cheap
+    # producer expression with multiple consumers, so the score/sort
+    # pipeline runs ONCE per row. (The r12 double-eval trap was the
+    # same expression WRITTEN OUT twice inside one projection — that
+    # form gets no common-subexpression elimination for interpreted
+    # lambdas. The distinction is pinned by the same-session A/B in
+    # docs/SCALE.md "Round-13".)
+    padded = F.when(F.size("__top") == 0, fallback).otherwise(F.col("__top"))
+    return staged.select(
+        "vec_id", "v", "vn", F.posexplode(padded).alias("pos", "tc")
+    ).select(
+        "vec_id",
+        "v",
+        "vn",
+        F.col("tc")["c"].alias("cell"),
+        (F.col("pos") + 1).cast("int").alias("crank"),
+    )
+
+
 def _lloyd_round(base: DataFrame, cents: DataFrame) -> DataFrame:
     """One Lloyd iteration: nearest-cell assignment (broadcast-array
     fold, :func:`_fold_assign` — map-only since round 13; the previous
@@ -511,10 +596,23 @@ def ivf_topk(
     target_cell_size: int | None = None,
     lloyd_rounds: int = 0,
     n_rows: int | None = None,
+    assign: str = "window",
 ) -> DataFrame:
     """IVF-flat approximate top-k: coarse-quantize the corpus into
     ``n_centroids`` cells (nearest centroid by cosine), then answer each
     query exactly within its ``n_probe`` nearest cells.
+
+    ``assign`` picks the cell-assignment plan (round 13): ``"window"``
+    (default — the demo/oracle form) fans n × K rows through a
+    broadcast join and collapses with a per-vec_id rank window — an
+    n × K data-proportional exchange, the same shape the flat SemDeDup
+    assignment shed this round; ``"fold"`` computes the top-``n_probe``
+    cells per row with :func:`_fold_topk_cells` — map-only, bit-equal
+    output on corpora without zero-norm centroids (a zero-norm centroid
+    is never probed by the fold, vs ranked-last by the window; see the
+    helper's docstring). The default stays ``"window"`` until the IVF
+    demos flip with their oracle mirrors and re-verification slots in
+    round 15 (round 14's window is fully forced — docs/ROUND13.md).
 
     The other classic ANN shape next to sign-LSH (``lsh_topk``): centroids
     broadcast to every partition (map-only assignment), the only shuffle
@@ -542,28 +640,35 @@ def ivf_topk(
         )
     if n_centroids is None:
         raise ValueError("pass n_centroids or target_cell_size")
+    if assign not in ("window", "fold"):
+        raise ValueError(f"assign must be 'window' or 'fold', got {assign!r}")
     cents = ivf_centroids(df, id_col, vec_col, n_centroids, lloyd_rounds=lloyd_rounds)
     base = df.select(
         F.col(id_col).alias("vec_id"),
         as_double(F.col(vec_col)).alias("v"),
         norm(as_double(F.col(vec_col))).alias("vn"),
     )
-    # try_divide: a zero-norm vector (or centroid) yields NULL sims —
-    # NULLS LAST under the desc rank, so it assigns to the tie-break
-    # cell instead of throwing under ANSI mode (ADVICE r11)
-    cell_sim = F.try_divide(
-        dot(F.col("v"), F.col("cv")), F.col("vn") * F.col("cn")
-    )
-    ranked = (
-        base.join(F.broadcast(cents))
-        .select("vec_id", "v", "vn", "cell", cell_sim.alias("csim"))
-        .withColumn(
-            "crank",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell"))
-            ),
+    if assign == "fold":
+        ranked = _fold_topk_cells(base, cents, n_probe)
+    else:
+        # try_divide: a zero-norm vector (or centroid) yields NULL sims —
+        # NULLS LAST under the desc rank, so it assigns to the tie-break
+        # cell instead of throwing under ANSI mode (ADVICE r11)
+        cell_sim = F.try_divide(
+            dot(F.col("v"), F.col("cv")), F.col("vn") * F.col("cn")
         )
-    )
+        ranked = (
+            base.join(F.broadcast(cents))
+            .select("vec_id", "v", "vn", "cell", cell_sim.alias("csim"))
+            .withColumn(
+                "crank",
+                F.row_number().over(
+                    Window.partitionBy("vec_id").orderBy(
+                        F.col("csim").desc(), F.col("cell")
+                    )
+                ),
+            )
+        )
     if checkpoint:
         # consumed twice (data cells + probe cells): persist (DISK_ONLY,
         # lazy, canonicalized-plan-shared across invocations) so the
