@@ -602,3 +602,19 @@ def test_ivf_topk_fold_zero_norm_centroid_divergence(spark):
     )
     got = {(r.cell, r.crank) for r in _fold_topk_cells(base, cents, 2).collect()}
     assert got == {(1, 1)}  # the zero-norm cell 0 is never probed
+
+
+def test_ivf_pq_topk_fold_equals_window(spark, sf_dir):
+    """ivf_pq_topk's coarse assignment behind assign='fold' (the
+    centroid-vector join-back variant) must reproduce the window form
+    exactly — ranks come from DECIMAL-exact ADC sums, so any
+    assignment drift would show as a hard mismatch."""
+    from transit_efficiency_analysis_spark.operators.similarity import (
+        ivf_pq_topk,
+    )
+    from transit_efficiency_analysis_spark.sources.registry import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    w = sorted(map(tuple, ivf_pq_topk(e, assign="window").collect()))
+    f = sorted(map(tuple, ivf_pq_topk(e, assign="fold").collect()))
+    assert f == w

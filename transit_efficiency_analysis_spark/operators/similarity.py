@@ -740,6 +740,7 @@ def ivf_pq_topk(
     n_probe: int = 2,
     k: int = 3,
     checkpoint: bool = True,
+    assign: str = "window",
 ) -> DataFrame:
     """IVF-PQ approximate top-k: coarse IVF cells + product-quantized
     residuals with asymmetric-distance (ADC) scoring — the second
@@ -769,31 +770,50 @@ def ivf_pq_topk(
     ``approx_l2sq`` narrows through the parity hop last.
 
     Returns (query_id, neighbor_id, approx_l2sq, rank).
+
+    ``assign`` (round 13, shipped dark like :func:`ivf_topk`'s):
+    ``"window"`` (default — the demo/oracle form) is the n × K
+    broadcast fan-out + per-vec_id rank window; ``"fold"`` computes
+    the top-``n_probe`` cells map-only via :func:`_fold_topk_cells`
+    and joins the winning cells back to their centroid VECTORS over
+    the broadcast centroid relation (the residual split needs ``cv``)
+    — still zero data-side exchange. Bit-equal output on corpora
+    without zero-norm centroids; flips with the oracle mirror and its
+    re-verification slot in round 15 (docs/ROUND13.md).
     """
     from transit_efficiency_analysis_spark.functions.parity import parity_double
 
+    if assign not in ("window", "fold"):
+        raise ValueError(f"assign must be 'window' or 'fold', got {assign!r}")
     cents = ivf_centroids(df, id_col, vec_col, n_centroids)
     base = df.select(
         F.col(id_col).alias("vec_id"),
         as_double(F.col(vec_col)).alias("v"),
         norm(as_double(F.col(vec_col))).alias("vn"),
     )
-    # try_divide: a zero-norm vector (or centroid) yields NULL sims —
-    # NULLS LAST under the desc rank, so it assigns to the tie-break
-    # cell instead of throwing under ANSI mode (ADVICE r11)
-    cell_sim = F.try_divide(
-        dot(F.col("v"), F.col("cv")), F.col("vn") * F.col("cn")
-    )
-    ranked = (
-        base.join(F.broadcast(cents))
-        .select("vec_id", "v", "cell", "cv", cell_sim.alias("csim"))
-        .withColumn(
-            "crank",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell"))
-            ),
+    if assign == "fold":
+        ranked = _fold_topk_cells(base, cents, n_probe).join(
+            F.broadcast(cents.select("cell", "cv")), "cell"
+        ).select("vec_id", "v", "cell", "cv", "crank")
+    else:
+        # try_divide: a zero-norm vector (or centroid) yields NULL sims —
+        # NULLS LAST under the desc rank, so it assigns to the tie-break
+        # cell instead of throwing under ANSI mode (ADVICE r11)
+        cell_sim = F.try_divide(
+            dot(F.col("v"), F.col("cv")), F.col("vn") * F.col("cn")
         )
-    )
+        ranked = (
+            base.join(F.broadcast(cents))
+            .select("vec_id", "v", "cell", "cv", cell_sim.alias("csim"))
+            .withColumn(
+                "crank",
+                F.row_number().over(
+                    Window.partitionBy("vec_id").orderBy(
+                        F.col("csim").desc(), F.col("cell")
+                    )
+                ),
+            )
+        )
     if checkpoint:
         ranked = ranked.persist(StorageLevel.DISK_ONLY)
 
