@@ -618,3 +618,21 @@ def test_ivf_pq_topk_fold_equals_window(spark, sf_dir):
     w = sorted(map(tuple, ivf_pq_topk(e, assign="window").collect()))
     f = sorted(map(tuple, ivf_pq_topk(e, assign="fold").collect()))
     assert f == w
+
+
+def test_ivf_pq_topk_fold_plan_no_vecid_windows(spark, sf_dir):
+    """Fold-mode ivf_pq_topk must carry NO per-vec_id window anywhere —
+    neither the coarse-assignment rank nor the encode argmin (the
+    window form has both, plus the n x dims x ks codebook-join
+    fan-out). The only window left is the final candidate top-k,
+    partitioned by query_id over cell-bounded candidates."""
+    from transit_efficiency_analysis_spark.operators.similarity import (
+        ivf_pq_topk,
+    )
+    from transit_efficiency_analysis_spark.plans import physical_plan
+    from transit_efficiency_analysis_spark.sources.registry import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    plan = physical_plan(ivf_pq_topk(e, assign="fold", checkpoint=False))
+    assert "windowspecdefinition(vec_id" not in plan
+    assert "windowspecdefinition(query_id" in plan  # the candidate top-k

@@ -471,6 +471,23 @@ def _fold_assign(base: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+def _l2sq_decimal(a: Column, b: Column) -> Column:
+    """Exact squared L2 distance between two equal-length double arrays
+    as a DECIMAL(28,9) fold: each per-dimension squared diff casts to
+    DECIMAL(18,9) first (the same narrowing ivf_pq_topk's join-form
+    ``sqdiff`` applies), then accumulates exactly — bit-equal to the
+    join form's ``SUM(sqdiff)`` under any evaluation order, which is
+    the property that lets the fold-mode PQ encode/ADC replace a
+    groupBy without disturbing a single rank. The re-cast per step
+    keeps the accumulator type fixed (decimal addition widens), the
+    ``hyperplane_sign_bucket`` precedent."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast("decimal(18,9)")),
+        F.lit(0).cast("decimal(28,9)"),
+        lambda acc, x: (acc + x).cast("decimal(28,9)"),
+    )
+
+
 def _fold_topk_cells(base: DataFrame, cents: DataFrame, n_probe: int) -> DataFrame:
     """(vec_id, v, vn, cell, crank): each vector's top-``n_probe``
     nearest cells, MAP-ONLY — the drop-in replacement for the
@@ -772,14 +789,20 @@ def ivf_pq_topk(
     Returns (query_id, neighbor_id, approx_l2sq, rank).
 
     ``assign`` (round 13, shipped dark like :func:`ivf_topk`'s):
-    ``"window"`` (default — the demo/oracle form) is the n × K
-    broadcast fan-out + per-vec_id rank window; ``"fold"`` computes
-    the top-``n_probe`` cells map-only via :func:`_fold_topk_cells`
-    and joins the winning cells back to their centroid VECTORS over
-    the broadcast centroid relation (the residual split needs ``cv``)
-    — still zero data-side exchange. Bit-equal output on corpora
-    without zero-norm centroids; flips with the oracle mirror and its
-    re-verification slot in round 15 (docs/ROUND13.md).
+    ``"window"`` (default — the demo/oracle form) keeps three
+    data-proportional exchange groups: the n × K coarse-assignment
+    rank window, and the encode/ADC explode→codebook-join→groupBy
+    pipelines (n × dims × ks fan-out rows, n × m × ks aggregated rows
+    through a per-(vec_id, s) argmin window). ``"fold"`` removes ALL
+    of them: coarse cells via :func:`_fold_topk_cells` (+ a broadcast
+    cell→``cv`` join-back — the residual split needs the winning
+    centroid vector), and encode/ADC computed per row against the
+    codebook pivoted into ONE broadcast array row, every distance the
+    exact DECIMAL fold (:func:`_l2sq_decimal`) that bit-matches the
+    join form's SUM. Same arithmetic, zero data-side exchange;
+    bit-equal output on corpora without zero-norm centroids (tested).
+    Flips with the oracle mirror and its re-verification slot in
+    round 15 (docs/ROUND13.md).
     """
     from transit_efficiency_analysis_spark.functions.parity import parity_double
 
@@ -817,6 +840,17 @@ def ivf_pq_topk(
     if checkpoint:
         ranked = ranked.persist(StorageLevel.DISK_ONLY)
 
+    # per-subspace codebooks from the md5-draw seed vectors' own residuals
+    seed_ids = (
+        df.select(F.col(id_col).alias("sid2"))
+        .orderBy(F.md5(F.col("sid2").cast("string")), F.col("sid2"))
+        .limit(ks)
+    )
+    wseed = Window.partitionBy(F.pmod(F.col("sid2"), F.lit(1))).orderBy(
+        F.md5(F.col("sid2").cast("string")), F.col("sid2")
+    )
+    codes = seed_ids.select("sid2", (F.row_number().over(wseed) - 1).alias("code"))
+
     # residual dims: pos is 0-based, subspace s = pos // (dims/m) derived
     # per row so ragged dims fail loudly rather than silently misbucket
     def residual_dims(rel: DataFrame, idc: str, cellc: str) -> DataFrame:
@@ -830,54 +864,177 @@ def ivf_pq_topk(
             idc, cellc, "pos", "rx", F.floor(F.col("pos") / F.col("sub_d")).cast("int").alias("s")
         )
 
-    assigned = ranked.where(F.col("crank") == 1)
-    rdim = residual_dims(assigned, "vec_id", "cell")
-    if checkpoint:
-        rdim = rdim.persist(StorageLevel.DISK_ONLY)
-
-    # per-subspace codebooks from the md5-draw seed vectors' own residuals
-    seed_ids = (
-        df.select(F.col(id_col).alias("sid2"))
-        .orderBy(F.md5(F.col("sid2").cast("string")), F.col("sid2"))
-        .limit(ks)
-    )
-    wseed = Window.partitionBy(F.pmod(F.col("sid2"), F.lit(1))).orderBy(
-        F.md5(F.col("sid2").cast("string")), F.col("sid2")
-    )
-    codes = seed_ids.select("sid2", (F.row_number().over(wseed) - 1).alias("code"))
-    codedim = rdim.join(
-        F.broadcast(codes), rdim.vec_id == codes.sid2
-    ).select("s", "code", "pos", F.col("rx").alias("cx"))
-
-    sqdiff = ((F.col("rx") - F.col("cx")) * (F.col("rx") - F.col("cx"))).cast(
-        "decimal(18,9)"
-    )
-    enc = (
-        rdim.join(F.broadcast(codedim), ["s", "pos"])
-        .groupBy("vec_id", "cell", "s", "code")
-        .agg(F.sum(sqdiff).alias("d2"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id", "s").orderBy(F.col("d2").asc(), F.col("code"))
+    if assign == "fold":
+        # Fold-mode encode + ADC (round 13, dark): the join form below
+        # explodes n × dims residual rows, fans them × ks through the
+        # (s, pos) codebook join, aggregates back, and ranks the
+        # argmin through a per-(vec_id, s) window — THREE
+        # data-proportional exchanges (the groupBys and the window).
+        # Here the codebook pivots ONCE into a single broadcast row of
+        # per-subspace (code, subvector) arrays (ks × m structs —
+        # tiny), and each data row computes its codes / ADC entries in
+        # place over its residual slices: the same n × dims × ks
+        # squared-diff arithmetic with ZERO data-side exchange, and
+        # every distance the exact DECIMAL fold (_l2sq_decimal) that
+        # bit-matches the join form's SUM, so ranks cannot drift.
+        # Argmin per subspace = default array_sort on struct(d, code)
+        # (lexicographic: d ASC then code ASC — exactly the rn window's
+        # order) + element_at 1: each distance evaluates ONCE (a
+        # strict-< fold would write the distance expression twice per
+        # element — the r12 no-CSE trap).
+        r_expr = F.zip_with("v", "cv", lambda a, b: a - b)
+        sd_expr = F.floor(F.size("v") / F.lit(m))
+        assigned_f = ranked.where(F.col("crank") == 1).select(
+            "vec_id", "cell", r_expr.alias("r"), sd_expr.alias("sd")
+        )
+        # group s of a row's residual = slice [s*sd, min((s+1)*sd, dims))
+        # — slice() truncates at the array end, matching the join
+        # form's floor(pos / sub_d) trailing group
+        groups = F.transform(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.size("r") - F.lit(1)) / F.col("sd")).cast("int"),
+            ),
+            lambda s: F.struct(
+                s.cast("int").alias("s"),
+                F.slice(
+                    F.col("r"), s.cast("bigint") * F.col("sd") + F.lit(1), F.col("sd")
+                ).alias("cxs"),
             ),
         )
-        .where(F.col("rn") == 1)
-        .select("vec_id", "cell", "s", "code")
-    )
+        cb_row = (
+            assigned_f.join(
+                F.broadcast(codes), F.col("vec_id") == F.col("sid2")
+            )
+            .select("code", F.explode(groups).alias("g"))
+            .select("code", F.col("g.s").alias("s"), F.col("g.cxs").alias("cxs"))
+            .groupBy("s")
+            .agg(
+                F.sort_array(F.collect_list(F.struct("code", "cxs"))).alias(
+                    "codes_a"
+                )
+            )
+            .agg(F.sort_array(F.collect_list(F.struct("s", "codes_a"))).alias("cb"))
+        )
+        # (s, residual-slice, codes) staged once per group so the inner
+        # per-code transforms read the slice as a cheap field access
+        staged_groups = F.transform(
+            F.col("cb"),
+            lambda g: F.struct(
+                g["s"].alias("s"),
+                F.slice(
+                    F.col("r"),
+                    g["s"].cast("bigint") * F.col("sd") + F.lit(1),
+                    F.col("sd"),
+                ).alias("rs"),
+                g["codes_a"].alias("codes_a"),
+            ),
+        )
+        enc_arr = F.transform(
+            staged_groups,
+            lambda h: F.struct(
+                h["s"].alias("s"),
+                F.element_at(
+                    F.array_sort(
+                        F.transform(
+                            h["codes_a"],
+                            lambda c: F.struct(
+                                _l2sq_decimal(h["rs"], c["cxs"]).alias("d"),
+                                c["code"].alias("code"),
+                            ),
+                        )
+                    ),
+                    1,
+                )["code"].alias("code"),
+            ),
+        )
+        enc = (
+            assigned_f.crossJoin(F.broadcast(cb_row))
+            .select("vec_id", "cell", F.explode(enc_arr).alias("e"))
+            .select(
+                "vec_id",
+                "cell",
+                F.col("e.s").alias("s"),
+                F.col("e.code").alias("code"),
+            )
+        )
+        adc_arr = F.transform(
+            staged_groups,
+            lambda h: F.struct(
+                h["s"].alias("s"),
+                F.transform(
+                    h["codes_a"],
+                    lambda c: F.struct(
+                        c["code"].alias("code"),
+                        _l2sq_decimal(h["rs"], c["cxs"]).alias("td"),
+                    ),
+                ).alias("tds"),
+            ),
+        )
+        probes_f = ranked.where(F.col("crank") <= n_probe).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cell").alias("qcell"),
+            r_expr.alias("r"),
+            sd_expr.alias("sd"),
+        )
+        adc = (
+            probes_f.crossJoin(F.broadcast(cb_row))
+            .select("query_id", "qcell", F.explode(adc_arr).alias("a"))
+            .select(
+                "query_id",
+                "qcell",
+                F.col("a.s").alias("s"),
+                F.explode(F.col("a.tds")).alias("t"),
+            )
+            .select(
+                "query_id",
+                "qcell",
+                "s",
+                F.col("t.code").alias("code"),
+                F.col("t.td").alias("td"),
+            )
+        )
+    else:
+        assigned = ranked.where(F.col("crank") == 1)
+        rdim = residual_dims(assigned, "vec_id", "cell")
+        if checkpoint:
+            rdim = rdim.persist(StorageLevel.DISK_ONLY)
 
-    # ADC tables: query residual vs every probed cell's centroid
-    probes = ranked.where(F.col("crank") <= n_probe).select(
-        F.col("vec_id").alias("query_id"), F.col("cell").alias("qcell"), "v", "cv"
-    )
-    qrdim = residual_dims(
-        probes.withColumnRenamed("query_id", "vec_id"), "vec_id", "qcell"
-    ).withColumnRenamed("vec_id", "query_id")
-    adc = (
-        qrdim.join(F.broadcast(codedim), ["s", "pos"])
-        .groupBy("query_id", "qcell", "s", "code")
-        .agg(F.sum(sqdiff).alias("td"))
-    )
+        codedim = rdim.join(
+            F.broadcast(codes), rdim.vec_id == codes.sid2
+        ).select("s", "code", "pos", F.col("rx").alias("cx"))
+
+        sqdiff = ((F.col("rx") - F.col("cx")) * (F.col("rx") - F.col("cx"))).cast(
+            "decimal(18,9)"
+        )
+        enc = (
+            rdim.join(F.broadcast(codedim), ["s", "pos"])
+            .groupBy("vec_id", "cell", "s", "code")
+            .agg(F.sum(sqdiff).alias("d2"))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("vec_id", "s").orderBy(
+                        F.col("d2").asc(), F.col("code")
+                    )
+                ),
+            )
+            .where(F.col("rn") == 1)
+            .select("vec_id", "cell", "s", "code")
+        )
+
+        # ADC tables: query residual vs every probed cell's centroid
+        probes = ranked.where(F.col("crank") <= n_probe).select(
+            F.col("vec_id").alias("query_id"), F.col("cell").alias("qcell"), "v", "cv"
+        )
+        qrdim = residual_dims(
+            probes.withColumnRenamed("query_id", "vec_id"), "vec_id", "qcell"
+        ).withColumnRenamed("vec_id", "query_id")
+        adc = (
+            qrdim.join(F.broadcast(codedim), ["s", "pos"])
+            .groupBy("query_id", "qcell", "s", "code")
+            .agg(F.sum(sqdiff).alias("td"))
+        )
 
     # enc and adc both descend from codedim — explicit aliases make the
     # (s, code) equi-keys unambiguous side references, not self-compares
