@@ -636,3 +636,64 @@ def test_ivf_pq_topk_fold_plan_no_vecid_windows(spark, sf_dir):
     plan = physical_plan(ivf_pq_topk(e, assign="fold", checkpoint=False))
     assert "windowspecdefinition(vec_id" not in plan
     assert "windowspecdefinition(query_id" in plan  # the candidate top-k
+
+
+# ------------------------------------------ round-13 review follow-ups
+
+
+def test_filter_partitioned_on_emptied_table_is_typed_noop(spark, tmp_path):
+    """A compaction that drops EVERY row leaves meta (the table stays
+    mergeable); a subsequent compaction must be a typed empty no-op —
+    from the schema stored in the meta — not a schema-inference crash
+    on a partitionless dir (round-13 review finding)."""
+    from pyspark.sql import functions as F
+
+    from transit_efficiency_analysis_spark.operators.upsert import (
+        filter_partitioned,
+        merge_into_partitioned,
+    )
+
+    target = str(tmp_path / "tbl")
+    merge_into_partitioned(
+        target, spark.createDataFrame(_mk_rows([(k, 1, 1) for k in range(9)]), SCHEMA),
+        keys=["key"], order_by=["ts", "seq"], num_buckets=4,
+    )
+    out = filter_partitioned(spark, target, F.lit(False))  # drop all
+    assert out.count() == 0
+    again = filter_partitioned(spark, target, F.lit(True))
+    assert again.count() == 0
+    assert again.schema == out.schema
+    assert [f.name for f in again.schema.fields] == [
+        "key", "ts", "value", "seq"
+    ]
+    # and merges still work after the double compaction
+    back = merge_into_partitioned(
+        target, spark.createDataFrame(_mk_rows([(0, 2, 2)]), SCHEMA),
+        keys=["key"], order_by=["ts", "seq"], num_buckets=4,
+    )
+    assert back.count() == 1
+
+
+def test_rejected_merge_leaks_no_persisted_relation(spark, tmp_path):
+    """The bucket-count-drift rejection must not leak one persisted
+    collapsed relation per failed attempt (round-13 review finding —
+    the persist now happens after the meta validation)."""
+    from transit_efficiency_analysis_spark.operators.upsert import (
+        merge_into_partitioned,
+    )
+
+    def n_persistent() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    target = str(tmp_path / "tbl")
+    df = spark.createDataFrame(_mk_rows([(k, 1, 1) for k in range(9)]), SCHEMA)
+    merge_into_partitioned(
+        target, df, keys=["key"], order_by=["ts", "seq"], num_buckets=4
+    )
+    base = n_persistent()
+    for _ in range(3):
+        with pytest.raises(ValueError, match="bucketed with"):
+            merge_into_partitioned(
+                target, df, keys=["key"], order_by=["ts", "seq"], num_buckets=8
+            )
+    assert n_persistent() == base

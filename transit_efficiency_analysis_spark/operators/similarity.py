@@ -408,7 +408,9 @@ def ivf_centroids(
     return cents
 
 
-def _argmax_cell(arr: Column, cell_f: str, vec_f: str) -> Column:
+def _argmax_cell(
+    arr: Column, cell_f: str, vec_f: str, v_col: str = "v"
+) -> Column:
     """Nearest-cell id as a per-row aggregate fold over a broadcast
     array of (cell, pre-normalized centroid) structs — the map-only
     assignment shared by :func:`semantic_dedup`,
@@ -432,20 +434,35 @@ def _argmax_cell(arr: Column, cell_f: str, vec_f: str) -> Column:
     subexpression elimination for interpreted lambdas; measured 2x at
     64x when first tried that way, r12). A zero-norm VECTOR scores 0.0
     against every centroid, ties to the smallest scanned cell, and
-    flows through (never dropped — ADVICE r11)."""
+    flows through (never dropped — ADVICE r11). ``v_col`` names the
+    caller-side vector column the fold scores against (default
+    ``"v"`` — the hidden contract made explicit, round-13 review)."""
     init = F.struct(
         F.lit(float("-inf")).alias("s"),
         F.element_at(arr, 1)[cell_f].cast("long").alias("c"),
     )
 
     def merge(acc: Column, e: Column) -> Column:
-        d = dot(F.col("v"), e[vec_f])
+        d = dot(F.col(v_col), e[vec_f])
         return F.when(
             d > acc["s"],
             F.struct(d.alias("s"), e[cell_f].cast("long").alias("c")),
         ).otherwise(acc)
 
     return F.aggregate(arr, init, merge)["c"]
+
+
+def _cents_array(cents: DataFrame) -> DataFrame:
+    """ONE broadcast-able row ``ca``: the (cell, pre-normalized
+    centroid) structs sorted by the leading cell id — the shared recipe
+    BOTH fold forms' correctness rests on (the sort drives the
+    smallest-cell tie-break; ``try_divide`` drives the zero-norm
+    NULL-skip), factored out so :func:`_fold_assign` and
+    :func:`_fold_topk_cells` cannot drift apart (round-13 review)."""
+    return cents.select(
+        "cell",
+        F.transform("cv", lambda x: F.try_divide(x, F.col("cn"))).alias("cvu"),
+    ).agg(F.sort_array(F.collect_list(F.struct("cell", "cvu"))).alias("ca"))
 
 
 def _fold_assign(base: DataFrame, cents: DataFrame) -> DataFrame:
@@ -459,10 +476,7 @@ def _fold_assign(base: DataFrame, cents: DataFrame) -> DataFrame:
     the n × K row fan-out + per-vec_id rank window that was the one
     data-proportional assignment exchange left in the tree (VERDICT r12
     ask #1; plan-pinned in tests/test_round13_fixes.py)."""
-    arr = cents.select(
-        "cell",
-        F.transform("cv", lambda x: F.try_divide(x, F.col("cn"))).alias("cvu"),
-    ).agg(F.sort_array(F.collect_list(F.struct("cell", "cvu"))).alias("ca"))
+    arr = _cents_array(cents)
     return base.crossJoin(F.broadcast(arr)).select(
         "vec_id",
         "v",
@@ -512,10 +526,7 @@ def _fold_topk_cells(base: DataFrame, cents: DataFrame, n_probe: int) -> DataFra
     fallback probes the ``n_probe`` smallest cell ids — exactly what
     the all-NULL rank produced.
     """
-    arr = cents.select(
-        "cell",
-        F.transform("cv", lambda x: F.try_divide(x, F.col("cn"))).alias("cvu"),
-    ).agg(F.sort_array(F.collect_list(F.struct("cell", "cvu"))).alias("ca"))
+    arr = _cents_array(cents)
 
     def cmp(left: Column, right: Column) -> Column:
         return (
@@ -624,12 +635,18 @@ def ivf_topk(
     broadcast join and collapses with a per-vec_id rank window — an
     n × K data-proportional exchange, the same shape the flat SemDeDup
     assignment shed this round; ``"fold"`` computes the top-``n_probe``
-    cells per row with :func:`_fold_topk_cells` — map-only, bit-equal
-    output on corpora without zero-norm centroids (a zero-norm centroid
-    is never probed by the fold, vs ranked-last by the window; see the
-    helper's docstring). The default stays ``"window"`` until the IVF
-    demos flip with their oracle mirrors and re-verification slots in
-    round 15 (round 14's window is fully forced — docs/ROUND13.md).
+    cells per row with :func:`_fold_topk_cells` — map-only. The two
+    routes agree on every tested corpus (equality pinned at
+    lloyd_rounds 0 and 1), but that is mathematical-order equality
+    under different ROUNDING (cosine ``dot/(vn*cn)`` vs raw
+    ``dot(v, cv/cn)``), not a bit-level contract — a ~1-ulp near-tie
+    could rank cells differently between routes, which is exactly why
+    the round-15 demo flip MIRRORS the oracles to the fold arithmetic
+    (the flat-SemDeDup discipline) instead of relying on equivalence.
+    A zero-norm centroid is never probed by the fold, vs ranked-last
+    by the window (see the helper's docstring). The default stays
+    ``"window"`` until that flip (round 14's window is fully forced —
+    docs/ROUND13.md).
 
     The other classic ANN shape next to sign-LSH (``lsh_topk``): centroids
     broadcast to every partition (map-only assignment), the only shuffle
@@ -799,10 +816,12 @@ def ivf_pq_topk(
     centroid vector), and encode/ADC computed per row against the
     codebook pivoted into ONE broadcast array row, every distance the
     exact DECIMAL fold (:func:`_l2sq_decimal`) that bit-matches the
-    join form's SUM. Same arithmetic, zero data-side exchange;
-    bit-equal output on corpora without zero-norm centroids (tested).
-    Flips with the oracle mirror and its re-verification slot in
-    round 15 (docs/ROUND13.md).
+    join form's SUM — the encode/ADC stages therefore cannot drift at
+    all; the coarse assignment carries the same rounding caveat as
+    :func:`ivf_topk`'s ``assign`` (order-equal under different FP
+    rounding, equality pinned on the tested corpus, oracle to be
+    MIRRORED at the round-15 flip rather than assumed equivalent).
+    Zero data-side exchange throughout (plan-pinned).
     """
     from transit_efficiency_analysis_spark.functions.parity import parity_double
 

@@ -597,17 +597,7 @@ def merge_into_partitioned(
 
     spark = incoming.sparkSession
     bucket = _bucket_expr(keys, num_buckets)
-    # Collapse FIRST and persist the collapsed relation (DISK_ONLY,
-    # released in the finally): it is consumed twice — the touched-
-    # bucket distinct/collect and the MERGE join — and a non-trivial
-    # incoming plan (e.g. a distinct over an exploded stream batch)
-    # would otherwise be recomputed per consumer (ADVICE r12). The
-    # touched set over the collapsed relation equals the set over the
-    # raw batch (buckets are a function of the keys the collapse
-    # preserves).
-    collapsed = upsert_keep_newest(incoming, keys, order_by).persist(
-        StorageLevel.DISK_ONLY
-    )
+    collapsed = upsert_keep_newest(incoming, keys, order_by)
     out_cols = collapsed.columns
 
     meta_path = os.path.join(local, _META_NAME)
@@ -629,6 +619,18 @@ def merge_into_partitioned(
                 "duplicate keys"
             )
 
+    # Persist the collapsed relation (DISK_ONLY, released in the
+    # finally): it is consumed twice — the touched-bucket
+    # distinct/collect and the MERGE join — and a non-trivial incoming
+    # plan (e.g. a distinct over an exploded stream batch) would
+    # otherwise be recomputed per consumer (ADVICE r12). The touched
+    # set over the collapsed relation equals the set over the raw
+    # batch (buckets are a function of the keys the collapse
+    # preserves). Persisted only AFTER the meta validation above so a
+    # rejected call (bucket-count drift, corrupt meta) cannot leak a
+    # registered relation per attempt — the same accumulation class
+    # the consume= lifecycle closes in minhash_lsh_pairs_incremental.
+    collapsed = collapsed.persist(StorageLevel.DISK_ONLY)
     try:
         # Touched buckets: distinct key hashes, ints bounded by
         # num_buckets — never data rows.
@@ -692,6 +694,12 @@ def merge_into_partitioned(
                         "num_buckets": num_buckets,
                         "keys": keys,
                         "order_by": order_by,
+                        # the stored-row schema (no p_bucket): lets
+                        # filter_partitioned return a typed empty
+                        # relation for a legitimately-emptied table
+                        # instead of failing schema inference on a
+                        # partitionless parquet dir (round-13 review)
+                        "schema": collapsed.schema.jsonValue(),
                     },
                     f,
                 )
@@ -787,7 +795,7 @@ def filter_partitioned(
     # the json.load doubles as the "is this a partitioned table" probe:
     # missing meta raises FileNotFoundError here, before any work
     with open(meta_path) as f:
-        json.load(f)
+        meta = json.load(f)
 
     vroot = os.path.join(local, ".v")
     existing_buckets = [
@@ -795,6 +803,25 @@ def filter_partitioned(
         for name in os.listdir(local)
         if name.startswith(f"{_BUCKET_COL}=")
     ]
+    if not existing_buckets:
+        # legitimately-emptied table (a prior compaction dropped every
+        # partition; the meta stays so merges continue) or the
+        # meta-first crash window: filtering nothing is a no-op —
+        # return a typed empty relation from the meta's stored schema
+        # rather than letting a partitionless parquet read fail schema
+        # inference. Pre-r13 tables lack the schema key: fail with a
+        # actionable message instead of the inference error.
+        from pyspark.sql.types import StructType
+
+        if "schema" not in meta:
+            raise ValueError(
+                f"filter_partitioned: table at {target} has no "
+                "partitions and its meta predates the stored-schema "
+                "key — nothing to compact; run a merge first"
+            )
+        return spark.createDataFrame(
+            [], StructType.fromJson(meta["schema"])
+        )
 
     def _latest_versions() -> dict[int, int]:
         return {
