@@ -697,3 +697,50 @@ def test_rejected_merge_leaks_no_persisted_relation(spark, tmp_path):
                 target, df, keys=["key"], order_by=["ts", "seq"], num_buckets=8
             )
     assert n_persistent() == base
+
+
+def test_ivf_pq_topk_fold_equals_window_nondefault_and_ragged(spark):
+    """Fold/window PQ parity beyond the defaults: other (m, ks)
+    shapes, and RAGGED dims (dims not divisible by m — sub_d =
+    floor(dims/m) leaves extra and/or truncated trailing subspaces;
+    the fold's slice-based grouping must reproduce the join form's
+    floor(pos/sub_d) exactly).
+
+    The corpus is deliberately TIE-FREE (seeded uniform floats): on a
+    corpus with duplicate/cyclic vectors the coarse assignment can
+    legitimately differ between routes — mathematically-tied scores
+    round differently under cosine vs pre-normalized raw dot, the
+    documented non-contract (the first draft of this test used a
+    modular-arithmetic corpus that seeded two IDENTICAL centroids and
+    caught exactly that divergence; the round-15 flip mirrors oracles
+    to the fold arithmetic for this reason)."""
+    import random
+
+    from transit_efficiency_analysis_spark.operators.similarity import (
+        ivf_pq_topk,
+    )
+
+    rng = random.Random(13)
+
+    def corpus(dims):
+        rows = [
+            (i, [rng.uniform(-3.0, 3.0) for _ in range(dims)])
+            for i in range(40)
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    # (dims=6, m=4): sub_d=1 -> 6 groups of 1 (extra trailing groups);
+    # (dims=6, m=2): 2 exact groups; (dims=7, m=3): sub_d=2 -> groups
+    # of 2,2,2 and a PARTIAL trailing group of 1 (slice truncation)
+    for dims, m, ks in ((6, 4, 8), (6, 2, 8), (7, 3, 8), (7, 2, 4)):
+        df = corpus(dims)
+        w = sorted(map(tuple, ivf_pq_topk(
+            df, n_centroids=4, m=m, ks=ks, n_probe=2, k=2, assign="window",
+        ).collect()))
+        f = sorted(map(tuple, ivf_pq_topk(
+            df, n_centroids=4, m=m, ks=ks, n_probe=2, k=2, assign="fold",
+        ).collect()))
+        assert f == w, f"fold/window diverged at dims={dims}, m={m}, ks={ks}"
+        assert len(w) > 0
