@@ -440,6 +440,17 @@ def q_dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semantic_dedup_sql() -> str:
+    # Known oracle limitation (ADVICE r13, documented — the SQL string
+    # is frozen this round, demo outside the forced r14 window): the asg
+    # CTE's `list_transform(c.cv, x -> x / c.cn)` is unguarded, and in
+    # DuckDB x/0.0 (double) → NULL with list_inner_product raising on
+    # NULL elements, so a zero-norm POST-LLOYD centroid would crash the
+    # oracle where the Spark fold skips it. Unreachable on the testdata
+    # (Lloyd means of nonzero-norm members); the guard pattern
+    # (`CASE WHEN c.cn = 0 THEN NULL`, NULLS LAST mirrors the fold's
+    # strict-> skip) is staged in demo/staged_r15.py and lands here with
+    # this demo's next re-verification slot. _SEMANTIC_HIER_SQL's
+    # ccent/f2c transforms share the same limitation.
     from transit_efficiency_analysis_spark.demo.similarity import _IVF_LLOYD_SQL
 
     return f"""

@@ -494,11 +494,38 @@ def _l2sq_decimal(a: Column, b: Column) -> Column:
     the property that lets the fold-mode PQ encode/ADC replace a
     groupBy without disturbing a single rank. The re-cast per step
     keeps the accumulator type fixed (decimal addition widens), the
-    ``hyperplane_sign_bucket`` precedent."""
-    return F.aggregate(
+    ``hyperplane_sign_bucket`` precedent.
+
+    Ragged inputs FAIL LOUDLY (ADVICE r13): ``zip_with`` NULL-pads the
+    shorter array, which would propagate NULL through the fold — the
+    join form's ``(s, pos)`` equi-join instead sums over the
+    intersection, so a per-row-ragged corpus would silently diverge
+    between the two modes. Matching the stated ragged-dims philosophy
+    (validate, don't guess), unequal slice lengths raise at execution;
+    NULL arrays stay NULL-in-NULL-out (what the fold already did)."""
+    fold = F.aggregate(
         F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast("decimal(18,9)")),
         F.lit(0).cast("decimal(28,9)"),
         lambda acc, x: (acc + x).cast("decimal(28,9)"),
+    )
+    return (
+        F.when(a.isNull() | b.isNull(), F.lit(None).cast("decimal(28,9)"))
+        .when(F.size(a) == F.size(b), fold)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("_l2sq_decimal: ragged slice lengths ("),
+                    F.size(a).cast("string"),
+                    F.lit(" vs "),
+                    F.size(b).cast("string"),
+                    F.lit(
+                        ") — fold mode requires uniform per-row dims; "
+                        "zip_with would NULL-pad where the join form "
+                        "sums over the (s,pos) intersection"
+                    ),
+                )
+            )
+        )
     )
 
 

@@ -550,9 +550,11 @@ def merge_into_partitioned(
     :func:`merge_into_sql` would silently convert the table to the
     unpartitioned versioned-dir layout out from under them) but
     CLUSTERS the staging write by bucket first: one extra exchange of
-    the merged slice, after which each task writes exactly one
-    partition dir — no per-task sort over all buckets, ``touched``
-    files instead of ``tasks × touched``. Measured steady-state
+    the merged slice, after which each BUCKET is written by exactly one
+    task (hash collisions may hand one task 2-3 buckets and another
+    none, but no bucket ever splits across tasks) — no per-task sort
+    over all buckets, one file per bucket (``touched`` files) instead
+    of ``tasks × touched``. Measured steady-state
     (one-file-per-bucket layout): ~1.9x/1.6x the plain rewrite at
     16x/64x; the residual is intrinsic per-partition bookkeeping
     (O(buckets) path listing, one write task per bucket, per-bucket
@@ -666,7 +668,9 @@ def merge_into_partitioned(
         staged = merged.withColumn(_BUCKET_COL, bucket)
         if touched and len(touched) >= wide_threshold * num_buckets:
             # WIDE route (see docstring): cluster by bucket so each
-            # write task produces exactly one partition dir — kills the
+            # bucket is written by exactly one task (one file per
+            # bucket; repartition hash-partitions bucket ids, so a task
+            # may own 2-3 buckets while another owns none) — kills the
             # dynamic-partition sort and the tasks × buckets small-file
             # fan-out that made wide batches ~8.5x the plain rewrite.
             staged = staged.repartition(len(touched), F.col(_BUCKET_COL))
@@ -742,6 +746,7 @@ def filter_partitioned(
     target: str,
     condition: Column,
     _before_commit=None,
+    _before_drop=None,
 ) -> DataFrame:
     """Partition-preserving compaction for :func:`merge_into_partitioned`
     tables: keep only rows satisfying ``condition``, rewriting every
@@ -834,8 +839,9 @@ def filter_partitioned(
     staging = os.path.join(local, f".staging_{uuid.uuid4().hex[:12]}")
     # compaction rewrites every partition — by definition the wide
     # regime, so it gets the same bucket-clustered write as
-    # merge_into_partitioned's wide route (one dir per task, no
-    # dynamic-partition sort / tasks x buckets file fan-out)
+    # merge_into_partitioned's wide route (one task per bucket / one
+    # file per bucket, no dynamic-partition sort / tasks x buckets
+    # file fan-out)
     (
         kept.repartition(max(len(existing_buckets), 1), F.col(_BUCKET_COL))
         .write.partitionBy(_BUCKET_COL)
@@ -863,11 +869,28 @@ def filter_partitioned(
                 _swap_bucket(local, part, b)
             else:
                 # every row of this bucket was filtered away: drop the
-                # partition (readers atomically stop seeing the link)
+                # partition (readers atomically stop seeing the link).
+                # This path DESTROYS version dirs, which is strictly
+                # worse than the swap path's lost-update residual — a
+                # merge committing after the global re-check would have
+                # its freshly committed version physically deleted
+                # (ADVICE r13). So: re-check THIS bucket immediately
+                # before acting (advanced ⇒ skip the drop entirely; the
+                # merge's data wins and a rerun re-applies the filter),
+                # and even then delete only versions <= the read-time
+                # snapshot, so a commit landing in the remaining
+                # microseconds keeps its version dir (worst case: an
+                # orphaned-but-intact version, never destroyed data).
+                if _before_drop is not None:
+                    _before_drop(b)
+                latest = _bucket_versions(vroot, b)
+                if latest and latest[-1][0] > versions_at_read[b]:
+                    continue
                 if os.path.lexists(link):
                     os.remove(link)
-                for _, stale in _bucket_versions(os.path.join(local, ".v"), b):
-                    shutil.rmtree(stale, ignore_errors=True)
+                for v, stale in _bucket_versions(vroot, b):
+                    if v <= versions_at_read[b]:
+                        shutil.rmtree(stale, ignore_errors=True)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     if not any(
