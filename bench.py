@@ -7,6 +7,16 @@ plan) so results are materialized without driver-side collection overhead
 dominating the measurement. Per-query times are the MEDIAN of
 $SPARK_GRAFT_BENCH_RUNS interleaved runs (default 3), with the per-query
 max-min spread reported alongside — the total is the total of medians.
+
+Load gate (round 14, VERDICT r13 ask #5): the record self-identifies
+contamination instead of reading as a regression — BENCH_r13 ran at
+loadavg_1m 13.59 on the 32-cpu box and every headline query showed
++6-49% with zero code changes on any headline path. When env_before's
+1-minute loadavg exceeds $SPARK_GRAFT_LOAD_GATE (default 4.0 — the
+"co-tenant work was competing" line in _machine_context's docstring),
+both the stdout line and the stderr detail carry
+"load_contaminated": true plus the triggering loadavg; the run still
+completes (warn-and-record, never abort).
 """
 
 from __future__ import annotations
@@ -109,6 +119,17 @@ def main() -> None:
     spark = get_spark("bench")
     registry = load_registry()
     env_before = _machine_context(spark)
+    # warn-and-record load gate (docstring "Load gate"): a battery
+    # launched on a busy box measures the box, not the round
+    load_gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "4.0"))
+    load_1m = env_before.get("loadavg_1m")
+    load_contaminated = load_1m is not None and load_1m > load_gate
+    if load_contaminated:
+        print(
+            f"# WARNING: loadavg_1m {load_1m} > gate {load_gate} — this "
+            "battery is load-contaminated; numbers measure the box",
+            file=sys.stderr,
+        )
 
     # warm the JVM/session and the Python worker pool so boot cost isn't in
     # query times (Arrow workers cold-start ~1-2s per executor thread)
@@ -223,6 +244,8 @@ def main() -> None:
         },
         "env_before": env_before,
         "env_after": _machine_context(spark),
+        "load_contaminated": load_contaminated,
+        "load_gate": load_gate,
     }
     print(json.dumps(detail), file=sys.stderr)
     print(
@@ -236,6 +259,8 @@ def main() -> None:
                 "warmup": 1,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "tpch_total": detail["tpch_battery"]["total"],
+                "load_contaminated": load_contaminated,
+                "loadavg_1m": load_1m,
             }
         )
     )

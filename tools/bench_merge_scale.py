@@ -165,6 +165,29 @@ def main() -> int:
                                    return_touched_only=True)
             part_touched_s = time.perf_counter() - t0
 
+            # round-14 manifest-commit A/B (VERDICT r13 ask #3): the
+            # same seed + trickle + touched-only sequence through the
+            # manifest protocol (one atomic manifest swap per merge,
+            # write-once version dirs, zero-listing manifest-resolved
+            # reads) — the object-store-shaped commit. The contrast of
+            # interest is merge_part_s vs mani_merge_s: the manifest
+            # read path replaces the O(touched) dir stats + symlink
+            # resolution with one JSON read.
+            mani_target = os.path.join(work, f"mani_{n}")
+            t0 = time.perf_counter()
+            merge_into_partitioned(mani_target, table, keys, order_by,
+                                   num_buckets=buckets, commit="manifest")
+            mani_seed_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            merge_into_partitioned(mani_target, batch, keys, order_by,
+                                   num_buckets=buckets)
+            mani_merge_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            merge_into_partitioned(mani_target, batch, keys, order_by,
+                                   num_buckets=buckets,
+                                   return_touched_only=True)
+            mani_touched_s = time.perf_counter() - t0
+
             table.unpersist()
             points[n] = {
                 "table_rows": table_rows,
@@ -178,6 +201,9 @@ def main() -> int:
                 "wide_steady_s": round(wide_steady_s, 2),
                 "wide_touched": wide_touched,
                 "merge_part_touched_s": round(part_touched_s, 2),
+                "manifest_seed_s": round(mani_seed_s, 2),
+                "manifest_merge_s": round(mani_merge_s, 2),
+                "manifest_touched_s": round(mani_touched_s, 2),
             }
             print(
                 f"# N={n}: table {table_rows} rows, {buckets} buckets, "
@@ -186,7 +212,9 @@ def main() -> int:
                 f"{part_touched_s:.2f}s), full-rewrite merge {full_s:.2f}s, "
                 f"wide batch direct {wide_direct_s:.2f}s / clustered "
                 f"{wide_s:.2f}s / steady {wide_steady_s:.2f}s "
-                f"({wide_touched}/{buckets} touched)",
+                f"({wide_touched}/{buckets} touched), manifest seed "
+                f"{mani_seed_s:.1f}s / merge {mani_merge_s:.2f}s / "
+                f"touched-only {mani_touched_s:.2f}s",
                 file=sys.stderr,
             )
     finally:

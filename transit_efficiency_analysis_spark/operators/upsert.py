@@ -439,6 +439,7 @@ def _merge_into_delta(
 
 _BUCKET_COL = "p_bucket"
 _META_NAME = ".merge_meta.json"
+_MANIFEST_NAME = ".manifest.json"
 
 
 def _bucket_expr(keys: list[str], num_buckets: int) -> Column:
@@ -491,6 +492,315 @@ def _swap_bucket(local: str, staging_part: str, bucket: int) -> None:
         shutil.rmtree(stale, ignore_errors=True)
 
 
+# -------------------- manifest commit mode (round 14, VERDICT r13 ask #3)
+#
+# The symlink mode's per-partition atomic flip is POSIX-only; the
+# round-13 steady-state analysis showed the residual per-merge cost
+# class is exactly the O(buckets) bookkeeping a metadata-commit format
+# removes. This mode is that format in miniature, object-store-shaped
+# by design: version dirs under `.v/` are WRITE-ONCE (rename from
+# staging — on a real object store, a prefix the writer uploads to and
+# never mutates), and the ONE mutable object is `.manifest.json`
+# mapping bucket -> committed version, replaced atomically per commit
+# (locally os.replace; on S3/GCS a put-if-match/generation-conditional
+# put). Readers list NOTHING: they resolve the manifest and read the
+# named version dirs — no directory listing, no symlink support needed.
+#
+# Isolation is strictly BETTER than symlink mode: the whole merge
+# (all touched buckets) commits in one manifest swap, so a reader sees
+# batch N in every bucket or batch N-1 in every bucket — snapshot-ish
+# across partitions, where symlink mode was per-partition only. The
+# multi-writer story is unchanged (detector, not lock): compaction
+# re-checks the manifest before its swap and fails fast; a merge
+# landing in the residual microseconds loses its manifest entry but
+# NEVER its data (cleanup deletes only versions the committer's own
+# read snapshot superseded, so the orphaned version dir survives for
+# repair). True serialization stays the Delta/Iceberg backend's job.
+#
+# Mode selection: `commit="manifest"` on the FIRST merge creates the
+# table in manifest mode (recorded in the meta; later calls follow the
+# meta regardless of the parameter — a table's commit protocol never
+# silently converts). The default "symlink" keeps the pre-round-14
+# code path verbatim.
+
+
+def _read_manifest(local: str) -> dict[int, int]:
+    import json
+    import os
+
+    path = os.path.join(local, _MANIFEST_NAME)
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return {int(k): int(v) for k, v in json.load(f).items()}
+
+
+def _write_manifest(local: str, manifest: dict[int, int]) -> None:
+    """Atomic whole-table commit point: temp file + os.replace (the
+    object-store analogue is a conditional put of the manifest key)."""
+    import json
+    import os
+    import uuid
+
+    tmp = os.path.join(local, f".manifest_{uuid.uuid4().hex[:12]}.tmp")
+    with open(tmp, "w") as f:
+        json.dump({str(b): v for b, v in sorted(manifest.items())}, f)
+    os.replace(tmp, os.path.join(local, _MANIFEST_NAME))
+
+
+def _manifest_dirs(
+    local: str, manifest: dict[int, int], buckets=None
+) -> list[str]:
+    import os
+
+    return [
+        os.path.join(local, ".v", f"b{b}_v{v}")
+        for b, v in sorted(manifest.items())
+        if buckets is None or b in buckets
+    ]
+
+
+def _is_manifest_table(local: str) -> bool:
+    import os
+
+    return os.path.exists(os.path.join(local, _MANIFEST_NAME))
+
+
+def read_partitioned(spark, target: str) -> DataFrame:
+    """Read a :func:`merge_into_partitioned` table under either commit
+    mode. Symlink tables are plain partitioned-parquet reads (the
+    ``p_bucket=N`` links resolve transparently); manifest tables
+    resolve the committed version dirs through the manifest — zero
+    directory listing, the object-store read path."""
+    from transit_efficiency_analysis_spark.sinks import _local_path
+
+    local = _local_path(target)
+    if local is not None and _is_manifest_table(local):
+        import json
+        import os
+
+        manifest = _read_manifest(local)
+        if not manifest:
+            from pyspark.sql.types import StructType
+
+            with open(os.path.join(local, _META_NAME)) as f:
+                meta = json.load(f)
+            return spark.createDataFrame(
+                [], StructType.fromJson(meta["schema"])
+            )
+        return spark.read.parquet(*_manifest_dirs(local, manifest))
+    return spark.read.parquet(target).drop(_BUCKET_COL)
+
+
+def _merge_into_partitioned_manifest(
+    spark,
+    target: str,
+    local: str,
+    incoming: DataFrame,
+    keys: list[str],
+    order_by: list[str],
+    num_buckets: int,
+    wide_threshold: float,
+    return_touched_only: bool,
+) -> DataFrame:
+    """Manifest-mode body of :func:`merge_into_partitioned` (same
+    last-writer-wins MERGE algebra and wide/trickle routing; see the
+    mode comment above for the commit-protocol contrast)."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    from pyspark import StorageLevel
+
+    meta_path = os.path.join(local, _META_NAME)
+    manifest = _read_manifest(local)
+    exists = bool(manifest)
+    if _target_exists(spark, target) and os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta["num_buckets"] != num_buckets:
+            raise ValueError(
+                f"table at {target} was bucketed with "
+                f"num_buckets={meta['num_buckets']}, got {num_buckets} — "
+                "a key's bucket would move and merges would silently "
+                "duplicate keys"
+            )
+        if meta.get("commit", "symlink") != "manifest":
+            raise ValueError(
+                f"table at {target} was created with the symlink commit "
+                "protocol; refusing to commit it via manifest (a table's "
+                "commit mode never silently converts)"
+            )
+
+    bucket = _bucket_expr(keys, num_buckets)
+    collapsed = upsert_keep_newest(incoming, keys, order_by)
+    out_cols = collapsed.columns
+    collapsed = collapsed.persist(StorageLevel.DISK_ONLY)
+    try:
+        touched = sorted(
+            r[0]
+            for r in collapsed.select(bucket.alias(_BUCKET_COL))
+            .distinct()
+            .collect()
+        )
+        # stored side: the touched buckets' committed version dirs,
+        # resolved via the manifest — zero listing, O(touched) paths.
+        # Version dirs carry no p_bucket= path component, so no
+        # partition column materializes and nothing needs dropping.
+        touched_dirs = _manifest_dirs(local, manifest, set(touched))
+        if exists and touched_dirs:
+            stored = spark.read.parquet(*touched_dirs)
+            merged = merge_sql_plan(stored, collapsed, keys, order_by)
+        else:
+            merged = collapsed
+
+        staged = merged.withColumn(_BUCKET_COL, bucket)
+        if touched and len(touched) >= wide_threshold * num_buckets:
+            # same wide route as symlink mode: one bucket per task
+            staged = staged.repartition(len(touched), F.col(_BUCKET_COL))
+        staging = os.path.join(local, f".staging_{uuid.uuid4().hex[:12]}")
+        staged.write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(
+            staging
+        )
+
+        # meta-first atomic commit, as in symlink mode; "exists" here is
+        # "manifest has entries", so a crash after this write but before
+        # the manifest swap leaves meta-only and the next merge simply
+        # recreates the table.
+        if not exists:
+            tmp_meta = os.path.join(
+                local, f".merge_meta_{uuid.uuid4().hex[:12]}.tmp"
+            )
+            with open(tmp_meta, "w") as f:
+                json.dump(
+                    {
+                        "num_buckets": num_buckets,
+                        "keys": keys,
+                        "order_by": order_by,
+                        "schema": collapsed.schema.jsonValue(),
+                        "commit": "manifest",
+                    },
+                    f,
+                )
+            os.replace(tmp_meta, meta_path)
+
+        vroot = os.path.join(local, ".v")
+        os.makedirs(vroot, exist_ok=True)
+        new_manifest = dict(manifest)
+        try:
+            for b in touched:
+                part = os.path.join(staging, f"{_BUCKET_COL}={b}")
+                if not os.path.isdir(part):
+                    raise RuntimeError(
+                        f"merge produced no output for touched bucket {b}"
+                    )
+                listed = _bucket_versions(vroot, b)
+                version = (
+                    max(listed[-1][0] if listed else 0, manifest.get(b, 0))
+                    + 1
+                )
+                os.rename(part, os.path.join(vroot, f"b{b}_v{version}"))
+                new_manifest[b] = version
+            # THE commit: every touched bucket becomes visible in one
+            # atomic swap (cross-bucket, unlike the symlink flips)
+            _write_manifest(local, new_manifest)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        # post-commit cleanup, bounded by OUR read snapshot: only
+        # versions <= what this merge read (and therefore superseded)
+        # are deleted — a concurrent writer's newer dir is never touched
+        # (crash orphans are swept by the next compaction)
+        for b in touched:
+            for v, stale in _bucket_versions(vroot, b):
+                if v <= manifest.get(b, 0):
+                    shutil.rmtree(stale, ignore_errors=True)
+    finally:
+        collapsed.unpersist()
+
+    if return_touched_only:
+        dirs = _manifest_dirs(local, new_manifest, set(touched))
+        if not dirs:
+            return spark.createDataFrame([], collapsed.schema).select(*out_cols)
+        return spark.read.parquet(*dirs).select(*out_cols)
+    return spark.read.parquet(*_manifest_dirs(local, new_manifest)).select(
+        *out_cols
+    )
+
+
+def _filter_partitioned_manifest(
+    spark, target: str, local: str, condition: Column, meta: dict,
+    _before_commit=None,
+) -> DataFrame:
+    """Manifest-mode body of :func:`filter_partitioned`. The emptied-
+    bucket race class the symlink path needed per-bucket re-checks for
+    (ADVICE r13) is gone structurally: drops are just absent manifest
+    entries in ONE atomic swap, and cleanup deletes only versions this
+    compaction's read snapshot superseded — never a concurrently
+    committed one."""
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql.types import StructType
+
+    manifest = _read_manifest(local)
+    if not manifest:
+        return spark.createDataFrame([], StructType.fromJson(meta["schema"]))
+
+    # the stored files carry no p_bucket column (partition-stripped at
+    # write); recompute it from the keys — the deterministic-bucket
+    # layout invariant — for the clustered staging write
+    bucket = _bucket_expr(meta["keys"], meta["num_buckets"])
+    kept = (
+        spark.read.parquet(*_manifest_dirs(local, manifest))
+        .where(condition)
+        .withColumn(_BUCKET_COL, bucket)
+    )
+    staging = os.path.join(local, f".staging_{uuid.uuid4().hex[:12]}")
+    (
+        kept.repartition(max(len(manifest), 1), F.col(_BUCKET_COL))
+        .write.partitionBy(_BUCKET_COL)
+        .mode("overwrite")
+        .parquet(staging)
+    )
+    vroot = os.path.join(local, ".v")
+    try:
+        if _before_commit is not None:
+            _before_commit()
+        current = _read_manifest(local)
+        if current != manifest:
+            raise RuntimeError(
+                "filter_partitioned: concurrent merge detected — the "
+                "manifest advanced during compaction; the table is "
+                "untouched, rerun the compaction"
+            )
+        new_manifest: dict[int, int] = {}
+        for b in sorted(manifest):
+            part = os.path.join(staging, f"{_BUCKET_COL}={b}")
+            if os.path.isdir(part):
+                listed = _bucket_versions(vroot, b)
+                version = (
+                    max(listed[-1][0] if listed else 0, manifest[b]) + 1
+                )
+                os.rename(part, os.path.join(vroot, f"b{b}_v{version}"))
+                new_manifest[b] = version
+            # else: every row filtered away — the bucket simply has no
+            # entry in the new manifest; its old versions go in cleanup
+        _write_manifest(local, new_manifest)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    for b in manifest:
+        for v, stale in _bucket_versions(vroot, b):
+            if v <= manifest[b] and v != new_manifest.get(b):
+                shutil.rmtree(stale, ignore_errors=True)
+    if not new_manifest:
+        return spark.createDataFrame(
+            [], kept.drop(_BUCKET_COL).schema
+        )
+    return spark.read.parquet(*_manifest_dirs(local, new_manifest))
+
+
 def merge_into_partitioned(
     target: str,
     incoming: DataFrame,
@@ -499,6 +809,7 @@ def merge_into_partitioned(
     num_buckets: int = 32,
     wide_threshold: float = 0.5,
     return_touched_only: bool = False,
+    commit: str = "symlink",
 ) -> DataFrame:
     """Batch-proportional pure-Parquet MERGE: ``merge_into_sql``
     semantics (last-writer-wins, strictly-newer guard, null-safe match
@@ -570,6 +881,19 @@ def merge_into_partitioned(
     slice it just merged, and the full-table return's O(num_buckets)
     file listing at plan-construction time is the one per-table cost
     left in the trickle path (measured in docs/SCALE.md "Round-13").
+
+    ``commit`` picks the table's commit protocol at CREATION (round 14,
+    VERDICT r13 ask #3); thereafter the meta's recorded mode wins and
+    the parameter is ignored — a table's protocol never silently
+    converts (passing ``commit="manifest"`` against an existing symlink
+    table raises). ``"symlink"`` (default) is the per-partition
+    atomic-flip protocol above; ``"manifest"`` commits the WHOLE merge
+    through one atomic replace of a bucket→version manifest file —
+    write-once version dirs, no symlinks, no directory listing on the
+    read path, cross-bucket atomicity — the object-store-shaped
+    protocol (see the manifest-mode comment block above
+    :func:`_read_manifest`). Use :func:`read_partitioned` to read a
+    table under either mode.
     """
     import json
     import os
@@ -594,6 +918,18 @@ def merge_into_partitioned(
             "merge_into_partitioned needs a local/posix path (atomic "
             "symlink swap); use backend='delta' or merge_into_sql for "
             "object stores"
+        )
+    if commit not in ("symlink", "manifest"):
+        raise ValueError(
+            f"commit must be 'symlink' or 'manifest', got {commit!r}"
+        )
+    if commit == "manifest" or _is_manifest_table(local):
+        # manifest-protocol tables dispatch wholesale (the meta's mode
+        # wins for existing tables); the default path below is the
+        # pre-round-14 symlink protocol, verbatim
+        return _merge_into_partitioned_manifest(
+            incoming.sparkSession, target, local, incoming, keys,
+            order_by, num_buckets, wide_threshold, return_touched_only,
         )
     from pyspark import StorageLevel
 
@@ -785,6 +1121,12 @@ def filter_partitioned(
     real transaction log. ``_before_commit`` is a test seam invoked
     between the staging write and the version re-check (the
     interleaving test injects a merge there).
+
+    Manifest-protocol tables (``commit="manifest"`` at creation)
+    dispatch to :func:`_filter_partitioned_manifest`: same semantics,
+    one atomic manifest swap instead of per-bucket flips — emptied
+    buckets are just absent entries, which removes the emptied-bucket
+    destructive-race class structurally.
     """
     import json
     import os
@@ -801,6 +1143,11 @@ def filter_partitioned(
     # missing meta raises FileNotFoundError here, before any work
     with open(meta_path) as f:
         meta = json.load(f)
+
+    if meta.get("commit", "symlink") == "manifest":
+        return _filter_partitioned_manifest(
+            spark, target, local, condition, meta, _before_commit
+        )
 
     vroot = os.path.join(local, ".v")
     existing_buckets = [
