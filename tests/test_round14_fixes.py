@@ -352,3 +352,37 @@ def test_manifest_version_dirs_are_write_once(spark, tmp_path):
     assert sorted(os.listdir(vroot)) == [f"b{b}_v{m2[b]}"], (
         "superseded version dir not retired, or committed dir mutated"
     )
+
+
+# ------------- derived-K guidance warning (VERDICT r13 stretch #7)
+
+
+def test_semantic_dedup_warns_past_quadratic_knee(spark, caplog):
+    """With a catalog row count showing n_centroids past ~2*sqrt(n), the
+    flat form logs a steer toward semantic_dedup_hier (log, not raise —
+    the result is still exact); without n_rows (the demo path) it stays
+    silent and never runs a count() action."""
+    import logging
+
+    from transit_efficiency_analysis_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    e = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    with caplog.at_level(logging.WARNING):
+        semantic_dedup(e, n_centroids=20, lloyd_rounds=0, threshold=0.99,
+                       n_rows=40)
+    assert any("semantic_dedup_hier" in r.message for r in caplog.records)
+
+    caplog.clear()
+    with caplog.at_level(logging.WARNING):
+        # K below the knee, and the no-n_rows demo path: both silent
+        semantic_dedup(e, n_centroids=4, lloyd_rounds=0, threshold=0.99,
+                       n_rows=40)
+        out = semantic_dedup(e, n_centroids=20, lloyd_rounds=0,
+                             threshold=0.99)
+    assert not any("semantic_dedup_hier" in r.message for r in caplog.records)
+    assert out.count() == 40  # plan unaffected by the guidance param

