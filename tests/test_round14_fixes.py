@@ -386,3 +386,45 @@ def test_semantic_dedup_warns_past_quadratic_knee(spark, caplog):
                              threshold=0.99)
     assert not any("semantic_dedup_hier" in r.message for r in caplog.records)
     assert out.count() == 40  # plan unaffected by the guidance param
+
+
+def test_read_partitioned_emptied_tables_and_orphan_sweep(spark, tmp_path):
+    """read_partitioned returns a typed empty relation for emptied
+    tables under BOTH modes; sweep_orphans deletes exactly the version
+    dirs the manifest doesn't name (quiesced-writer maintenance) and
+    refuses symlink tables."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from transit_efficiency_analysis_spark.operators.upsert import (
+        filter_partitioned,
+        read_partitioned,
+        sweep_orphans,
+    )
+
+    for commit in ("symlink", "manifest"):
+        target = str(tmp_path / f"tbl_{commit}")
+        _merge(spark, target, _mk_rows([(1, 1, 1)]), commit=commit)
+        filter_partitioned(spark, target, F.lit(False))
+        out = read_partitioned(spark, target)
+        assert out.count() == 0
+        assert out.columns == ["key", "ts", "value", "seq"]
+
+    target = str(tmp_path / "tbl_sweep")
+    _merge(spark, target, _mk_rows([(1, 1, 1)]), commit="manifest")
+    # plant a crash orphan: a renamed-but-never-committed version dir
+    vroot = os.path.join(target, ".v")
+    (live,) = os.listdir(vroot)
+    orphan = os.path.join(vroot, "b0_v99")
+    os.makedirs(orphan)
+    before = _rows(read_partitioned(spark, target))
+    deleted = sweep_orphans(target)
+    assert deleted == [orphan]
+    assert sorted(os.listdir(vroot)) == [live]
+    assert _rows(read_partitioned(spark, target)) == before
+
+    sym = str(tmp_path / "tbl_sym")
+    _merge(spark, sym, _mk_rows([(1, 1, 1)]), commit="symlink")
+    with pytest.raises(ValueError, match="not manifest-protocol"):
+        sweep_orphans(sym)

@@ -571,14 +571,17 @@ def read_partitioned(spark, target: str) -> DataFrame:
     mode. Symlink tables are plain partitioned-parquet reads (the
     ``p_bucket=N`` links resolve transparently); manifest tables
     resolve the committed version dirs through the manifest — zero
-    directory listing, the object-store read path."""
+    directory listing, the object-store read path. A legitimately
+    emptied table (a compaction dropped every partition) returns a
+    typed empty relation from the meta's stored schema under either
+    mode."""
+    import json
+    import os
+
     from transit_efficiency_analysis_spark.sinks import _local_path
 
     local = _local_path(target)
     if local is not None and _is_manifest_table(local):
-        import json
-        import os
-
         manifest = _read_manifest(local)
         if not manifest:
             from pyspark.sql.types import StructType
@@ -589,7 +592,66 @@ def read_partitioned(spark, target: str) -> DataFrame:
                 [], StructType.fromJson(meta["schema"])
             )
         return spark.read.parquet(*_manifest_dirs(local, manifest))
+    if local is not None and not any(
+        name.startswith(f"{_BUCKET_COL}=")
+        for name in (os.listdir(local) if os.path.isdir(local) else [])
+    ):
+        # emptied symlink table: a bare parquet read would fail schema
+        # inference on the partitionless dir — use the meta's schema
+        # (post-r13 metas store it; older emptied tables get the same
+        # actionable error filter_partitioned raises)
+        meta_path = os.path.join(local, _META_NAME)
+        if os.path.exists(meta_path):
+            from pyspark.sql.types import StructType
+
+            with open(meta_path) as f:
+                meta = json.load(f)
+            if "schema" not in meta:
+                raise ValueError(
+                    f"read_partitioned: table at {target} has no "
+                    "partitions and its meta predates the stored-schema "
+                    "key — run a merge first"
+                )
+            return spark.createDataFrame(
+                [], StructType.fromJson(meta["schema"])
+            )
     return spark.read.parquet(target).drop(_BUCKET_COL)
+
+
+def sweep_orphans(target: str) -> list[str]:
+    """Delete version dirs a manifest-protocol table's current manifest
+    does not name, returning the deleted paths. ONLY safe with writers
+    quiesced: a merge mid-commit has renamed its version dir but not
+    yet swapped the manifest, and this sweep would delete it — that is
+    exactly why neither merges nor compactions auto-sweep (see the
+    cleanup comment in :func:`_merge_into_partitioned_manifest`).
+    Run it from the maintenance window that owns compaction. Symlink
+    tables need no sweep (their supersede paths delete eagerly) and
+    raise here to catch mode confusion."""
+    import os
+    import shutil
+
+    from transit_efficiency_analysis_spark.sinks import _local_path
+
+    local = _local_path(target)
+    if local is None:
+        raise ValueError("sweep_orphans needs a local/posix path")
+    if not _is_manifest_table(local):
+        raise ValueError(
+            f"table at {target} is not manifest-protocol; symlink "
+            "tables delete superseded versions eagerly and have no "
+            "orphans to sweep"
+        )
+    manifest = _read_manifest(local)
+    live = {f"b{b}_v{v}" for b, v in manifest.items()}
+    vroot = os.path.join(local, ".v")
+    deleted = []
+    for name in sorted(os.listdir(vroot)) if os.path.isdir(vroot) else []:
+        if name not in live:
+            path = os.path.join(vroot, name)
+            shutil.rmtree(path, ignore_errors=True)
+            deleted.append(path)
+    return deleted
 
 
 def _merge_into_partitioned_manifest(
