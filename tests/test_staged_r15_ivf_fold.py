@@ -78,3 +78,30 @@ def test_staged_flip_table_is_complete():
         # every staged oracle mirrors the fold score, zero-norm guarded
         assert "CASE WHEN c.cn = 0 THEN NULL" in sql, name
         assert "list_transform(c.cv, x -> x / c.cn)" in sql, name
+
+
+def test_staged_zero_norm_guards_are_output_neutral():
+    """r15 slots 4-5 (ADVICE r13 #1): the guarded SemDeDup oracles are
+    valid DuckDB and produce rows identical to the live unguarded
+    strings on the gate corpus (no zero-norm centroid exists there, so
+    the guard must be a no-op); the asserted substitutions inside
+    staged_oracle_guards() fail loudly if the live strings drift."""
+    import duckdb  # noqa: F401 (duck_connect provides the connection)
+
+    from transit_efficiency_analysis_spark.demo import load_registry
+    from transit_efficiency_analysis_spark.demo.staged_r15 import (
+        staged_oracle_guards,
+    )
+
+    if not os.path.isdir(SF_DIR):
+        pytest.skip(f"{SF_DIR} absent")
+    registry = load_registry()
+    con = duck_connect(SF_DIR)
+    for name, guarded_sql in staged_oracle_guards().items():
+        live = con.sql(registry[name].sql)
+        live_rows, live_cols = live.fetchall(), list(live.columns)
+        g = con.sql(guarded_sql)
+        g_rows, g_cols = g.fetchall(), list(g.columns)
+        assert g_cols == live_cols, name
+        ok, msg = compare(live_rows, live_cols, g_rows, g_cols)
+        assert ok, f"{name}: {msg}"

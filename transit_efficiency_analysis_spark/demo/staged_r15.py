@@ -261,3 +261,75 @@ STAGED_FLIPS: dict[str, str] = {
     "q_sim_ivf_lloyd_topk": Q_SIM_IVF_LLOYD_TOPK_FOLD_SQL,
     "q_sim_ivf_pq_topk": Q_SIM_IVF_PQ_TOPK_FOLD_SQL,
 }
+
+
+# --- STAGED zero-norm oracle guards (ADVICE r13 #1; r15 slots 4-5) ----
+#
+# The live q_dedup_semantic / q_dedup_semantic_hier oracles carry the
+# unguarded `list_transform(cv, x -> x / cn)` pattern: a zero-norm
+# centroid would crash DuckDB (x/0.0 -> NULL elements,
+# list_inner_product raises) where the Spark fold skips it. Unreachable
+# on the testdata, but the guard belongs in the oracle; these staged
+# variants are the LIVE strings with exactly the guarded substitutions
+# applied (asserted counts — a drifted live string fails loudly at
+# import), so the r15 swap is again purely mechanical. The parity gate
+# (tests/test_staged_r15_ivf_fold.py) pins the guards output-neutral on
+# the gate corpus: guarded and live SQL produce identical DuckDB rows.
+
+
+def _subst(sql: str, pattern: str, repl: str, n: int, flags: int = 0) -> str:
+    import re
+
+    out, count = re.subn(pattern, repl, sql, flags=flags)
+    assert count == n, (
+        f"staged guard drift: expected {n} matches of {pattern!r}, "
+        f"found {count} — the live oracle changed shape; re-derive"
+    )
+    return out
+
+
+def _staged_semantic_dedup_guarded() -> str:
+    from transit_efficiency_analysis_spark.demo.dedup import (
+        _semantic_dedup_sql,
+    )
+
+    # the members CTE (via _IVF_LLOYD_SQL) and the asg CTE each score
+    # b.v against the pre-normalized c.cv/c.cn — guard both
+    return _subst(
+        _semantic_dedup_sql(),
+        r"list_inner_product\(\s*b\.v, list_transform\(c\.cv, x -> x / c\.cn\)\s*\)",
+        "CASE WHEN c.cn = 0 THEN NULL ELSE list_inner_product("
+        "b.v, list_transform(c.cv, x -> x / c.cn)) END",
+        2,
+    )
+
+
+def _staged_semantic_hier_guarded() -> str:
+    from transit_efficiency_analysis_spark.demo.dedup import (
+        _SEMANTIC_HIER_SQL,
+    )
+
+    out = _subst(
+        _SEMANTIC_HIER_SQL,
+        r"list_transform\(ccv, x -> x / ccn\) AS ccvu",
+        "CASE WHEN ccn = 0 THEN NULL ELSE "
+        "list_transform(ccv, x -> x / ccn) END AS ccvu",
+        1,
+    )
+    return _subst(
+        out,
+        r"list_transform\(cv, x -> x / cn\) AS cvu",
+        "CASE WHEN cn = 0 THEN NULL ELSE "
+        "list_transform(cv, x -> x / cn) END AS cvu",
+        1,
+    )
+
+
+def staged_oracle_guards() -> dict[str, str]:
+    """r15 slots 4-5: demo name -> zero-norm-guarded oracle string
+    (callable, not constant, so the substitution assertions run at use
+    time against the CURRENT live strings)."""
+    return {
+        "q_dedup_semantic": _staged_semantic_dedup_guarded(),
+        "q_dedup_semantic_hier": _staged_semantic_hier_guarded(),
+    }
