@@ -428,3 +428,52 @@ def test_read_partitioned_emptied_tables_and_orphan_sweep(spark, tmp_path):
     _merge(spark, sym, _mk_rows([(1, 1, 1)]), commit="symlink")
     with pytest.raises(ValueError, match="not manifest-protocol"):
         sweep_orphans(sym)
+
+
+# ------- property: manifest-protocol convergence over random splits
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=500),
+        st.integers(min_value=0, max_value=5),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(raw=_rows_strategy, split=st.integers(min_value=0, max_value=25))
+def test_manifest_merge_batch_split_parity_property(
+    spark, tmp_path_factory, raw, split
+):
+    """The manifest protocol's twin of r12's split-parity property: ANY
+    two-way batch split through the manifest-committed runtime equals
+    merge_batch folded in memory (merge_batch IS the spec)."""
+    from transit_efficiency_analysis_spark.operators.upsert import (
+        merge_batch,
+        merge_into_partitioned,
+    )
+
+    rows = _mk_rows(raw)
+    target = str(tmp_path_factory.mktemp("mmerge") / "tbl")
+    state_mem = spark.createDataFrame([], SCHEMA)
+    stored = state_mem
+    for b in (rows[:split], rows[split:]):
+        if not b:
+            continue
+        inc = spark.createDataFrame(b, SCHEMA)
+        stored = merge_into_partitioned(
+            target, inc, keys=["key"], order_by=["ts", "seq"],
+            num_buckets=4, commit="manifest",
+        )
+        state_mem = merge_batch(
+            state_mem, inc, keys=["key"], order_by=["ts", "seq"]
+        )
+    assert sorted(tuple(r) for r in stored.collect()) == sorted(
+        tuple(r) for r in state_mem.collect()
+    )
