@@ -477,3 +477,27 @@ def test_manifest_merge_batch_split_parity_property(
     assert sorted(tuple(r) for r in stored.collect()) == sorted(
         tuple(r) for r in state_mem.collect()
     )
+
+
+def test_manifest_read_pushes_filters_to_scan(spark, tmp_path):
+    """The manifest-resolved read path is a plain parquet scan over
+    explicit version-dir paths — predicate pushdown and column pruning
+    must reach it exactly like any other scan (the 100 TB read-path
+    contract; a manifest indirection that broke pushdown would be a
+    silent full-scan regression)."""
+    from pyspark.sql import functions as F
+
+    from transit_efficiency_analysis_spark.operators.upsert import (
+        read_partitioned,
+    )
+
+    target = str(tmp_path / "tbl")
+    _merge(spark, target, _mk_rows([(k, k, k % 3) for k in range(50)]),
+           commit="manifest")
+    df = read_partitioned(spark, target).where(F.col("key") == 7).select(
+        "key", "value"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(key), EqualTo(key,7)" in plan, plan
+    assert "ReadSchema: struct<key:bigint,value:double>" in plan, plan
+    assert [r.key for r in df.collect()] == [7]
