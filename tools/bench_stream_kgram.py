@@ -89,6 +89,17 @@ def main() -> int:
             rows, screen_s, maintain_s, span_counts = [], [], [], []
 
             def standing() -> DataFrame:
+                if os.path.isdir(tbl) and os.path.exists(
+                    os.path.join(tbl, ".manifest.json")
+                ):
+                    # manifest-protocol table (round 14): committed
+                    # version dirs resolve through the manifest, zero
+                    # directory listing
+                    from transit_efficiency_analysis_spark.operators.upsert import (
+                        read_partitioned,
+                    )
+
+                    return read_partitioned(spark, tbl)
                 if os.path.isdir(tbl) and any(
                     p.startswith(("part-", "_", "p_bucket="))
                     for p in os.listdir(tbl)
@@ -101,7 +112,9 @@ def main() -> int:
                 bdf = batch(b)
                 t0 = time.time()
                 view = standing()
-                if policy == "ttl_partitioned" and "last_seen" in view.columns:
+                if policy in ("ttl_partitioned", "ttl_manifest") and (
+                    "last_seen" in view.columns
+                ):
                     # physical expiry is deferred (compaction cadence), so
                     # the SCREEN applies the freshness predicate — exactly
                     # the rows the per-batch-expired ttl table contains at
@@ -140,14 +153,16 @@ def main() -> int:
                     )
 
                     overwrite_table(kgram_table_ttl(merged, b, ttl), tbl)
-                elif policy == "ttl_partitioned":
+                elif policy in ("ttl_partitioned", "ttl_manifest"):
                     # the production shape (round 12): batch-proportional
                     # partitioned MERGE of (kgram, last_seen) per batch;
                     # physical expiry only every ttl+1 batches via the
                     # partition-preserving compaction. The SCREEN above
                     # already applied strict ttl semantics through the
                     # standing() view, so deferred physical expiry never
-                    # widens the dedup horizon.
+                    # widens the dedup horizon. ttl_manifest (round 14)
+                    # is the same loop through the manifest commit
+                    # protocol — spans must be bit-identical.
                     from transit_efficiency_analysis_spark.operators.upsert import (
                         filter_partitioned,
                         merge_into_partitioned,
@@ -166,6 +181,10 @@ def main() -> int:
                     merge_into_partitioned(
                         tbl, inc, keys=["kgram"], order_by=["last_seen"],
                         num_buckets=32, return_touched_only=True,
+                        commit=(
+                            "manifest" if policy == "ttl_manifest"
+                            else "symlink"
+                        ),
                     )
                     if b > 0 and b % (ttl + 1) == 0:
                         filter_partitioned(
@@ -189,6 +208,19 @@ def main() -> int:
         if "append" in results and "merge_unique" in results:
             if results["append"]["spans"] != results["merge_unique"]["spans"]:
                 print("# SPAN MISMATCH append vs merge_unique", file=sys.stderr)
+                return 1
+        # commit-protocol invariance: the manifest loop must screen
+        # bit-identically to the symlink loop (same semantics, different
+        # commit mechanics)
+        if "ttl_partitioned" in results and "ttl_manifest" in results:
+            if (
+                results["ttl_partitioned"]["spans"]
+                != results["ttl_manifest"]["spans"]
+            ):
+                print(
+                    "# SPAN MISMATCH ttl_partitioned vs ttl_manifest",
+                    file=sys.stderr,
+                )
                 return 1
         print(
             json.dumps(
