@@ -187,6 +187,19 @@ def main() -> int:
                                    num_buckets=buckets,
                                    return_touched_only=True)
             mani_touched_s = time.perf_counter() - t0
+            # manifest wide point (round 14): the same wide batch as the
+            # symlink rows, twice — the second run is the steady state
+            # (one-file-per-bucket layout), comparable to wide_steady_s;
+            # the commit here is ONE manifest replace instead of
+            # `buckets` symlink flips.
+            t0 = time.perf_counter()
+            merge_into_partitioned(mani_target, wide, keys, order_by,
+                                   num_buckets=buckets)
+            mani_wide_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            merge_into_partitioned(mani_target, wide, keys, order_by,
+                                   num_buckets=buckets)
+            mani_wide_steady_s = time.perf_counter() - t0
 
             table.unpersist()
             points[n] = {
@@ -204,6 +217,8 @@ def main() -> int:
                 "manifest_seed_s": round(mani_seed_s, 2),
                 "manifest_merge_s": round(mani_merge_s, 2),
                 "manifest_touched_s": round(mani_touched_s, 2),
+                "manifest_wide_s": round(mani_wide_s, 2),
+                "manifest_wide_steady_s": round(mani_wide_steady_s, 2),
             }
             print(
                 f"# N={n}: table {table_rows} rows, {buckets} buckets, "
@@ -214,7 +229,8 @@ def main() -> int:
                 f"{wide_s:.2f}s / steady {wide_steady_s:.2f}s "
                 f"({wide_touched}/{buckets} touched), manifest seed "
                 f"{mani_seed_s:.1f}s / merge {mani_merge_s:.2f}s / "
-                f"touched-only {mani_touched_s:.2f}s",
+                f"touched-only {mani_touched_s:.2f}s / wide "
+                f"{mani_wide_s:.2f}s / wide steady {mani_wide_steady_s:.2f}s",
                 file=sys.stderr,
             )
     finally:
