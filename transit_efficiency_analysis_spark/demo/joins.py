@@ -162,14 +162,27 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-demo: the plan must contain a SortMergeJoin (a broadcast would
     trivially have no exchange) and no Exchange at all."""
     import shutil
+    from urllib.parse import urlparse
 
     from transit_efficiency_analysis_spark.plans import count_shuffles, physical_plan
 
     db = f"teas_bucketed_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
     for t in ("li", "o"):
         spark.sql(f"DROP TABLE IF EXISTS {db}.{t}")
-    shutil.rmtree(f"/tmp/teas_warehouse/{db}.db", ignore_errors=True)
+    # DROP TABLE only clears the CURRENT metastore. A caller-owned session
+    # (the driver's) starts a fresh in-memory derby each run, so a table dir
+    # left by a PREVIOUS run's warehouse is invisible to the catalog yet
+    # still trips LOCATION_ALREADY_EXISTS on saveAsTable (CORRECTNESS_r14's
+    # q_join_bucketed red row). Resolve the live session's warehouse dir —
+    # NOT a hardcoded path — and clear the stale db location on local
+    # filesystems.
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    parsed = urlparse(wh)
+    if parsed.scheme in ("", "file"):
+        shutil.rmtree(
+            os.path.join(parsed.path or wh, f"{db}.db"), ignore_errors=True
+        )
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
