@@ -97,92 +97,94 @@ _DEMO_MODULES = [
 # results were just recorded" (grace: newest artifact == window and
 # 50/50 green) from "rotation skipped" (artifacts newer than the
 # window's target round) — the ADVICE r11 medium item.
-_WINDOW_ROUND = 14
+_WINDOW_ROUND = 15
 
-# Round-14 window — FULLY FORCED. EXACTLY 50 registry entries have their
-# latest green driver row in CORRECTNESS_r08 (docs/ROUND13.md precomputed
-# the list; re-derived mechanically from the artifacts at rotation time),
-# so check_window R3 claims every slot: zero free slots, no new entries,
-# no never-checked names. Consequence (stated in ROUND13.md and honored
-# this round): no demo OUTSIDE this list may have its executed
-# implementation or oracle changed in round 14.
+# Round-15 window. Front = the 6 demos whose executed implementation or
+# oracle changed this round (docs/ROUND14.md scheduled 3 IVF flips +
+# 2 oracle guards + 1 spare; the spare goes to q_join_bucketed, whose
+# r14 driver row went RED on a stale-warehouse LOCATION_ALREADY_EXISTS
+# crash — fixed this round, see docs/ROUND15.md — so its re-verification
+# is mandatory, not optional). Filler = the 44 r10-era rows that hit the
+# rotation-cycle boundary at round 15 (ROUND14.md precomputed the list;
+# check_window R3 confirms it mechanically).
 #
-# Dark-ship exemption, made explicit (ADVICE r13 item on the IVF demos):
-# an engine-side branch shipped behind a non-default parameter whose
-# default takes the pre-change code path VERBATIM (byte-identical
-# executed branch — e.g. r13's `assign="fold"` on ivf_topk/ivf_pq_topk,
-# or `consume=` on the incremental screens) does NOT take a window slot
-# the round it lands; it takes one the round its DEFAULT flips (the
-# oracle is mirrored then too). Rationale: the driver row gates the
-# executed demo path, which such a change leaves untouched; the dark
-# branch is gated by bit-parity/plan tests until its flip round. Each
-# exemption must be (a) named in ROUNDn.md, (b) re-verified locally via
-# tools/verify_local.py the round it lands, and (c) scheduled for a real
-# slot at its flip. The three IVF demos flip in round 15 with three of
-# its 6 free slots (44 r10-era rows come due there).
+# Dark-ship exemption (standing policy, ADVICE r13): an engine-side
+# branch shipped behind a non-default parameter whose default takes the
+# pre-change code path VERBATIM does NOT take a window slot the round
+# it lands; it takes one the round its DEFAULT flips (the oracle is
+# mirrored then too). Each exemption must be (a) named in ROUNDn.md,
+# (b) re-verified locally via tools/verify_local.py the round it lands,
+# and (c) scheduled for a real slot at its flip. Round 15 RETIRES the
+# last outstanding exemptions: the three IVF demos flip here
+# (assign="fold" is now the operator default, oracles mirrored to the
+# fold arithmetic), and the zero-norm oracle guards land on both
+# SemDeDup demos.
 _WINDOW_FRONT = [
-    # Implementation changed since last green row (r13's additive
-    # `consume=` lifecycle parameter on the incremental dedup screens —
-    # executed branch byte-identical, re-verified locally in r13, and
-    # both demos land in this forced window anyway, so their driver
-    # rows postdate the change per policy):
-    "q_dedup_minhash_incremental",
-    "q_dedup_simhash_incremental",
+    # Implementation changed this round (stale-warehouse idempotency
+    # fix; RED in CORRECTNESS_r14 — the re-verification slot is forced):
+    "q_join_bucketed",
+    # Executed default + oracle changed this round (the r13 fold paths'
+    # scheduled flip: assign="fold" default, oracles mirrored to the
+    # fold arithmetic incl. the zero-norm guard + all-NULL fallback):
+    "q_sim_ivf_topk",
+    "q_sim_ivf_lloyd_topk",
+    "q_sim_ivf_pq_topk",
+    # Oracle changed this round (zero-norm centroid guards, ADVICE r13
+    # #1 — output-neutral on the gate corpus, pinned in
+    # tests/test_ivf_fold_oracles.py):
+    "q_dedup_semantic",
+    "q_dedup_semantic_hier",
 ]
 
 # Prior-green re-verification filler, least-recently-verified first:
-# the remaining 48 r8-era rows (latest driver row CORRECTNESS_r08 —
-# exactly one rotation cycle old at round 14; check_window R3 lists
-# exactly this set).
+# the 44 r10-era rows (latest driver row CORRECTNESS_r10 — exactly one
+# rotation cycle old at round 15; check_window R3 lists exactly this
+# set).
 _WINDOW_FILLER: list[str] = [
-    "q_agg_bitwise",
-    "q_agg_grouping_id",
-    "q_agg_histogram",
-    "q_apply_in_pandas",
-    "q_array_setops",
-    "q_dedup_editdistance",
-    "q_dedup_embedding",
-    "q_dedup_embedding_lsh",
-    "q_dedup_incremental",
-    "q_dedup_simhash",
-    "q_expr_try_arith",
-    "q_ingest_gtfs_rt",
-    "q_ingest_gtfs_static",
-    "q_join_bucketed",
-    "q_join_range_interval",
-    "q_join_skew_salted",
-    "q_json_parse",
-    "q_multimodal_bmp",
-    "q_multimodal_frames",
-    "q_multimodal_meta",
-    "q_multimodal_wav",
-    "q_null_clean",
-    "q_pandas_udf_scalar",
-    "q_range_normalize",
-    "q_sample_hash",
-    "q_sample_stratified",
-    "q_semi_map_ops",
-    "q_sim_lsh_topk",
-    "q_sink_truncate",
-    "q_sql_collation",
-    "q_subquery_correlated_avg",
-    "q_subquery_exists",
-    "q_subquery_scalar",
-    "q_text_chunk",
-    "q_text_contamination",
-    "q_text_redact",
-    "q_text_regex_extract",
-    "q_text_repetition",
-    "q_tpch_q10",
-    "q_tpch_q12",
-    "q_tpch_q3",
-    "q_tpch_q5",
-    "q_ts_calendar",
-    "q_upsert_merge",
-    "q_window_cume_nth",
-    "q_window_range",
-    "q_window_session",
-    "q_window_tumbling",
+    "q_array_agg",
+    "q_array_explode",
+    "q_corpus_domain_affinity",
+    "q_corpus_token_budget",
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash_pairs",
+    "q_grouping_sets",
+    "q_join_asof_tolerance",
+    "q_sample_rebalance",
+    "q_sample_weighted",
+    "q_sim_lsh_buckets",
+    "q_sim_lsh_multiprobe_topk",
+    "q_sink_orc",
+    "q_sink_partitioned",
+    "q_sink_roundtrip",
+    "q_sql_group_by_all",
+    "q_sql_recursive_chain",
+    "q_sql_session_variables",
+    "q_sql_star_except_lateral",
+    "q_sql_tpch_q1",
+    "q_stream_daily_agg",
+    "q_stream_daily_agg_append",
+    "q_stream_join_append",
+    "q_stream_join_left_append",
+    "q_stream_upsert_foreachbatch",
+    "q_text_contamination_capped",
+    "q_text_ngram_stats",
+    "q_tpch_q2",
+    "q_tpch_q4",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_tpch_q11",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q18",
+    "q_tpch_q19",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_tpch_q22",
 ]
 
 _WINDOW = _WINDOW_FRONT + _WINDOW_FILLER

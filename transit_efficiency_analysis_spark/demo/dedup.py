@@ -440,17 +440,16 @@ def q_dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semantic_dedup_sql() -> str:
-    # Known oracle limitation (ADVICE r13, documented — the SQL string
-    # is frozen this round, demo outside the forced r14 window): the asg
-    # CTE's `list_transform(c.cv, x -> x / c.cn)` is unguarded, and in
-    # DuckDB x/0.0 (double) → NULL with list_inner_product raising on
-    # NULL elements, so a zero-norm POST-LLOYD centroid would crash the
-    # oracle where the Spark fold skips it. Unreachable on the testdata
-    # (Lloyd means of nonzero-norm members); the guard pattern
-    # (`CASE WHEN c.cn = 0 THEN NULL`, NULLS LAST mirrors the fold's
-    # strict-> skip) is staged in demo/staged_r15.py and lands here with
-    # this demo's next re-verification slot. _SEMANTIC_HIER_SQL's
-    # ccent/f2c transforms share the same limitation.
+    # Zero-norm-centroid guard (ADVICE r13, live since the round-15
+    # flip): in DuckDB x/0.0 (double) → NULL and list_inner_product
+    # RAISES on NULL elements, so the asg CTE's score is guarded to
+    # NULL (`CASE WHEN c.cn = 0 THEN NULL`); NULLS LAST under the DESC
+    # rank mirrors the Spark fold's strict-> skip, and an all-NULL
+    # argmax falls to the smallest cell — the fold's INIT fallback.
+    # The members CTE inside _IVF_LLOYD_SQL carries the same guard.
+    # Unreachable on the testdata (Lloyd means of nonzero-norm
+    # members), but the guard belongs in the oracle; neutrality on the
+    # gate corpus is pinned in tests/test_ivf_fold_oracles.py.
     from transit_efficiency_analysis_spark.demo.similarity import _IVF_LLOYD_SQL
 
     return f"""
@@ -466,9 +465,11 @@ def _semantic_dedup_sql() -> str:
             SELECT b.vec_id, b.v, b.vn, c.cell,
                    row_number() OVER (
                        PARTITION BY b.vec_id
-                       ORDER BY list_inner_product(
-                                    b.v, list_transform(c.cv, x -> x / c.cn)
-                                ) DESC, c.cell
+                       ORDER BY CASE WHEN c.cn = 0 THEN NULL
+                                     ELSE list_inner_product(
+                                              b.v,
+                                              list_transform(c.cv, x -> x / c.cn))
+                                END DESC, c.cell
                    ) AS arank
             FROM base b CROSS JOIN cent1 c
         ) WHERE arank = 1
@@ -524,7 +525,7 @@ _SEMANTIC_HIER_SQL = """
         LIMIT 4
     ),
     ccent AS (
-        SELECT ccell, ccv, ccn, list_transform(ccv, x -> x / ccn) AS ccvu
+        SELECT ccell, ccv, ccn, CASE WHEN ccn = 0 THEN NULL ELSE list_transform(ccv, x -> x / ccn) END AS ccvu
         FROM (
             SELECT row_number() OVER (ORDER BY md5(CAST(csid AS VARCHAR)), csid) - 1 AS ccell,
                    ccv, sqrt(list_inner_product(ccv, ccv)) AS ccn
@@ -532,7 +533,7 @@ _SEMANTIC_HIER_SQL = """
         )
     ),
     f2c AS (
-        SELECT cell, cv, cn, list_transform(cv, x -> x / cn) AS cvu, ccell
+        SELECT cell, cv, cn, CASE WHEN cn = 0 THEN NULL ELSE list_transform(cv, x -> x / cn) END AS cvu, ccell
         FROM (
             SELECT c.cell, c.cv, c.cn, cc.ccell,
                    row_number() OVER (

@@ -534,9 +534,9 @@ def _fold_topk_cells(base: DataFrame, cents: DataFrame, n_probe: int) -> DataFra
     nearest cells, MAP-ONLY — the drop-in replacement for the
     broadcast-join + per-vec_id rank-window relation that
     :func:`ivf_topk`'s ``ranked.where(crank <= n_probe)`` consumers
-    read (``assign="fold"``; shipped dark in round 13 — the demos flip
-    in round 15 with their oracle mirrors and re-verification slots,
-    docs/ROUND13.md).
+    read (``assign="fold"``; shipped dark in round 13, the EXECUTED
+    DEFAULT since the round-15 flip with its oracle mirrors and
+    re-verification slots — docs/ROUND13.md, docs/ROUND15.md).
 
     Per row: one ``transform`` over the K pre-normalized centroid
     structs (the same raw-dot scoring as :func:`_argmax_cell` — the
@@ -651,29 +651,29 @@ def ivf_topk(
     target_cell_size: int | None = None,
     lloyd_rounds: int = 0,
     n_rows: int | None = None,
-    assign: str = "window",
+    assign: str = "fold",
 ) -> DataFrame:
     """IVF-flat approximate top-k: coarse-quantize the corpus into
     ``n_centroids`` cells (nearest centroid by cosine), then answer each
     query exactly within its ``n_probe`` nearest cells.
 
-    ``assign`` picks the cell-assignment plan (round 13): ``"window"``
-    (default — the demo/oracle form) fans n × K rows through a
-    broadcast join and collapses with a per-vec_id rank window — an
-    n × K data-proportional exchange, the same shape the flat SemDeDup
-    assignment shed this round; ``"fold"`` computes the top-``n_probe``
-    cells per row with :func:`_fold_topk_cells` — map-only. The two
-    routes agree on every tested corpus (equality pinned at
-    lloyd_rounds 0 and 1), but that is mathematical-order equality
-    under different ROUNDING (cosine ``dot/(vn*cn)`` vs raw
+    ``assign`` picks the cell-assignment plan: ``"fold"`` (default
+    since the round-15 flip) computes the top-``n_probe`` cells per
+    row with :func:`_fold_topk_cells` — MAP-ONLY, zero per-vec_id rank
+    windows, no n × K data-proportional assignment exchange (at 10⁹
+    rows × 30k cells the window form exchanges petabytes of
+    vector-carrying rows; the fold exchanges nothing). ``"window"``
+    (the pre-r15 default, kept for A/B and plan audits) fans n × K
+    rows through a broadcast join and collapses with a per-vec_id rank
+    window. The two routes agree on every tested corpus (equality
+    pinned at lloyd_rounds 0 and 1), but that is mathematical-order
+    equality under different ROUNDING (cosine ``dot/(vn*cn)`` vs raw
     ``dot(v, cv/cn)``), not a bit-level contract — a ~1-ulp near-tie
     could rank cells differently between routes, which is exactly why
-    the round-15 demo flip MIRRORS the oracles to the fold arithmetic
-    (the flat-SemDeDup discipline) instead of relying on equivalence.
-    A zero-norm centroid is never probed by the fold, vs ranked-last
-    by the window (see the helper's docstring). The default stays
-    ``"window"`` until that flip (round 14's window is fully forced —
-    docs/ROUND13.md).
+    the demo oracles MIRROR the fold arithmetic (the flat-SemDeDup
+    discipline) instead of relying on equivalence. A zero-norm
+    centroid is never probed by the fold, vs ranked-last by the window
+    (see the helper's docstring).
 
     The other classic ANN shape next to sign-LSH (``lsh_topk``): centroids
     broadcast to every partition (map-only assignment), the only shuffle
@@ -801,7 +801,7 @@ def ivf_pq_topk(
     n_probe: int = 2,
     k: int = 3,
     checkpoint: bool = True,
-    assign: str = "window",
+    assign: str = "fold",
 ) -> DataFrame:
     """IVF-PQ approximate top-k: coarse IVF cells + product-quantized
     residuals with asymmetric-distance (ADC) scoring — the second
@@ -832,23 +832,23 @@ def ivf_pq_topk(
 
     Returns (query_id, neighbor_id, approx_l2sq, rank).
 
-    ``assign`` (round 13, shipped dark like :func:`ivf_topk`'s):
-    ``"window"`` (default — the demo/oracle form) keeps three
+    ``assign``: ``"fold"`` (default since the round-15 flip) has zero
+    data-side exchange throughout (plan-pinned): coarse cells via
+    :func:`_fold_topk_cells` (+ a broadcast cell→``cv`` join-back —
+    the residual split needs the winning centroid vector), and
+    encode/ADC computed per row against the codebook pivoted into ONE
+    broadcast array row, every distance the exact DECIMAL fold
+    (:func:`_l2sq_decimal`) that bit-matches the join form's SUM — the
+    encode/ADC stages therefore cannot drift at all. ``"window"`` (the
+    pre-r15 default, kept for A/B and plan audits) keeps three
     data-proportional exchange groups: the n × K coarse-assignment
     rank window, and the encode/ADC explode→codebook-join→groupBy
     pipelines (n × dims × ks fan-out rows, n × m × ks aggregated rows
-    through a per-(vec_id, s) argmin window). ``"fold"`` removes ALL
-    of them: coarse cells via :func:`_fold_topk_cells` (+ a broadcast
-    cell→``cv`` join-back — the residual split needs the winning
-    centroid vector), and encode/ADC computed per row against the
-    codebook pivoted into ONE broadcast array row, every distance the
-    exact DECIMAL fold (:func:`_l2sq_decimal`) that bit-matches the
-    join form's SUM — the encode/ADC stages therefore cannot drift at
-    all; the coarse assignment carries the same rounding caveat as
-    :func:`ivf_topk`'s ``assign`` (order-equal under different FP
-    rounding, equality pinned on the tested corpus, oracle to be
-    MIRRORED at the round-15 flip rather than assumed equivalent).
-    Zero data-side exchange throughout (plan-pinned).
+    through a per-(vec_id, s) argmin window). The coarse assignment
+    carries the same rounding caveat as :func:`ivf_topk`'s ``assign``
+    (order-equal under different FP rounding, equality pinned on the
+    tested corpus; the demo oracle MIRRORS the fold arithmetic rather
+    than assuming equivalence).
     """
     from transit_efficiency_analysis_spark.functions.parity import parity_double
 
@@ -911,7 +911,7 @@ def ivf_pq_topk(
         )
 
     if assign == "fold":
-        # Fold-mode encode + ADC (round 13, dark): the join form below
+        # Fold-mode encode + ADC (round 13; default since r15): the join form below
         # explodes n × dims residual rows, fans them × ks through the
         # (s, pos) codebook join, aggregates back, and ranks the
         # argmin through a per-(vec_id, s) window — THREE
