@@ -9,6 +9,16 @@
   clear the stale db location. Reproduced here in a subprocess because
   the warehouse dir is a static conf — the suite's shared JVM cannot
   host a second warehouse.
+- ADVICE r14 #1 (medium): the manifest-mode merge must base its commit
+  on a manifest RE-READ taken immediately before the swap — a
+  concurrent disjoint-bucket merge's entries survive — and fail fast
+  when a touched bucket advanced (lost-update / compaction-resurrection
+  class), mirroring ``_filter_partitioned_manifest``'s detector.
+- ADVICE r14 #2 (low): an empty batch merged into a fresh manifest
+  table returns the typed empty relation, not an AnalysisException from
+  a zero-path ``spark.read.parquet()``.
+- ADVICE r14 #3 (low): ``sweep_orphans`` raises on a deletion failure
+  instead of reporting the path as deleted.
 """
 
 from __future__ import annotations
@@ -17,6 +27,58 @@ import os
 import subprocess
 import sys
 import textwrap
+from datetime import datetime, timedelta
+
+import pytest
+
+BASE = datetime(2026, 1, 1)
+SCHEMA = "key long, ts timestamp, value double, seq long"
+
+
+def _mk_rows(raw):
+    return [
+        (k, BASE + timedelta(minutes=ts), float(v), seq)
+        for seq, (k, ts, v) in enumerate(raw)
+    ]
+
+
+def _merge(spark, target, raw, **kw):
+    from transit_efficiency_analysis_spark.operators.upsert import (
+        merge_into_partitioned,
+    )
+
+    return merge_into_partitioned(
+        target, spark.createDataFrame(raw, SCHEMA),
+        keys=["key"], order_by=["ts", "seq"], num_buckets=4,
+        commit="manifest", **kw,
+    )
+
+
+def _bucket_of(spark, key: int, num_buckets: int = 4) -> int:
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(1)
+        .select(
+            F.pmod(F.xxhash64(F.lit(key).cast("long")), F.lit(num_buckets))
+            .cast("int")
+            .alias("b")
+        )
+        .collect()[0].b
+    )
+
+
+def _keys_in_distinct_buckets(spark, n: int) -> list[int]:
+    """First n keys (from 0..) that land in pairwise-distinct buckets."""
+    out, seen = [], set()
+    k = 0
+    while len(out) < n:
+        b = _bucket_of(spark, k)
+        if b not in seen:
+            seen.add(b)
+            out.append(k)
+        k += 1
+    return out
 
 
 def test_bucketed_demo_survives_stale_warehouse_location(tmp_path):
@@ -59,3 +121,147 @@ def test_bucketed_demo_survives_stale_warehouse_location(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "OK" in proc.stdout
+
+
+def test_manifest_merge_vs_merge_disjoint_buckets_both_survive(spark, tmp_path):
+    """ADVICE r14 #1: a concurrent merge committing to DISJOINT buckets
+    during this merge's staging window must survive the commit — the
+    pre-fix code overwrote the whole manifest from the stale start-of-
+    merge snapshot, silently dropping the other writer's entries."""
+    from transit_efficiency_analysis_spark.operators.upsert import (
+        read_partitioned,
+    )
+
+    ka, kb = _keys_in_distinct_buckets(spark, 2)
+    target = str(tmp_path / "tbl")
+    _merge(spark, target, _mk_rows([(ka, 1, 1)]))  # seed: bucket A only
+
+    def concurrent_merge():
+        _merge(spark, target, _mk_rows([(kb, 50, 5)]))  # bucket B
+
+    _merge(
+        spark, target, _mk_rows([(ka, 100, 2)]),  # bucket A again
+        _before_commit=concurrent_merge,
+    )
+    state = {r.key: r.ts for r in read_partitioned(spark, target).collect()}
+    assert state[ka] == BASE + timedelta(minutes=100)
+    assert state[kb] == BASE + timedelta(minutes=50), (
+        "concurrent disjoint-bucket merge's manifest entry was lost"
+    )
+
+
+def test_manifest_merge_vs_merge_same_bucket_fails_fast(spark, tmp_path):
+    """ADVICE r14 #1: a concurrent merge advancing a bucket THIS merge
+    also rewrote must abort the outer merge (its merged rows were
+    computed against the stale version), with the concurrent writer's
+    data committed and the outer merge's rows recoverable by rerun."""
+    from transit_efficiency_analysis_spark.operators.upsert import (
+        read_partitioned,
+    )
+
+    target = str(tmp_path / "tbl")
+    _merge(spark, target, _mk_rows([(1, 1, 1)]))
+
+    def concurrent_merge():
+        _merge(spark, target, _mk_rows([(1, 50, 5)]))
+
+    with pytest.raises(RuntimeError, match="concurrent writer advanced"):
+        _merge(
+            spark, target, _mk_rows([(1, 100, 2)]),
+            _before_commit=concurrent_merge,
+        )
+    # the concurrent writer's commit is intact
+    state = {r.key: r.ts for r in read_partitioned(spark, target).collect()}
+    assert state[1] == BASE + timedelta(minutes=50)
+    # rerun converges to keep-newest and sweeps the aborted merge's
+    # orphan version dir via the normal superseded-cleanup path
+    _merge(spark, target, _mk_rows([(1, 100, 2)]))
+    state = {r.key: r.ts for r in read_partitioned(spark, target).collect()}
+    assert state[1] == BASE + timedelta(minutes=100)
+
+
+def test_manifest_merge_vs_compaction_resurrection_fails_fast(spark, tmp_path):
+    """ADVICE r14 #1, the resurrection class: a compaction that commits
+    (and deletes superseded version dirs) while a merge is staging must
+    abort the merge — pre-fix, the merge's stale snapshot re-entered the
+    manifest referencing version dirs the compaction's cleanup had
+    deleted, leaving readers to crash on nonexistent paths."""
+    from pyspark.sql import functions as F
+
+    from transit_efficiency_analysis_spark.operators.upsert import (
+        filter_partitioned,
+        read_partitioned,
+    )
+
+    target = str(tmp_path / "tbl")
+    _merge(spark, target, _mk_rows([(k, k, 1) for k in range(30)]))
+
+    def concurrent_compaction():
+        # empties every bucket -> every touched bucket of the merge
+        # either advanced or vanished
+        filter_partitioned(spark, target, F.lit(False))
+
+    with pytest.raises(RuntimeError, match="concurrent writer advanced"):
+        _merge(
+            spark, target, _mk_rows([(1, 5000, 9)]),
+            _before_commit=concurrent_compaction,
+        )
+    # the manifest only names live version dirs: the full read works
+    # and reflects the compaction
+    assert read_partitioned(spark, target).count() == 0
+    # rerun lands cleanly on the compacted table
+    _merge(spark, target, _mk_rows([(1, 5000, 9)]))
+    state = {r.key: r.ts for r in read_partitioned(spark, target).collect()}
+    assert state == {1: BASE + timedelta(minutes=5000)}
+
+
+def test_manifest_empty_batch_into_fresh_table_returns_typed_empty(
+    spark, tmp_path
+):
+    """ADVICE r14 #2: merging an empty batch into a fresh manifest table
+    returns the typed empty relation (same shape read_partitioned
+    produces) instead of raising on a zero-path parquet read."""
+    from transit_efficiency_analysis_spark.operators.upsert import (
+        read_partitioned,
+    )
+
+    target = str(tmp_path / "tbl")
+    out = _merge(spark, target, [])
+    assert out.columns == ["key", "ts", "value", "seq"]
+    assert out.count() == 0
+    # the table exists (meta + empty manifest) and stays mergeable
+    assert read_partitioned(spark, target).count() == 0
+    _merge(spark, target, _mk_rows([(1, 1, 1)]))
+    assert read_partitioned(spark, target).count() == 1
+
+
+def test_sweep_orphans_raises_on_failed_delete(spark, tmp_path, monkeypatch):
+    """ADVICE r14 #3: a version dir that fails to delete must raise from
+    the quiesced maintenance window, not be reported as deleted."""
+    import shutil
+
+    from transit_efficiency_analysis_spark.operators.upsert import (
+        sweep_orphans,
+    )
+
+    target = str(tmp_path / "tbl")
+    _merge(spark, target, _mk_rows([(1, 1, 1)]))
+    # manufacture an orphan: a staged-but-never-committed version dir
+    orphan = os.path.join(target, ".v", "b0_v99")
+    os.makedirs(orphan)
+
+    real_rmtree = shutil.rmtree
+
+    def failing_rmtree(path, *a, **kw):
+        if path == orphan:
+            raise OSError("injected EIO")
+        return real_rmtree(path, *a, **kw)
+
+    monkeypatch.setattr(shutil, "rmtree", failing_rmtree)
+    with pytest.raises(OSError, match="injected EIO"):
+        sweep_orphans(target)
+
+    monkeypatch.setattr(shutil, "rmtree", real_rmtree)
+    deleted = sweep_orphans(target)
+    assert deleted == [orphan]
+    assert not os.path.exists(orphan)

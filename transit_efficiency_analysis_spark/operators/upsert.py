@@ -506,16 +506,22 @@ def _swap_bucket(local: str, staging_part: str, bucket: int) -> None:
 # put). Readers list NOTHING: they resolve the manifest and read the
 # named version dirs — no directory listing, no symlink support needed.
 #
-# Isolation is strictly BETTER than symlink mode: the whole merge
-# (all touched buckets) commits in one manifest swap, so a reader sees
-# batch N in every bucket or batch N-1 in every bucket — snapshot-ish
-# across partitions, where symlink mode was per-partition only. The
-# multi-writer story is unchanged (detector, not lock): compaction
-# re-checks the manifest before its swap and fails fast; a merge
-# landing in the residual microseconds loses its manifest entry but
-# NEVER its data (cleanup deletes only versions the committer's own
-# read snapshot superseded, so the orphaned version dir survives for
-# repair). True serialization stays the Delta/Iceberg backend's job.
+# READER isolation is strictly better than symlink mode: the whole
+# merge (all touched buckets) commits in one manifest swap, so a reader
+# sees batch N in every bucket or batch N-1 in every bucket —
+# snapshot-ish across partitions, where symlink mode was per-partition
+# only. The multi-WRITER story is a detector, not a lock (as in
+# symlink mode, but the mechanics differ because the manifest is one
+# whole-table object where symlinks flipped per bucket): both merge
+# and compaction re-read the manifest immediately before their swap,
+# base the commit on that CURRENT state (so a concurrent writer's
+# commit to DISJOINT buckets survives), and fail fast when a bucket
+# they rewrote advanced or vanished meanwhile — the failed writer's
+# version dirs stay as unreferenced orphans, its data never destroyed.
+# The lost-update window is the residual re-read -> swap gap
+# (microseconds), not the merge duration. True serialization (a
+# conditional-put manifest swap) stays the Delta/Iceberg backend's —
+# or the object store's put-if-match — job.
 #
 # Mode selection: `commit="manifest"` on the FIRST merge creates the
 # table in manifest mode (recorded in the meta; later calls follow the
@@ -627,7 +633,9 @@ def sweep_orphans(target: str) -> list[str]:
     cleanup comment in :func:`_merge_into_partitioned_manifest`).
     Run it from the maintenance window that owns compaction. Symlink
     tables need no sweep (their supersede paths delete eagerly) and
-    raise here to catch mode confusion."""
+    raise here to catch mode confusion. A deletion failure (EACCES,
+    EIO) raises rather than reporting the path as deleted — the
+    returned list names only dirs that are actually gone."""
     import os
     import shutil
 
@@ -649,7 +657,7 @@ def sweep_orphans(target: str) -> list[str]:
     for name in sorted(os.listdir(vroot)) if os.path.isdir(vroot) else []:
         if name not in live:
             path = os.path.join(vroot, name)
-            shutil.rmtree(path, ignore_errors=True)
+            shutil.rmtree(path)
             deleted.append(path)
     return deleted
 
@@ -664,10 +672,14 @@ def _merge_into_partitioned_manifest(
     num_buckets: int,
     wide_threshold: float,
     return_touched_only: bool,
+    _before_commit=None,
 ) -> DataFrame:
     """Manifest-mode body of :func:`merge_into_partitioned` (same
     last-writer-wins MERGE algebra and wide/trickle routing; see the
-    mode comment above for the commit-protocol contrast)."""
+    mode comment above for the commit-protocol contrast).
+    ``_before_commit`` is a test seam invoked after this merge's version
+    dirs are staged into ``.v/`` but before the manifest re-read — the
+    widest point of the (detected) concurrent-writer window."""
     import json
     import os
     import shutil
@@ -749,7 +761,7 @@ def _merge_into_partitioned_manifest(
 
         vroot = os.path.join(local, ".v")
         os.makedirs(vroot, exist_ok=True)
-        new_manifest = dict(manifest)
+        ours: dict[int, int] = {}
         try:
             for b in touched:
                 part = os.path.join(staging, f"{_BUCKET_COL}={b}")
@@ -763,7 +775,38 @@ def _merge_into_partitioned_manifest(
                     + 1
                 )
                 os.rename(part, os.path.join(vroot, f"b{b}_v{version}"))
-                new_manifest[b] = version
+                ours[b] = version
+            # Re-read the manifest immediately before the swap and base
+            # the commit on the CURRENT state (ADVICE r14): untouched
+            # buckets keep the current entries — a concurrent
+            # disjoint-bucket merge's or compaction's commit committed
+            # during this merge SURVIVES instead of being overwritten
+            # from our stale snapshot — and touched buckets take this
+            # merge's versions. Fail fast if any touched bucket advanced
+            # (or was dropped by a compaction) since our read snapshot:
+            # our merged rows were computed against the stale version
+            # dirs, so committing them would drop the other merge's
+            # writes or resurrect rows a compaction just filtered
+            # (whose version dirs its cleanup already deleted). Mirrors
+            # _filter_partitioned_manifest's detector; the lost-update
+            # window shrinks from the full merge duration to this
+            # re-read -> swap gap.
+            if _before_commit is not None:
+                _before_commit()
+            current = _read_manifest(local)
+            conflicts = [
+                b for b in touched if current.get(b, 0) != manifest.get(b, 0)
+            ]
+            if conflicts:
+                raise RuntimeError(
+                    "merge_into_partitioned: concurrent writer advanced "
+                    f"touched bucket(s) {conflicts} during this merge — "
+                    "the manifest is untouched and this merge's staged "
+                    "version dirs remain as unreferenced orphans; rerun "
+                    "the merge"
+                )
+            new_manifest = dict(current)
+            new_manifest.update(ours)
             # THE commit: every touched bucket becomes visible in one
             # atomic swap (cross-bucket, unlike the symlink flips)
             _write_manifest(local, new_manifest)
@@ -792,6 +835,12 @@ def _merge_into_partitioned_manifest(
         if not dirs:
             return spark.createDataFrame([], collapsed.schema).select(*out_cols)
         return spark.read.parquet(*dirs).select(*out_cols)
+    # empty-batch merge into a fresh/emptied table: zero manifest entries
+    # means zero paths — return the typed empty relation instead of
+    # letting spark.read.parquet() raise on an empty path list (ADVICE
+    # r14; same shape read_partitioned produces for emptied tables)
+    if not new_manifest:
+        return spark.createDataFrame([], collapsed.schema).select(*out_cols)
     return spark.read.parquet(*_manifest_dirs(local, new_manifest)).select(
         *out_cols
     )
@@ -879,6 +928,7 @@ def merge_into_partitioned(
     wide_threshold: float = 0.5,
     return_touched_only: bool = False,
     commit: str = "symlink",
+    _before_commit=None,
 ) -> DataFrame:
     """Batch-proportional pure-Parquet MERGE: ``merge_into_sql``
     semantics (last-writer-wins, strictly-newer guard, null-safe match
@@ -999,6 +1049,7 @@ def merge_into_partitioned(
         return _merge_into_partitioned_manifest(
             incoming.sparkSession, target, local, incoming, keys,
             order_by, num_buckets, wide_threshold, return_touched_only,
+            _before_commit=_before_commit,
         )
     from pyspark import StorageLevel
 
