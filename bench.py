@@ -80,6 +80,14 @@ EXTRAS = [
     # the fixed-plane ANN twin, demoted from the headline in round 11
     # (see the HEADLINE comment) — kept here so its series continues
     "q_sim_lsh_topk",
+    # round-15 additions: the IVF ANN shapes whose executed default
+    # flipped to the map-only fold assignment this round — a per-round
+    # series starts here so any fold-path regression shows in the
+    # artifact of record (q_sim_ivf_lloyd_topk's executed shape is
+    # q_sim_ivf_topk's plus one fold-assign Lloyd round, so the two
+    # tracked shapes cover all three demos' plan classes)
+    "q_sim_ivf_topk",
+    "q_sim_ivf_pq_topk",
 ]
 
 

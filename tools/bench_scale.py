@@ -11,7 +11,7 @@ Usage:
 
 With no family args every family runs; naming families (substring match
 against result keys: minhash, simhash, sim_lsh, derived, storm, incr,
-dup_spans, affinity, budget, semantic, gapfill, funnel, maintenance, pagerank, triangles, rebuild_delays) runs just
+dup_spans, affinity, budget, semantic, gapfill, funnel, maintenance, pagerank, triangles, rebuild_delays, ivf_assign) runs just
 those —
 the 64x stretch points re-run only the heaviest pipelines.
 
@@ -569,6 +569,73 @@ def main() -> int:
             print(f"# rebuild_delays_bucketed ROW MISMATCH: {rb} != {rn}",
                   file=sys.stderr)
             return 1
+
+    if want("ivf_assign"):
+        # Round-15 executed-default A/B: ivf_topk / ivf_pq_topk with the
+        # fold assignment (the default since the r15 flip) vs the
+        # window form (kept for exactly this audit), at Nx rows and the
+        # r13 A/B's K=500 coarse cells. Each (op, mode) cell runs in its
+        # OWN SUBPROCESS: the window form materializes an n x K
+        # vector-carrying relation (its persist alone is ~8 GB at
+        # 16x/K=500) and can OOM the 8g bench heap — a hard JVM death
+        # that takes the py4j gateway with it, unrecoverable in-process
+        # (measured: post-OOM getOrCreate hands back a zombie, then
+        # ConnectionRefused). The subprocess cell records the failure as
+        # a result row; the battery and its session are untouched. The
+        # cell's Nx synthesis mirrors _union_copies + perturb_vec (keep
+        # in sync).
+        import subprocess
+
+        cell_src = """
+import json, sys, time
+sys.path.insert(0, sys.argv[5])
+from pyspark.sql import functions as F
+from transit_efficiency_analysis_spark.session import get_spark
+from transit_efficiency_analysis_spark.sources.registry import load_table
+from transit_efficiency_analysis_spark.operators.similarity import (
+    ivf_topk, ivf_pq_topk)
+op_name, mode, sfd, n = sys.argv[1], sys.argv[2], sys.argv[3], int(sys.argv[4])
+spark = get_spark("bench_ivf_cell")
+e = load_table(spark, sfd, "embeddings").select("vec_id", "embedding")
+out = None
+for i in range(n):
+    c = e.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+    c = c.withColumn(
+        "embedding", F.transform("embedding", lambda x: x + F.lit(0.003 * i)))
+    out = c if out is None else out.unionByName(c)
+op = ivf_topk if op_name == "ivf_topk" else ivf_pq_topk
+spark.range(1).count()
+t0 = time.time()
+r = op(out, n_centroids=500, n_probe=2, k=3, assign=mode).count()
+print("CELL " + json.dumps({"t": round(time.time() - t0, 2), "rows": r}))
+"""
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+        def _cell(op_name: str, mode: str) -> dict:
+            proc = subprocess.run(
+                [sys.executable, "-c", cell_src,
+                 op_name, mode, sf_dir, str(copies), repo],
+                capture_output=True, text=True, timeout=1200,
+            )
+            for line in proc.stdout.splitlines():
+                if line.startswith("CELL "):
+                    return json.loads(line[5:])
+            tail = (proc.stderr or "").strip().splitlines()
+            return {"t": None, "rows": None,
+                    "error": f"exit={proc.returncode} "
+                             f"{tail[-1][:120] if tail else ''}"}
+
+        def _fmt(cell) -> str:
+            if cell.get("t") is not None:
+                return f"{cell['t']}s ({cell['rows']} rows)"
+            return f"FAILED[{cell.get('error')}]"
+
+        for op_name in ("ivf_topk", "ivf_pq_topk"):
+            ab = {m: _cell(op_name, m) for m in ("fold", "window")}
+            results[f"{op_name}_assign_ab"] = ab
+            print(f"# {op_name} @ {copies}x K=500: fold {_fmt(ab['fold'])} "
+                  f"vs window {_fmt(ab['window'])}", file=sys.stderr)
+
 
     ratios = [v["ratio"] for v in results.values() if "ratio" in v]
     worst = max(ratios) if ratios else 0.0
