@@ -50,7 +50,10 @@ def test_semantic_dedup_flat_assignment_is_map_only(spark, sf_dir):
     assert "windowspecdefinition(vec_id" not in plan, (
         "flat assignment regressed to a per-vec_id rank window"
     )
-    assert count_shuffles(out) <= 2
+    # <= 2 pairing-stage shuffles + the round-15 small-input parallelism
+    # guard's round-robin (fires at this test's single-split scale —
+    # a no-op on any split-rich input; see _ensure_min_parallelism)
+    assert count_shuffles(out) <= 3
 
 
 def test_semantic_dedup_lloyd_round_assignment_is_fold(spark, sf_dir):

@@ -465,6 +465,29 @@ def _cents_array(cents: DataFrame) -> DataFrame:
     ).agg(F.sort_array(F.collect_list(F.struct("cell", "cvu"))).alias("ca"))
 
 
+def _ensure_min_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin ``df`` up to the session's default parallelism when
+    its plan inherits fewer partitions than half of it. The map-only
+    fold paths keep the SCAN's partitioning verbatim — the point, at
+    scale: a 100 TB table has thousands of splits — but a single-
+    small-file input would otherwise drag the downstream candidate
+    scoring (the n × cell_size × n_probe dot compute, whose cost AQE
+    cannot see in the tiny pre-join byte sizes) onto one or two cores:
+    the candidate join's build side broadcasts at that scale, so the
+    probe side's inherited partitioning IS the stage's parallelism.
+    Measured (round 15, sf0.1 = one ~1 MB parquet split on local[32]):
+    q_sim_ivf_topk 8.1 s → the guard restores the window form's ~2 s
+    while keeping the fold plan. The guard fires ONLY in the
+    small-input regime, where the one exchange it introduces moves a
+    relation that is tiny by construction; on any real deployment
+    (splits ≥ cores) it is a no-op and the fold stays exchange-free."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(target // 2, 2):
+        return df.repartition(target)
+    return df
+
+
 def _fold_assign(base: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, v, vn, cell): every vector of ``base`` assigned to its
     nearest centroid of ``cents`` (cell, cv, cn) — MAP-ONLY. The K
@@ -710,7 +733,7 @@ def ivf_topk(
         norm(as_double(F.col(vec_col))).alias("vn"),
     )
     if assign == "fold":
-        ranked = _fold_topk_cells(base, cents, n_probe)
+        ranked = _fold_topk_cells(_ensure_min_parallelism(base), cents, n_probe)
     else:
         # try_divide: a zero-norm vector (or centroid) yields NULL sims —
         # NULLS LAST under the desc rank, so it assigns to the tie-break
@@ -861,7 +884,9 @@ def ivf_pq_topk(
         norm(as_double(F.col(vec_col))).alias("vn"),
     )
     if assign == "fold":
-        ranked = _fold_topk_cells(base, cents, n_probe).join(
+        ranked = _fold_topk_cells(
+            _ensure_min_parallelism(base), cents, n_probe
+        ).join(
             F.broadcast(cents.select("cell", "cv")), "cell"
         ).select("vec_id", "v", "cell", "cv", "crank")
     else:
@@ -1181,10 +1206,12 @@ def semantic_dedup(
             n_centroids, 2 * (n_rows ** 0.5), n_rows,
         )
     cents = ivf_centroids(df, id_col, vec_col, n_centroids, lloyd_rounds)
-    base = df.select(
-        F.col(id_col).alias("vec_id"),
-        as_double(F.col(vec_col)).alias("v"),
-        norm(as_double(F.col(vec_col))).alias("vn"),
+    base = _ensure_min_parallelism(
+        df.select(
+            F.col(id_col).alias("vec_id"),
+            as_double(F.col(vec_col)).alias("v"),
+            norm(as_double(F.col(vec_col))).alias("vn"),
+        )
     )
     return _keep_first_in_cells(_fold_assign(base, cents), threshold)
 
@@ -1295,10 +1322,12 @@ def semantic_dedup_hier(
         .where(F.col("frank") == 1)
         .select("cell", "cv", "cn", "ccell")
     )
-    base = df.select(
-        F.col(id_col).alias("vec_id"),
-        as_double(F.col(vec_col)).alias("v"),
-        norm(as_double(F.col(vec_col))).alias("vn"),
+    base = _ensure_min_parallelism(
+        df.select(
+            F.col(id_col).alias("vec_id"),
+            as_double(F.col(vec_col)).alias("v"),
+            norm(as_double(F.col(vec_col))).alias("vn"),
+        )
     )
     # Assignment is MAP-ONLY (round 11, VERDICT r10 #8): instead of
     # fanning each vector out to n × C rows through a broadcast join and
