@@ -265,3 +265,102 @@ def test_sweep_orphans_raises_on_failed_delete(spark, tmp_path, monkeypatch):
     deleted = sweep_orphans(target)
     assert deleted == [orphan]
     assert not os.path.exists(orphan)
+
+
+# ----------------------- assign="arrow" (dark, round 15) ----------------
+
+
+def test_ivf_topk_arrow_equals_fold(spark, sf_dir):
+    """assign='arrow' (the Arrow/BLAS twin, dark) must reproduce
+    assign='fold' exactly on the test corpora — same neighbors, same
+    ranks, same cosines — at lloyd_rounds 0 and 1 (the r13
+    fold-vs-window discipline: bit-parity pinned, never assumed)."""
+    from transit_efficiency_analysis_spark.operators.similarity import (
+        ivf_topk,
+    )
+    from transit_efficiency_analysis_spark.sources.registry import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    for lr in (0, 1):
+        f = sorted(map(tuple, ivf_topk(
+            e, n_centroids=8, n_probe=2, k=3, lloyd_rounds=lr,
+            assign="fold",
+        ).collect()))
+        a = sorted(map(tuple, ivf_topk(
+            e, n_centroids=8, n_probe=2, k=3, lloyd_rounds=lr,
+            assign="arrow",
+        ).collect()))
+        assert a == f
+
+
+def test_arrow_topk_cells_matches_fold_zero_norm_semantics(spark):
+    """The arrow twin mirrors the fold's zero-norm semantics exactly:
+    a zero-norm centroid is never probed; when EVERY centroid is
+    zero-norm the fallback probes the n_probe smallest cell ids."""
+    from pyspark.sql import functions as F
+
+    from transit_efficiency_analysis_spark.functions.vectors import (
+        as_double,
+        norm,
+    )
+    from transit_efficiency_analysis_spark.operators.similarity import (
+        _arrow_topk_cells,
+        _fold_topk_cells,
+    )
+
+    def rel(rows, schema):
+        return spark.createDataFrame(rows, schema)
+
+    def cents_of(rows):
+        return rel(rows, "cell int, emb array<double>").select(
+            "cell",
+            as_double(F.col("emb")).alias("cv"),
+            norm(as_double(F.col("emb"))).alias("cn"),
+        )
+
+    base = rel([(7, [2.0, 1.0])], "vec_id long, emb array<double>").select(
+        "vec_id",
+        as_double(F.col("emb")).alias("v"),
+        norm(as_double(F.col("emb"))).alias("vn"),
+    )
+    # one zero-norm + one useful centroid: only the useful cell probed
+    cents = cents_of([(0, [0.0, 0.0]), (1, [1.0, 0.0])])
+    for fn in (_fold_topk_cells, _arrow_topk_cells):
+        got = {(r.cell, r.crank) for r in fn(base, cents, 2).collect()}
+        assert got == {(1, 1)}, fn.__name__
+    # EVERY centroid zero-norm: both probe the n_probe smallest cells
+    cents0 = cents_of([(3, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [0.0, 0.0])])
+    for fn in (_fold_topk_cells, _arrow_topk_cells):
+        got = {(r.cell, r.crank) for r in fn(base, cents0, 2).collect()}
+        assert got == {(1, 1), (2, 2)}, fn.__name__
+
+
+def test_ivf_topk_arrow_plan_is_map_only(spark, sf_dir):
+    """The arrow assignment must keep the fold's plan shape: no
+    per-vec_id rank window, the scoring inside a MapInPandas node, and
+    no data-side hash exchange in the assignment relation (the
+    small-input guard's round-robin is the only exchange allowed)."""
+    from pyspark.sql import functions as F
+
+    from transit_efficiency_analysis_spark.functions.vectors import (
+        as_double,
+        norm,
+    )
+    from transit_efficiency_analysis_spark.operators.similarity import (
+        _arrow_topk_cells,
+        ivf_centroids,
+    )
+    from transit_efficiency_analysis_spark.plans import physical_plan
+    from transit_efficiency_analysis_spark.sources.registry import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = ivf_centroids(e, "vec_id", "embedding", 8)
+    base = e.select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("v"),
+        norm(as_double(F.col("embedding"))).alias("vn"),
+    )
+    plan = physical_plan(_arrow_topk_cells(base, cents, 2))
+    assert "MapInPandas" in plan
+    assert "windowspecdefinition(vec_id" not in plan
+    assert "Exchange hashpartitioning(vec_id" not in plan

@@ -630,11 +630,17 @@ print("CELL " + json.dumps({"t": round(time.time() - t0, 2), "rows": r}))
                 return f"{cell['t']}s ({cell['rows']} rows)"
             return f"FAILED[{cell.get('error')}]"
 
-        for op_name in ("ivf_topk", "ivf_pq_topk"):
-            ab = {m: _cell(op_name, m) for m in ("fold", "window")}
+        modes = {
+            # "arrow" is ivf_topk-only for now (dark, round 15)
+            "ivf_topk": ("arrow", "fold", "window"),
+            "ivf_pq_topk": ("fold", "window"),
+        }
+        for op_name, mlist in modes.items():
+            ab = {m: _cell(op_name, m) for m in mlist}
             results[f"{op_name}_assign_ab"] = ab
-            print(f"# {op_name} @ {copies}x K=500: fold {_fmt(ab['fold'])} "
-                  f"vs window {_fmt(ab['window'])}", file=sys.stderr)
+            print(f"# {op_name} @ {copies}x K=500: "
+                  + " vs ".join(f"{m} {_fmt(ab[m])}" for m in mlist),
+                  file=sys.stderr)
 
 
     ratios = [v["ratio"] for v in results.values() if "ratio" in v]

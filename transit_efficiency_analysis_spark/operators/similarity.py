@@ -634,6 +634,94 @@ def _fold_topk_cells(base: DataFrame, cents: DataFrame, n_probe: int) -> DataFra
     )
 
 
+def _arrow_topk_cells(base: DataFrame, cents: DataFrame, n_probe: int) -> DataFrame:
+    """(vec_id, v, vn, cell, crank): the Arrow/BLAS twin of
+    :func:`_fold_topk_cells` — same contract, same MAP-ONLY shape
+    (centroids broadcast, zero data-side exchange), but the n × K
+    raw-dot scoring runs as ONE numpy matmul per Arrow batch inside
+    ``mapInPandas`` instead of K interpreted higher-order-function
+    evaluations per row. Shipped DARK in round 15 behind
+    ``assign="arrow"`` (the r13 fold-dark-ship discipline): at
+    16x/K=500 the fold's wall is ~entirely interpreted expression
+    overhead — (32k × 500) 64-dim dots are ~1 GFLOP, milliseconds in
+    BLAS — so this is the compute escape for the large-K regime the
+    SemDeDup COMPUTE-envelope paragraph flags. Bit-parity with the
+    fold is pinned on the test corpora (same top cells, same cranks)
+    but NOT assumed in general: numpy's pairwise/BLAS summation can
+    differ from the fold's left-to-right sum in the last ulp, which on
+    a near-tie could rank cells differently — the same caveat class as
+    fold-vs-window, and the reason a default flip would need its own
+    oracle re-verification slots.
+
+    Semantics mirrored from the fold: centroids pre-normalized once
+    (cv/cn), a zero-norm centroid is never scored (excluded up front —
+    the fold's NULL-filter), ranking is score DESC then cell ASC
+    (stable argsort over ascending-cell columns), and if NO centroid
+    is scorable every vector probes the ``n_probe`` smallest cell ids
+    (the fold's fallback slice). One deliberate divergence: a NULL or
+    ragged vector raises inside the batch (numpy stack fails loudly)
+    where the fold would emit NULL scores — validate, don't guess.
+    """
+    import numpy as np
+
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    rows = sorted(
+        cents.select("cell", "cv", "cn").collect(), key=lambda r: r.cell
+    )
+    cells, mats = [], []
+    for r in rows:
+        if r.cn != 0:
+            cells.append(int(r.cell))
+            mats.append(np.asarray(r.cv, dtype=np.float64) / np.float64(r.cn))
+    cmat = np.stack(mats, axis=0) if mats else np.zeros((0, 0))
+    cell_ids = np.asarray(cells, dtype=np.int64)
+    fallback = [int(r.cell) for r in rows[:n_probe]]
+    bc = base.sparkSession.sparkContext.broadcast((cmat, cell_ids, fallback))
+
+    schema = StructType(
+        list(base.schema.fields)
+        + [StructField("cell", LongType()), StructField("crank", IntegerType())]
+    )
+    in_cols = [f.name for f in base.schema.fields]
+
+    def score_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        cm, cid, fb = bc.value
+        k_take = min(n_probe, cm.shape[0])
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = pdf.loc[pdf.index.repeat(k_take or len(fb))].reset_index(
+                drop=True
+            )
+            if k_take:
+                vm = np.stack(pdf["v"].to_numpy())
+                scores = vm @ cm.T
+                # stable argsort on -scores: ties keep ascending column
+                # order == ascending cell id (cm/cid are cell-sorted) —
+                # exactly the fold's (score DESC, cell ASC) comparator
+                idx = np.argsort(-scores, axis=1, kind="stable")[:, :k_take]
+                out["cell"] = cid[idx].reshape(-1)
+                out["crank"] = np.tile(
+                    np.arange(1, k_take + 1, dtype=np.int32), len(pdf)
+                )
+            else:
+                # no scorable centroid anywhere: the fold's fallback —
+                # every vector probes the n_probe smallest cell ids
+                out["cell"] = np.tile(
+                    np.asarray(fb, dtype=np.int64), len(pdf)
+                )
+                out["crank"] = np.tile(
+                    np.arange(1, len(fb) + 1, dtype=np.int32), len(pdf)
+                )
+            yield out[in_cols + ["cell", "crank"]]
+
+    return base.mapInPandas(score_batches, schema)
+
+
 def _lloyd_round(base: DataFrame, cents: DataFrame) -> DataFrame:
     """One Lloyd iteration: nearest-cell assignment (broadcast-array
     fold, :func:`_fold_assign` — map-only since round 13; the previous
@@ -696,7 +784,12 @@ def ivf_topk(
     the demo oracles MIRROR the fold arithmetic (the flat-SemDeDup
     discipline) instead of relying on equivalence. A zero-norm
     centroid is never probed by the fold, vs ranked-last by the window
-    (see the helper's docstring).
+    (see the helper's docstring). ``"arrow"`` (DARK, round 15) is the
+    fold's Arrow/BLAS twin for the large-K compute regime — one numpy
+    matmul per batch instead of K interpreted folds per row; same
+    map-only shape, fold-mirrored semantics, bit-parity pinned on the
+    test corpora (see :func:`_arrow_topk_cells` for the ulp caveat
+    that keeps it dark until its own oracle slots).
 
     The other classic ANN shape next to sign-LSH (``lsh_topk``): centroids
     broadcast to every partition (map-only assignment), the only shuffle
@@ -724,15 +817,20 @@ def ivf_topk(
         )
     if n_centroids is None:
         raise ValueError("pass n_centroids or target_cell_size")
-    if assign not in ("window", "fold"):
-        raise ValueError(f"assign must be 'window' or 'fold', got {assign!r}")
+    if assign not in ("window", "fold", "arrow"):
+        raise ValueError(
+            f"assign must be 'window', 'fold' or 'arrow', got {assign!r}"
+        )
     cents = ivf_centroids(df, id_col, vec_col, n_centroids, lloyd_rounds=lloyd_rounds)
     base = df.select(
         F.col(id_col).alias("vec_id"),
         as_double(F.col(vec_col)).alias("v"),
         norm(as_double(F.col(vec_col))).alias("vn"),
     )
-    if assign == "fold":
+    if assign == "arrow":
+        # dark (round 15): the Arrow/BLAS twin — see _arrow_topk_cells
+        ranked = _arrow_topk_cells(_ensure_min_parallelism(base), cents, n_probe)
+    elif assign == "fold":
         ranked = _fold_topk_cells(_ensure_min_parallelism(base), cents, n_probe)
     else:
         # try_divide: a zero-norm vector (or centroid) yields NULL sims —
