@@ -364,3 +364,25 @@ def test_ivf_topk_arrow_plan_is_map_only(spark, sf_dir):
     assert "MapInPandas" in plan
     assert "windowspecdefinition(vec_id" not in plan
     assert "Exchange hashpartitioning(vec_id" not in plan
+
+
+def test_semantic_dedup_arrow_equals_fold(spark, sf_dir):
+    """semantic_dedup(assign='arrow') must reproduce the fold exactly —
+    same kept/dropped sets, same dup_of witnesses, same cells — at
+    lloyd_rounds 0 and 1 (the arrow path swaps BOTH the final and the
+    per-Lloyd-round assignment)."""
+    from transit_efficiency_analysis_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from transit_efficiency_analysis_spark.sources.registry import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    for lr in (0, 1):
+        f = sorted(map(tuple, semantic_dedup(
+            e, n_centroids=8, lloyd_rounds=lr, threshold=0.3,
+        ).collect()))
+        a = sorted(map(tuple, semantic_dedup(
+            e, n_centroids=8, lloyd_rounds=lr, threshold=0.3,
+            assign="arrow",
+        ).collect()))
+        assert a == f

@@ -197,6 +197,35 @@ def main() -> int:
               f"{copies}x {tn:.1f}s ({rn} dups), ratio {tn/t1:.1f}",
               file=sys.stderr)
 
+    if want("semantic_arrow"):
+        # The dark BLAS twin on the SAME derived-K workload as
+        # semantic_dedup_scaled: the flat form's measured ~5.6 16x ratio
+        # is O(n x K) assignment COMPUTE (K ~ n/64) — the arrow
+        # assignment replaces the interpreted fold dots with one numpy
+        # matmul per batch in the final AND the Lloyd-round assignment.
+        from transit_efficiency_analysis_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        n1, nn = embs_1.count(), embs_n.count()
+
+        def _sem_a(d: DataFrame, n: int, mode: str) -> DataFrame:
+            return semantic_dedup(
+                d, "vec_id", "embedding",
+                n_centroids=max(8, n // 64), lloyd_rounds=1, threshold=0.3,
+                assign=mode,
+            ).where(~F.col("kept"))
+
+        t0 = time.time(); r1 = _sem_a(embs_1, n1, "arrow").count(); t1 = time.time() - t0
+        t0 = time.time(); rn = _sem_a(embs_n, nn, "arrow").count(); tn = time.time() - t0
+        results["semantic_dedup_scaled_arrow"] = {
+            "t1": round(t1, 2), "tN": round(tn, 2),
+            "ratio": round(tn / t1, 2), "rows1": r1, "rowsN": rn,
+        }
+        print(f"# semantic_dedup_scaled_arrow: 1x {t1:.1f}s ({r1} dups) -> "
+              f"{copies}x {tn:.1f}s ({rn} dups), ratio {tn/t1:.1f}",
+              file=sys.stderr)
+
     if want("semantic_hier"):
         # Two-level assignment escape (r9 verdict #4): same derived cell
         # count as semantic_dedup_scaled, but vectors score C + K/C

@@ -360,6 +360,7 @@ def ivf_centroids(
     vec_col: str = "embedding",
     n_centroids: int = 8,
     lloyd_rounds: int = 0,
+    assign: str = "fold",
 ) -> DataFrame:
     """Coarse centroids for IVF. Returns (cell, cv, cn).
 
@@ -380,7 +381,14 @@ def ivf_centroids(
     at 100 TB each round costs about one corpus scan, the classic
     recall-vs-cost knob (demo pins one round; more rounds converge
     further but the seeds already place cells on real data points).
+
+    ``assign`` picks the per-round nearest-cell plan: ``"fold"``
+    (default — the executed/oracle-mirrored form) or ``"arrow"`` (dark,
+    round 15 — the BLAS twin, see :func:`_arrow_topk_cells`; same
+    map-only shape, last-ulp summation caveat).
     """
+    if assign not in ("fold", "arrow"):
+        raise ValueError(f"assign must be 'fold' or 'arrow', got {assign!r}")
     seeds = (
         df.select(F.col(id_col).alias("sid"), as_double(F.col(vec_col)).alias("cv"))
         .orderBy(F.md5(F.col("sid").cast("string")), F.col("sid"))
@@ -404,7 +412,7 @@ def ivf_centroids(
         norm(as_double(F.col(vec_col))).alias("vn"),
     )
     for _ in range(lloyd_rounds):
-        cents = _lloyd_round(base, cents)
+        cents = _lloyd_round(base, cents, assign=assign)
     return cents
 
 
@@ -722,13 +730,33 @@ def _arrow_topk_cells(base: DataFrame, cents: DataFrame, n_probe: int) -> DataFr
     return base.mapInPandas(score_batches, schema)
 
 
-def _lloyd_round(base: DataFrame, cents: DataFrame) -> DataFrame:
+def _arrow_assign(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, v, vn, cell): the Arrow/BLAS twin of :func:`_fold_assign`
+    — :func:`_arrow_topk_cells` at ``n_probe=1`` (dark, round 15). The
+    argmax semantics line up exactly with :func:`_argmax_cell`: ties to
+    the smallest cell (stable argsort over cell-ascending columns =
+    the fold's strict-> over a cell-sorted array), a zero-norm VECTOR
+    scores 0.0 everywhere and ties to the smallest scorable cell, a
+    zero-norm CENTROID is never the argmax (excluded vs NULL-skipped),
+    and the all-zero-norm fallback is the smallest cell id (the fold's
+    INIT). Same last-ulp BLAS-summation caveat as the topk twin."""
+    return _arrow_topk_cells(base, cents, 1).select("vec_id", "v", "vn", "cell")
+
+
+def _lloyd_round(
+    base: DataFrame, cents: DataFrame, assign: str = "fold"
+) -> DataFrame:
     """One Lloyd iteration: nearest-cell assignment (broadcast-array
     fold, :func:`_fold_assign` — map-only since round 13; the previous
     broadcast-join + per-vec_id rank window exchanged n × K rows per
-    round) → per-(cell, dim) DECIMAL mean → reassembled centroid
-    arrays. Cells with no members keep their previous centroid."""
-    assigned = _fold_assign(base, cents)
+    round; ``assign="arrow"`` swaps in the dark BLAS twin) →
+    per-(cell, dim) DECIMAL mean → reassembled centroid arrays. Cells
+    with no members keep their previous centroid."""
+    assigned = (
+        _arrow_assign(base, cents)
+        if assign == "arrow"
+        else _fold_assign(base, cents)
+    )
     # element-wise mean: exact decimal sum (order-independent), divide as
     # double. posexplode is 0-based; the oracle's WITH ORDINALITY is
     # 1-based — the oracle subtracts 1.
@@ -821,7 +849,12 @@ def ivf_topk(
         raise ValueError(
             f"assign must be 'window', 'fold' or 'arrow', got {assign!r}"
         )
-    cents = ivf_centroids(df, id_col, vec_col, n_centroids, lloyd_rounds=lloyd_rounds)
+    cents = ivf_centroids(
+        df, id_col, vec_col, n_centroids, lloyd_rounds=lloyd_rounds,
+        # the Lloyd-round assignment follows the arrow choice; "window"
+        # keeps the (post-r13) fold Lloyd form unchanged
+        assign="arrow" if assign == "arrow" else "fold",
+    )
     base = df.select(
         F.col(id_col).alias("vec_id"),
         as_double(F.col(vec_col)).alias("v"),
@@ -1245,6 +1278,7 @@ def semantic_dedup(
     lloyd_rounds: int = 1,
     threshold: float = 0.95,
     n_rows: int | None = None,
+    assign: str = "fold",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): cluster-blocked
@@ -1292,7 +1326,16 @@ def semantic_dedup(
     never a count() action here) to get a log warning when
     ``n_centroids`` crosses that line; sizing guidance lives in
     docs/SCALE.md's SemDeDup section.
+
+    ``assign``: ``"fold"`` (default — the executed/oracle-mirrored
+    form) or ``"arrow"`` (dark, round 15 — the BLAS twin for the
+    derived-K compute wall above: the O(n × K) dots run as one numpy
+    matmul per Arrow batch in both the final and the per-Lloyd-round
+    assignment; see :func:`_arrow_assign` for the parity contract and
+    the last-ulp caveat that keeps it dark).
     """
+    if assign not in ("fold", "arrow"):
+        raise ValueError(f"assign must be 'fold' or 'arrow', got {assign!r}")
     if n_rows is not None and n_centroids > 2 * (n_rows ** 0.5):
         import logging
 
@@ -1303,7 +1346,8 @@ def semantic_dedup(
             "(O(n*2*sqrt(K))) for derived-K corpora (docs/SCALE.md)",
             n_centroids, 2 * (n_rows ** 0.5), n_rows,
         )
-    cents = ivf_centroids(df, id_col, vec_col, n_centroids, lloyd_rounds)
+    cents = ivf_centroids(df, id_col, vec_col, n_centroids, lloyd_rounds,
+                          assign=assign)
     base = _ensure_min_parallelism(
         df.select(
             F.col(id_col).alias("vec_id"),
@@ -1311,7 +1355,12 @@ def semantic_dedup(
             norm(as_double(F.col(vec_col))).alias("vn"),
         )
     )
-    return _keep_first_in_cells(_fold_assign(base, cents), threshold)
+    assigned = (
+        _arrow_assign(base, cents)
+        if assign == "arrow"
+        else _fold_assign(base, cents)
+    )
+    return _keep_first_in_cells(assigned, threshold)
 
 
 def _keep_first_in_cells(assigned: DataFrame, threshold: float) -> DataFrame:
