@@ -337,7 +337,7 @@ def test_arrow_topk_cells_matches_fold_zero_norm_semantics(spark):
 
 def test_ivf_topk_arrow_plan_is_map_only(spark, sf_dir):
     """The arrow assignment must keep the fold's plan shape: no
-    per-vec_id rank window, the scoring inside a MapInPandas node, and
+    per-vec_id rank window, the scoring inside a MapInArrow node, and
     no data-side hash exchange in the assignment relation (the
     small-input guard's round-robin is the only exchange allowed)."""
     from pyspark.sql import functions as F
@@ -361,7 +361,7 @@ def test_ivf_topk_arrow_plan_is_map_only(spark, sf_dir):
         norm(as_double(F.col("embedding"))).alias("vn"),
     )
     plan = physical_plan(_arrow_topk_cells(base, cents, 2))
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan
     assert "windowspecdefinition(vec_id" not in plan
     assert "Exchange hashpartitioning(vec_id" not in plan
 
@@ -386,3 +386,36 @@ def test_semantic_dedup_arrow_equals_fold(spark, sf_dir):
             assign="arrow",
         ).collect()))
         assert a == f
+
+
+def test_ivf_topk_arrow_bit_identity_random_corpus(spark):
+    """The arrow path claims bit-identity BY CONSTRUCTION (sequential
+    per-dim IEEE sequence = the fold's dot), so equality must hold on
+    arbitrary data — not just the curated corpora. Seeded random
+    vectors, duplicate-direction centroids included (the r13 tie-corpus
+    shape: identical centroids force exact score ties, which only the
+    cell-ascending tie-break resolves)."""
+    import random
+
+    from transit_efficiency_analysis_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    rng = random.Random(4217)
+    rows = []
+    for vid in range(120):
+        rows.append((vid, [rng.uniform(-1, 1) for _ in range(16)]))
+    # clone vector 0's direction twice so two md5-drawn seeds can tie
+    rows[50] = (50, list(rows[0][1]))
+    rows[77] = (77, [x * 2.0 for x in rows[0][1]])
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for lr in (0, 1):
+        f = sorted(map(tuple, ivf_topk(
+            df, n_centroids=6, n_probe=3, k=4, lloyd_rounds=lr,
+            assign="fold",
+        ).collect()))
+        a = sorted(map(tuple, ivf_topk(
+            df, n_centroids=6, n_probe=3, k=4, lloyd_rounds=lr,
+            assign="arrow",
+        ).collect()))
+        assert a == f, f"lloyd_rounds={lr}: arrow diverged from fold"

@@ -646,20 +646,26 @@ def _arrow_topk_cells(base: DataFrame, cents: DataFrame, n_probe: int) -> DataFr
     """(vec_id, v, vn, cell, crank): the Arrow/BLAS twin of
     :func:`_fold_topk_cells` — same contract, same MAP-ONLY shape
     (centroids broadcast, zero data-side exchange), but the n × K
-    raw-dot scoring runs as ONE numpy matmul per Arrow batch inside
-    ``mapInPandas`` instead of K interpreted higher-order-function
-    evaluations per row. Shipped DARK in round 15 behind
+    raw-dot scoring runs as a vectorized numpy loop per Arrow batch
+    inside ``mapInPandas`` instead of K interpreted higher-order-
+    function evaluations per row. Shipped DARK in round 15 behind
     ``assign="arrow"`` (the r13 fold-dark-ship discipline): at
     16x/K=500 the fold's wall is ~entirely interpreted expression
-    overhead — (32k × 500) 64-dim dots are ~1 GFLOP, milliseconds in
-    BLAS — so this is the compute escape for the large-K regime the
-    SemDeDup COMPUTE-envelope paragraph flags. Bit-parity with the
-    fold is pinned on the test corpora (same top cells, same cranks)
-    but NOT assumed in general: numpy's pairwise/BLAS summation can
-    differ from the fold's left-to-right sum in the last ulp, which on
-    a near-tie could rank cells differently — the same caveat class as
-    fold-vs-window, and the reason a default flip would need its own
-    oracle re-verification slots.
+    overhead — (32k × 500) 64-dim dots are ~1 GFLOP, a moment of
+    vectorized arithmetic — so this is the compute escape for the
+    large-K regime the SemDeDup COMPUTE-envelope paragraph flags.
+
+    BIT-IDENTICAL BY CONSTRUCTION, not merely parity-tested: the score
+    is computed as the same IEEE operation sequence as the fold's
+    ``dot`` (:mod:`functions.vectors` — zip_with product then
+    sequential left fold, init 0.0): ``S += V[:, i] * C[:, i]`` one
+    dimension at a time, so every (row, cell) score performs product-
+    round then add-round left-to-right over dims — NOT a BLAS matmul,
+    whose pairwise summation could differ in the last ulp and flip a
+    near-tie (measured cost of the sequential form vs matmul: small
+    against the 10x+ win over the interpreted fold; the exactness is
+    what makes a future default flip safe under the EXISTING
+    fold-mirrored oracles).
 
     Semantics mirrored from the fold: centroids pre-normalized once
     (cv/cn), a zero-norm centroid is never scored (excluded up front —
@@ -695,39 +701,89 @@ def _arrow_topk_cells(base: DataFrame, cents: DataFrame, n_probe: int) -> DataFr
 
     def score_batches(batches):
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
         cm, cid, fb = bc.value
         k_take = min(n_probe, cm.shape[0])
-        for pdf in batches:
-            if pdf.empty:
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
                 continue
-            out = pdf.loc[pdf.index.repeat(k_take or len(fb))].reset_index(
-                drop=True
+            rep = k_take or len(fb)
+            taken = batch.take(
+                pa.array(np.repeat(np.arange(n, dtype=np.int64), rep))
             )
             if k_take:
-                vm = np.stack(pdf["v"].to_numpy())
-                scores = vm @ cm.T
+                vm = _list_matrix(
+                    batch.column(batch.schema.get_field_index("v"))
+                )
+                scores = _seq_scores(vm, cm)
                 # stable argsort on -scores: ties keep ascending column
                 # order == ascending cell id (cm/cid are cell-sorted) —
                 # exactly the fold's (score DESC, cell ASC) comparator
                 idx = np.argsort(-scores, axis=1, kind="stable")[:, :k_take]
-                out["cell"] = cid[idx].reshape(-1)
-                out["crank"] = np.tile(
-                    np.arange(1, k_take + 1, dtype=np.int32), len(pdf)
-                )
+                cells = cid[idx].reshape(-1)
+                cranks = np.tile(np.arange(1, k_take + 1, dtype=np.int32), n)
             else:
                 # no scorable centroid anywhere: the fold's fallback —
                 # every vector probes the n_probe smallest cell ids
-                out["cell"] = np.tile(
-                    np.asarray(fb, dtype=np.int64), len(pdf)
-                )
-                out["crank"] = np.tile(
-                    np.arange(1, len(fb) + 1, dtype=np.int32), len(pdf)
-                )
-            yield out[in_cols + ["cell", "crank"]]
+                cells = np.tile(np.asarray(fb, dtype=np.int64), n)
+                cranks = np.tile(np.arange(1, len(fb) + 1, dtype=np.int32), n)
+            yield pa.RecordBatch.from_arrays(
+                [taken.column(taken.schema.get_field_index(c)) for c in in_cols]
+                + [pa.array(cells, pa.int64()), pa.array(cranks, pa.int32())],
+                names=in_cols + ["cell", "crank"],
+            )
 
-    return base.mapInPandas(score_batches, schema)
+    return base.mapInArrow(score_batches, schema)
+
+
+def _list_matrix(col):
+    """Zero-copy (n, dims) float64 view of an Arrow list<float64>
+    column: offsets-validated reshape of the flat values buffer — no
+    per-row Python, no object arrays (the pandas hop's object-Series
+    ``np.stack`` measured as the dominant cost of the first arrow-twin
+    cut). NULL entries and ragged rows raise loudly (the fold would
+    NULL-propagate; the arrow twin validates — same contract as
+    ``_l2sq_decimal``)."""
+    import numpy as np
+
+    if col.null_count:
+        raise ValueError("arrow assignment: NULL vectors are not supported")
+    offs = col.offsets.to_numpy()
+    widths = np.diff(offs)
+    if len(widths) and (widths != widths[0]).any():
+        raise ValueError(
+            f"arrow assignment: ragged vector dims "
+            f"{int(widths.min())}..{int(widths.max())}"
+        )
+    dims = int(widths[0]) if len(widths) else 0
+    vals = col.values.to_numpy(zero_copy_only=False)
+    return vals[offs[0] : offs[-1]].reshape(len(widths), dims)
+
+
+def _seq_scores(vm, cm, chunk: int = 256):
+    """(n, K) raw-dot scores with the fold's EXACT IEEE sequence:
+    product-round then add-round, left-to-right over dims, per
+    (row, cell) — NOT a BLAS matmul (pairwise summation could flip a
+    near-tie in the last ulp). Row-chunked so the accumulator stays
+    cache-resident: the naive whole-matrix sequential loop re-touches
+    an n × K accumulator per dim (memory-bound, measured slower than
+    the interpreted fold at 16x); a ≤256-row chunk keeps acc ≤ ~1 MB
+    at K=500 and the loop compute-bound."""
+    import numpy as np
+
+    n, dims = vm.shape
+    out = np.empty((n, cm.shape[0]))
+    cmt = np.ascontiguousarray(cm.T)  # (dims, K): per-dim rows contiguous
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        vc = vm[s:e]
+        acc = np.zeros((e - s, cm.shape[0]))
+        for i in range(dims):
+            acc += vc[:, i, None] * cmt[i]
+        out[s:e] = acc
+    return out
 
 
 def _arrow_assign(base: DataFrame, cents: DataFrame) -> DataFrame:
@@ -902,6 +958,13 @@ def ivf_topk(
         F.col("vn").alias("qn"),
         "cell",
     )
+    # the exact rescoring stays the JVM expression in EVERY mode: an
+    # Arrow twin of this stage was built and measured SLOWER (round 15
+    # — the stage's input is the join fan-out of vector PAIRS, and
+    # shipping ~|pairs| x 2 x dims doubles through the Python worker
+    # costs more than the interpreted dots; the assignment twin wins
+    # precisely because its input is the n vectors against a broadcast
+    # centroid set, no fan-out)
     sim = dot(F.col("qv"), F.col("cv2")) / (F.col("qn") * F.col("cn2"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
