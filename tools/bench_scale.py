@@ -641,11 +641,17 @@ print("CELL " + json.dumps({"t": round(time.time() - t0, 2), "rows": r}))
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
         def _cell(op_name: str, mode: str) -> dict:
-            proc = subprocess.run(
-                [sys.executable, "-c", cell_src,
-                 op_name, mode, sf_dir, str(copies), repo],
-                capture_output=True, text=True, timeout=1200,
-            )
+            try:
+                proc = subprocess.run(
+                    [sys.executable, "-c", cell_src,
+                     op_name, mode, sf_dir, str(copies), repo],
+                    capture_output=True, text=True, timeout=1200,
+                )
+            except subprocess.TimeoutExpired:
+                # a GC-thrashing window arm that never dies hard must
+                # not take the whole battery's results with it — the
+                # timeout is a result row like the OOM (review r15)
+                return {"t": None, "rows": None, "error": "timeout=1200s"}
             for line in proc.stdout.splitlines():
                 if line.startswith("CELL "):
                     return json.loads(line[5:])

@@ -162,7 +162,7 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-demo: the plan must contain a SortMergeJoin (a broadcast would
     trivially have no exchange) and no Exchange at all."""
     import shutil
-    from urllib.parse import urlparse
+    from urllib.parse import unquote, urlparse
 
     from transit_efficiency_analysis_spark.plans import count_shuffles, physical_plan
 
@@ -179,8 +179,12 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     parsed = urlparse(wh)
     if parsed.scheme in ("", "file"):
+        # Spark reports the warehouse as a qualified URI: percent-decode
+        # the path (a %20 left encoded would rmtree the wrong dir and
+        # resurface the r14 crash on warehouses with spaces)
         shutil.rmtree(
-            os.path.join(parsed.path or wh, f"{db}.db"), ignore_errors=True
+            os.path.join(unquote(parsed.path) or wh, f"{db}.db"),
+            ignore_errors=True,
         )
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
     li = load_table(spark, sf_dir, "lineitem").select(

@@ -411,8 +411,23 @@ def ivf_centroids(
         as_double(F.col(vec_col)).alias("v"),
         norm(as_double(F.col(vec_col))).alias("vn"),
     )
+    if lloyd_rounds:
+        # the per-round O(n x K) assignment compute deserves the same
+        # small-input parallelism guard as the final assignment (review
+        # r15: the sf0.1 single-split regression hit the Lloyd rounds
+        # too; no-op on split-rich inputs)
+        base = _ensure_min_parallelism(base)
     for _ in range(lloyd_rounds):
         cents = _lloyd_round(base, cents, assign=assign)
+        if assign == "arrow":
+            # truncate lineage with a driver-side K-row materialization
+            # (the same bounded payload the arrow assign collects
+            # anyway): otherwise each later round's plan-time collect
+            # re-executes the ENTIRE prior-round chain — O(R^2) corpus
+            # passes at R rounds (review r15)
+            cents = base.sparkSession.createDataFrame(
+                cents.collect(), cents.schema
+            )
     return cents
 
 
@@ -491,7 +506,10 @@ def _ensure_min_parallelism(df: DataFrame) -> DataFrame:
     (splits ≥ cores) it is a no-op and the fold stays exchange-free."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < max(target // 2, 2):
+    parts = df.rdd.getNumPartitions()
+    # the second clause keeps single-core sessions (target=1) from a
+    # pure-overhead repartition(1) round trip (review r15)
+    if parts < max(target // 2, 2) and parts < target:
         return df.repartition(target)
     return df
 
@@ -655,7 +673,10 @@ def _arrow_topk_cells(base: DataFrame, cents: DataFrame, n_probe: int) -> DataFr
     vectorized arithmetic — so this is the compute escape for the
     large-K regime the SemDeDup COMPUTE-envelope paragraph flags.
 
-    BIT-IDENTICAL BY CONSTRUCTION, not merely parity-tested: the score
+    BIT-IDENTICAL BY CONSTRUCTION on finite inputs (NULL-component /
+    ragged / non-finite vectors raise — Spark's NaN-greatest ordering
+    has no cheap numpy mirror, so non-finite is out of contract rather
+    than silently divergent), not merely parity-tested: the score
     is computed as the same IEEE operation sequence as the fold's
     ``dot`` (:mod:`functions.vectors` — zip_with product then
     sequential left fold, init 0.0): ``S += V[:, i] * C[:, i]`` one
@@ -673,8 +694,15 @@ def _arrow_topk_cells(base: DataFrame, cents: DataFrame, n_probe: int) -> DataFr
     (stable argsort over ascending-cell columns), and if NO centroid
     is scorable every vector probes the ``n_probe`` smallest cell ids
     (the fold's fallback slice). One deliberate divergence: a NULL or
-    ragged vector raises inside the batch (numpy stack fails loudly)
-    where the fold would emit NULL scores — validate, don't guess.
+    ragged vector raises inside the batch (the zero-copy reshape
+    validates offsets) where the fold would emit NULL scores —
+    validate, don't guess.
+
+    Behavioral note vs the fold: constructing this relation runs ONE
+    Spark job at plan time (``cents.collect()`` — K rows, the same
+    bounded payload the fold broadcasts as an array; numpy needs it
+    driver-side to build the matrix), where the fold is fully lazy.
+    Callers that build the plan without executing it pay that job.
     """
     import numpy as np
 
@@ -689,6 +717,11 @@ def _arrow_topk_cells(base: DataFrame, cents: DataFrame, n_probe: int) -> DataFr
             cells.append(int(r.cell))
             mats.append(np.asarray(r.cv, dtype=np.float64) / np.float64(r.cn))
     cmat = np.stack(mats, axis=0) if mats else np.zeros((0, 0))
+    if cmat.size and not np.isfinite(cmat).all():
+        raise ValueError(
+            "arrow assignment: non-finite centroid components are not "
+            "supported (see _list_matrix's NaN-ordering note)"
+        )
     cell_ids = np.asarray(cells, dtype=np.int64)
     fallback = [int(r.cell) for r in rows[:n_probe]]
     bc = base.sparkSession.sparkContext.broadcast((cmat, cell_ids, fallback))
@@ -750,6 +783,13 @@ def _list_matrix(col):
 
     if col.null_count:
         raise ValueError("arrow assignment: NULL vectors are not supported")
+    if col.values.null_count:
+        # an element-level NULL would silently convert to NaN in the
+        # flat-buffer view (the fold NULL-propagates instead) — raise,
+        # don't let the two modes diverge silently (review r15)
+        raise ValueError(
+            "arrow assignment: NULL vector COMPONENTS are not supported"
+        )
     offs = col.offsets.to_numpy()
     widths = np.diff(offs)
     if len(widths) and (widths != widths[0]).any():
@@ -759,7 +799,18 @@ def _list_matrix(col):
         )
     dims = int(widths[0]) if len(widths) else 0
     vals = col.values.to_numpy(zero_copy_only=False)
-    return vals[offs[0] : offs[-1]].reshape(len(widths), dims)
+    out = vals[offs[0] : offs[-1]].reshape(len(widths), dims)
+    if out.size and not np.isfinite(out).all():
+        # Spark orders NaN GREATER than any value (its deliberate
+        # deviation from IEEE), numpy's argsort puts NaN last — a
+        # non-finite component would rank cells differently between
+        # the modes. Out of contract, loudly (review r15).
+        raise ValueError(
+            "arrow assignment: non-finite vector components are not "
+            "supported (the fold ranks NaN scores via Spark's "
+            "NaN-greatest ordering; numpy's differs)"
+        )
+    return out
 
 
 def _seq_scores(vm, cm, chunk: int = 256):
