@@ -419,3 +419,19 @@ def test_ivf_topk_arrow_bit_identity_random_corpus(spark):
             assign="arrow",
         ).collect()))
         assert a == f, f"lloyd_rounds={lr}: arrow diverged from fold"
+
+
+def test_ivf_pq_topk_arrow_equals_fold(spark, sf_dir):
+    """ivf_pq_topk(assign='arrow') — the coarse stage swapped for the
+    bit-exact vectorized twin, encode/ADC DECIMAL folds unchanged —
+    must reproduce assign='fold' exactly (ids, ranks, and the exact
+    approx_l2sq decimals)."""
+    from transit_efficiency_analysis_spark.operators.similarity import (
+        ivf_pq_topk,
+    )
+    from transit_efficiency_analysis_spark.sources.registry import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    f = sorted(map(tuple, ivf_pq_topk(e, assign="fold").collect()))
+    a = sorted(map(tuple, ivf_pq_topk(e, assign="arrow").collect()))
+    assert a == f

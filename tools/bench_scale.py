@@ -666,9 +666,8 @@ print("CELL " + json.dumps({"t": round(time.time() - t0, 2), "rows": r}))
             return f"FAILED[{cell.get('error')}]"
 
         modes = {
-            # "arrow" is ivf_topk-only for now (dark, round 15)
             "ivf_topk": ("arrow", "fold", "window"),
-            "ivf_pq_topk": ("fold", "window"),
+            "ivf_pq_topk": ("arrow", "fold", "window"),
         }
         for op_name, mlist in modes.items():
             ab = {m: _cell(op_name, m) for m in mlist}

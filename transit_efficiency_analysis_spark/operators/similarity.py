@@ -1116,20 +1116,31 @@ def ivf_pq_topk(
     carries the same rounding caveat as :func:`ivf_topk`'s ``assign``
     (order-equal under different FP rounding, equality pinned on the
     tested corpus; the demo oracle MIRRORS the fold arithmetic rather
-    than assuming equivalence).
+    than assuming equivalence). ``"arrow"`` (DARK, round 15) swaps the
+    coarse assignment for the bit-exact vectorized twin
+    (:func:`_arrow_topk_cells` — fold-identical scores on finite
+    inputs); the encode/ADC DECIMAL folds are unchanged, so the whole
+    output stays bit-equal to ``"fold"``.
     """
     from transit_efficiency_analysis_spark.functions.parity import parity_double
 
-    if assign not in ("window", "fold"):
-        raise ValueError(f"assign must be 'window' or 'fold', got {assign!r}")
+    if assign not in ("window", "fold", "arrow"):
+        raise ValueError(
+            f"assign must be 'window', 'fold' or 'arrow', got {assign!r}"
+        )
     cents = ivf_centroids(df, id_col, vec_col, n_centroids)
     base = df.select(
         F.col(id_col).alias("vec_id"),
         as_double(F.col(vec_col)).alias("v"),
         norm(as_double(F.col(vec_col))).alias("vn"),
     )
-    if assign == "fold":
-        ranked = _fold_topk_cells(
+    if assign in ("fold", "arrow"):
+        # "arrow" (dark, round 15): the coarse assignment swaps to the
+        # bit-exact vectorized twin; the encode/ADC stages stay the
+        # exact DECIMAL folds in both modes (their arithmetic is the
+        # parity contract — see the docstring)
+        topk = _arrow_topk_cells if assign == "arrow" else _fold_topk_cells
+        ranked = topk(
             _ensure_min_parallelism(base), cents, n_probe
         ).join(
             F.broadcast(cents.select("cell", "cv")), "cell"
