@@ -307,15 +307,23 @@ def test_incremental_minhash_persists_released_per_batch(spark):
         minhash_lsh_pairs_incremental,
     )
 
-    def n_persistent() -> int:
-        return spark.sparkContext._jsc.getPersistentRDDs().size()
+    def persistent_ids() -> set[int]:
+        # IDs, not a count: Spark's ContextCleaner asynchronously
+        # unpersists relations earlier tests garbage-collected, so an
+        # equality on the COUNT flakes when such a drop lands mid-test
+        # (observed in r15's suite run 4). A leak is GROWTH — new ids
+        # surviving the batch — which id-set difference detects
+        # regardless of concurrent drops of unrelated old ids.
+        return set(
+            spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+        )
 
     docs = spark.createDataFrame(
         [(i, f"alpha beta gamma delta epsilon w{i % 4} zeta eta theta")
          for i in range(24)],
         "doc_id long, text string",
     )
-    base = n_persistent()
+    base_ids = persistent_ids()
     counts = []
     for b in range(3):  # the foreachBatch shape: batch vs standing corpus
         counts.append(
@@ -330,7 +338,8 @@ def test_incremental_minhash_persists_released_per_batch(spark):
                 consume=lambda pairs: pairs.count(),
             )
         )
-        assert n_persistent() == base, "persists leaked across a batch"
+        leaked = persistent_ids() - base_ids
+        assert not leaked, f"persists leaked across a batch: {leaked}"
     assert all(isinstance(c, int) for c in counts)
     assert sum(counts) > 0  # near-identical docs: the screen finds pairs
     # one-shot mode unchanged: lazy DataFrame back, persists alive
@@ -689,21 +698,27 @@ def test_rejected_merge_leaks_no_persisted_relation(spark, tmp_path):
         merge_into_partitioned,
     )
 
-    def n_persistent() -> int:
-        return spark.sparkContext._jsc.getPersistentRDDs().size()
+    def persistent_ids() -> set[int]:
+        # id-set, not count — immune to the ContextCleaner's async
+        # drops of unrelated earlier relations (see the minhash
+        # lifecycle test above)
+        return set(
+            spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+        )
 
     target = str(tmp_path / "tbl")
     df = spark.createDataFrame(_mk_rows([(k, 1, 1) for k in range(9)]), SCHEMA)
     merge_into_partitioned(
         target, df, keys=["key"], order_by=["ts", "seq"], num_buckets=4
     )
-    base = n_persistent()
+    base_ids = persistent_ids()
     for _ in range(3):
         with pytest.raises(ValueError, match="bucketed with"):
             merge_into_partitioned(
                 target, df, keys=["key"], order_by=["ts", "seq"], num_buckets=8
             )
-    assert n_persistent() == base
+    leaked = persistent_ids() - base_ids
+    assert not leaked, f"rejected merges leaked persists: {leaked}"
 
 
 def test_ivf_pq_topk_fold_equals_window_nondefault_and_ragged(spark):
