@@ -1,0 +1,149 @@
+"""``assign="auto"`` resolution (round 15): the operator default picks
+fold vs arrow on the MEASURED nK crossover instead of asking every
+caller to know the regime.
+
+Contract under test (operators/similarity.py ``_resolve_assign`` /
+``_AUTO_ARROW_MIN_NK``):
+
+- explicit modes pass through untouched (auto never overrides a choice);
+- without ``n_rows`` (no catalog stat) auto NEVER counts the corpus and
+  stays on the fold — the plan-shape-safe form whose arithmetic the
+  demo oracles mirror;
+- with a stat, arrow only at ``n_rows × n_centroids >=`` the threshold,
+  which sits at the lowest PROVEN arrow-win point (16M dots, the
+  r15 battery's 16× / K=500 cell), never inside the measured mixed
+  zone (fold still 1.4× faster end-to-end at 8M dots — docs/SCALE.md
+  "Round-15" auto-threshold grid);
+- resolution can never change RESULTS: both branches are bit-equal on
+  finite inputs (the arrow twin's IEEE-sequence contract, pinned in
+  tests/test_round15_fixes.py) — auto changes only the physical form
+  of the assignment stage, which the plan assertions here observe.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from transit_efficiency_analysis_spark.operators.similarity import (
+    _AUTO_ARROW_MIN_NK,
+    _resolve_assign,
+    ivf_pq_topk,
+    ivf_topk,
+    semantic_dedup,
+)
+
+
+def test_resolve_assign_rules():
+    # explicit modes pass through
+    for mode in ("fold", "arrow", "window"):
+        assert _resolve_assign(mode, 10**12, 500) == mode
+        assert _resolve_assign(mode, None, 8) == mode
+    # no stat → fold, regardless of K
+    assert _resolve_assign("auto", None, 10**6) == "fold"
+    # below / at / above the measured threshold
+    k = 500
+    below = (_AUTO_ARROW_MIN_NK - 1) // k
+    assert _resolve_assign("auto", below, k) == "fold"
+    at = -(-_AUTO_ARROW_MIN_NK // k)  # ceil
+    assert _resolve_assign("auto", at, k) == "arrow"
+    assert _resolve_assign("auto", 10**9, 30_000) == "arrow"
+
+
+def test_threshold_is_the_proven_win_point():
+    """The threshold must stay at the lowest measured arrow-win (16M
+    dots) — lowering it into the mixed zone (fold won at 8M) needs a
+    new measurement row in docs/SCALE.md first."""
+    assert _AUTO_ARROW_MIN_NK == 16_000_000
+
+
+def _plan(df) -> str:
+    from transit_efficiency_analysis_spark.plans import physical_plan
+
+    return physical_plan(df)
+
+
+def test_auto_without_stat_plans_the_fold(spark, sf_dir):
+    """Demo parameterization (no n_rows): the auto default must produce
+    the fold plan — zero Python stages in the assignment."""
+    from transit_efficiency_analysis_spark.sources.registry import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    for df in (
+        ivf_topk(e, "vec_id", "embedding", n_centroids=4, n_probe=2, k=2),
+        ivf_pq_topk(e, "vec_id", "embedding", n_centroids=4, m=4, ks=4,
+                    n_probe=2, k=2),
+        semantic_dedup(e, "vec_id", "embedding", n_centroids=4,
+                       lloyd_rounds=1, threshold=0.3),
+    ):
+        assert "MapInArrow" not in _plan(df), (
+            "auto without a catalog stat must stay on the interpreted fold"
+        )
+
+
+def test_auto_with_large_stat_plans_arrow_and_matches_fold(spark, sf_dir):
+    """A catalog stat past the threshold flips the assignment stage to
+    the Arrow twin (plan observable), and the OUTPUT is bit-identical
+    to the fold's on the same corpus — the n_rows hint changes only
+    the physical form, never the result (the hint is not used for
+    sizing here; n_centroids is explicit)."""
+    from transit_efficiency_analysis_spark.sources.registry import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    big = 10**9
+    auto_arrow = ivf_topk(
+        e, "vec_id", "embedding", n_centroids=4, n_probe=2, k=2, n_rows=big
+    )
+    assert "MapInArrow" in _plan(auto_arrow), (
+        "auto past the threshold must pick the Arrow twin"
+    )
+    fold = ivf_topk(
+        e, "vec_id", "embedding", n_centroids=4, n_probe=2, k=2,
+        assign="fold",
+    )
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(auto_arrow.collect(), key=key) == sorted(
+        fold.collect(), key=key
+    )
+
+
+def test_auto_pq_with_large_stat_plans_arrow(spark, sf_dir):
+    from transit_efficiency_analysis_spark.sources.registry import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    df = ivf_pq_topk(
+        e, "vec_id", "embedding", n_centroids=4, m=4, ks=4, n_probe=2,
+        k=2, n_rows=10**9,
+    )
+    assert "MapInArrow" in _plan(df)
+
+
+def test_auto_semantic_with_large_stat_plans_arrow(spark, sf_dir):
+    from transit_efficiency_analysis_spark.sources.registry import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    df = semantic_dedup(
+        e, "vec_id", "embedding", n_centroids=4, lloyd_rounds=0,
+        threshold=0.3, n_rows=10**9,
+    )
+    assert "MapInArrow" in _plan(df)
+
+
+def test_sizing_count_feeds_auto(spark, sf_dir):
+    """target_cell_size with no n_rows takes one count() for sizing —
+    that count must double as auto's stat (tiny corpus → small nK →
+    fold), not leave auto blind."""
+    from transit_efficiency_analysis_spark.sources.registry import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    df = ivf_topk(
+        e, "vec_id", "embedding", n_centroids=None, target_cell_size=8,
+        n_probe=2, k=2,
+    )
+    assert "MapInArrow" not in _plan(df)
+
+
+def test_invalid_assign_rejected():
+    import pyspark.sql  # noqa: F401  (spark session not needed — validation is eager)
+
+    with pytest.raises(ValueError, match="auto"):
+        ivf_topk(None, n_centroids=4, assign="blas")

@@ -79,13 +79,24 @@ def test_live_oracles_carry_zero_norm_guards():
             start = i + 1
 
 
-def test_ivf_operator_defaults_are_fold():
+def test_ivf_operator_defaults_are_auto_resolving_to_fold():
+    """The operator default is ``"auto"`` (round-15 auto-resolution),
+    and at demo parameterizations — no catalog stat offered — auto
+    MUST resolve to the fold, whose arithmetic is what the live demo
+    oracles mirror. tests/test_assign_auto.py pins the resolution rule
+    itself; this pin guards the oracle contract end: a default that
+    stopped resolving to the fold here would detach the executed demos
+    from their mirrored SQL."""
     import inspect
 
     from transit_efficiency_analysis_spark.operators.similarity import (
+        _resolve_assign,
         ivf_pq_topk,
         ivf_topk,
+        semantic_dedup,
     )
 
-    assert inspect.signature(ivf_topk).parameters["assign"].default == "fold"
-    assert inspect.signature(ivf_pq_topk).parameters["assign"].default == "fold"
+    for fn in (ivf_topk, ivf_pq_topk, semantic_dedup):
+        assert inspect.signature(fn).parameters["assign"].default == "auto"
+    # the demos pass no n_rows → auto is the fold (the mirrored form)
+    assert _resolve_assign("auto", None, 8) == "fold"

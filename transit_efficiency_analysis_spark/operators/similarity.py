@@ -666,12 +666,17 @@ def _arrow_topk_cells(base: DataFrame, cents: DataFrame, n_probe: int) -> DataFr
     (centroids broadcast, zero data-side exchange), but the n × K
     raw-dot scoring runs as a vectorized numpy loop per Arrow batch
     inside ``mapInPandas`` instead of K interpreted higher-order-
-    function evaluations per row. Shipped DARK in round 15 behind
-    ``assign="arrow"`` (the r13 fold-dark-ship discipline): at
-    16x/K=500 the fold's wall is ~entirely interpreted expression
-    overhead — (32k × 500) 64-dim dots are ~1 GFLOP, a moment of
-    vectorized arithmetic — so this is the compute escape for the
-    large-K regime the SemDeDup COMPUTE-envelope paragraph flags.
+    function evaluations per row. Shipped dark in round 15 behind
+    ``assign="arrow"`` (the r13 fold-dark-ship discipline); since the
+    round-15 auto-resolution the DEFAULT reaches it through
+    :func:`_resolve_assign` when the caller's catalog stat puts the
+    assignment past the measured nK crossover — safe under the
+    EXISTING fold-mirrored oracles precisely because of the
+    bit-identity contract below. At 16x/K=500 the fold's wall is
+    ~entirely interpreted expression overhead — (32k × 500) 64-dim
+    dots are ~1 GFLOP, a moment of vectorized arithmetic — so this is
+    the compute escape for the large-K regime the SemDeDup
+    COMPUTE-envelope paragraph flags.
 
     BIT-IDENTICAL BY CONSTRUCTION on finite inputs (NULL-component /
     ragged / non-finite vectors raise — Spark's NaN-greatest ordering
@@ -850,6 +855,40 @@ def _arrow_assign(base: DataFrame, cents: DataFrame) -> DataFrame:
     return _arrow_topk_cells(base, cents, 1).select("vec_id", "v", "vn", "cell")
 
 
+#: ``assign="auto"`` picks the Arrow twin only when the assignment will
+#: evaluate at least this many (row × centroid) dots. Measured crossover
+#: (docs/SCALE.md "Round-15", the auto-threshold grid): at 32k × 500 =
+#: 16M dots the arrow twin wins unambiguously (1.4× on ivf_topk
+#: end-to-end, ~7× on the derived-K SemDeDup assignment); the mixed
+#: zone reaches surprisingly far — at 32k × 256 = 8M dots the fold is
+#: still 1.4× FASTER end-to-end (per-batch round-trip + reshape
+#: overhead amortizes slowly), and at ≤ 2M dots the Python-worker
+#: round-trip dominates outright (sf0.1 demo scale: fold 0.9×-2.9×
+#: faster). The threshold therefore sits exactly at the lowest PROVEN
+#: arrow-win point, never inside the mixed zone — a 100 TB corpus with
+#: catalog stats (10⁹⁺ rows × 10³⁺ cells ≈ 10¹²⁺ dots) crosses it at
+#: any realistic K, which is the regime auto exists for.
+_AUTO_ARROW_MIN_NK = 16_000_000
+
+
+def _resolve_assign(assign: str, n_rows: int | None, n_centroids: int) -> str:
+    """Resolve ``assign="auto"`` to ``"fold"`` or ``"arrow"`` on the
+    measured nK crossover (see :data:`_AUTO_ARROW_MIN_NK`). Explicit
+    modes pass through untouched. Without ``n_rows`` (no catalog stat
+    offered) auto NEVER counts the corpus — it stays on the fold, which
+    is plan-shape-safe at any scale (both forms are map-only; the fold
+    only loses interpreted-compute time in the large-nK regime, it
+    never regresses the exchange structure). Both branches are
+    bit-equal on finite inputs (the arrow twin's IEEE-sequence
+    contract, :func:`_arrow_topk_cells`), so resolution can never
+    change results — only the physical form of the assignment stage."""
+    if assign != "auto":
+        return assign
+    if n_rows is not None and n_rows * n_centroids >= _AUTO_ARROW_MIN_NK:
+        return "arrow"
+    return "fold"
+
+
 def _lloyd_round(
     base: DataFrame, cents: DataFrame, assign: str = "fold"
 ) -> DataFrame:
@@ -897,14 +936,21 @@ def ivf_topk(
     target_cell_size: int | None = None,
     lloyd_rounds: int = 0,
     n_rows: int | None = None,
-    assign: str = "fold",
+    assign: str = "auto",
 ) -> DataFrame:
     """IVF-flat approximate top-k: coarse-quantize the corpus into
     ``n_centroids`` cells (nearest centroid by cosine), then answer each
     query exactly within its ``n_probe`` nearest cells.
 
-    ``assign`` picks the cell-assignment plan: ``"fold"`` (default
-    since the round-15 flip) computes the top-``n_probe`` cells per
+    ``assign`` picks the cell-assignment plan: ``"auto"`` (default
+    since the round-15 auto-resolution) resolves to ``"fold"`` or
+    ``"arrow"`` on the measured nK crossover — arrow only when
+    ``n_rows × n_centroids`` (the assignment's dot count; ``n_rows``
+    from the caller's catalog stat or the ``target_cell_size`` sizing
+    count, never an extra action) reaches :data:`_AUTO_ARROW_MIN_NK`,
+    else the fold. Both branches are bit-equal on finite inputs, so
+    auto can never change results. ``"fold"`` computes the
+    top-``n_probe`` cells per
     row with :func:`_fold_topk_cells` — MAP-ONLY, zero per-vec_id rank
     windows, no n × K data-proportional assignment exchange (at 10⁹
     rows × 30k cells the window form exchanges petabytes of
@@ -919,12 +965,13 @@ def ivf_topk(
     the demo oracles MIRROR the fold arithmetic (the flat-SemDeDup
     discipline) instead of relying on equivalence. A zero-norm
     centroid is never probed by the fold, vs ranked-last by the window
-    (see the helper's docstring). ``"arrow"`` (DARK, round 15) is the
-    fold's Arrow/BLAS twin for the large-K compute regime — one numpy
-    matmul per batch instead of K interpreted folds per row; same
-    map-only shape, fold-mirrored semantics, bit-parity pinned on the
-    test corpora (see :func:`_arrow_topk_cells` for the ulp caveat
-    that keeps it dark until its own oracle slots).
+    (see the helper's docstring). ``"arrow"`` is the fold's
+    Arrow/BLAS twin for the large-K compute regime — one vectorized
+    numpy loop per batch instead of K interpreted folds per row; same
+    map-only shape, fold-identical scores on finite inputs (the
+    IEEE-sequence contract in :func:`_arrow_topk_cells`), which is
+    what lets the ``auto`` default resolve to it past the measured
+    crossover WITHOUT new oracle mirrors.
 
     The other classic ANN shape next to sign-LSH (``lsh_topk``): centroids
     broadcast to every partition (map-only assignment), the only shuffle
@@ -945,17 +992,17 @@ def ivf_topk(
     if target_cell_size is not None:
         import math
 
-        n_centroids = max(
-            1,
-            math.ceil((n_rows if n_rows is not None else df.count())
-                      / max(target_cell_size, 1)),
-        )
+        if n_rows is None:
+            # one plan-time action; the count doubles as auto's stat
+            n_rows = df.count()
+        n_centroids = max(1, math.ceil(n_rows / max(target_cell_size, 1)))
     if n_centroids is None:
         raise ValueError("pass n_centroids or target_cell_size")
-    if assign not in ("window", "fold", "arrow"):
+    if assign not in ("window", "fold", "arrow", "auto"):
         raise ValueError(
-            f"assign must be 'window', 'fold' or 'arrow', got {assign!r}"
+            f"assign must be 'window', 'fold', 'arrow' or 'auto', got {assign!r}"
         )
+    assign = _resolve_assign(assign, n_rows, n_centroids)
     cents = ivf_centroids(
         df, id_col, vec_col, n_centroids, lloyd_rounds=lloyd_rounds,
         # the Lloyd-round assignment follows the arrow choice; "window"
@@ -968,7 +1015,7 @@ def ivf_topk(
         norm(as_double(F.col(vec_col))).alias("vn"),
     )
     if assign == "arrow":
-        # dark (round 15): the Arrow/BLAS twin — see _arrow_topk_cells
+        # auto's large-nK resolution (or forced): the Arrow/BLAS twin
         ranked = _arrow_topk_cells(_ensure_min_parallelism(base), cents, n_probe)
     elif assign == "fold":
         ranked = _fold_topk_cells(_ensure_min_parallelism(base), cents, n_probe)
@@ -1069,7 +1116,8 @@ def ivf_pq_topk(
     n_probe: int = 2,
     k: int = 3,
     checkpoint: bool = True,
-    assign: str = "fold",
+    assign: str = "auto",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate top-k: coarse IVF cells + product-quantized
     residuals with asymmetric-distance (ADC) scoring — the second
@@ -1100,7 +1148,12 @@ def ivf_pq_topk(
 
     Returns (query_id, neighbor_id, approx_l2sq, rank).
 
-    ``assign``: ``"fold"`` (default since the round-15 flip) has zero
+    ``assign``: ``"auto"`` (default since the round-15 auto-resolution)
+    resolves the COARSE-assignment form to ``"fold"`` or ``"arrow"``
+    on the measured nK crossover (:func:`_resolve_assign`; ``n_rows``
+    is the catalog stat — without it auto stays on the fold, no extra
+    action; the encode/ADC DECIMAL folds are identical either way so
+    resolution never changes results). ``"fold"`` has zero
     data-side exchange throughout (plan-pinned): coarse cells via
     :func:`_fold_topk_cells` (+ a broadcast cell→``cv`` join-back —
     the residual split needs the winning centroid vector), and
@@ -1116,7 +1169,8 @@ def ivf_pq_topk(
     carries the same rounding caveat as :func:`ivf_topk`'s ``assign``
     (order-equal under different FP rounding, equality pinned on the
     tested corpus; the demo oracle MIRRORS the fold arithmetic rather
-    than assuming equivalence). ``"arrow"`` (DARK, round 15) swaps the
+    than assuming equivalence). ``"arrow"`` (auto's large-nK
+    resolution) swaps the
     coarse assignment for the bit-exact vectorized twin
     (:func:`_arrow_topk_cells` — fold-identical scores on finite
     inputs); the encode/ADC DECIMAL folds are unchanged, so the whole
@@ -1124,10 +1178,11 @@ def ivf_pq_topk(
     """
     from transit_efficiency_analysis_spark.functions.parity import parity_double
 
-    if assign not in ("window", "fold", "arrow"):
+    if assign not in ("window", "fold", "arrow", "auto"):
         raise ValueError(
-            f"assign must be 'window', 'fold' or 'arrow', got {assign!r}"
+            f"assign must be 'window', 'fold', 'arrow' or 'auto', got {assign!r}"
         )
+    assign = _resolve_assign(assign, n_rows, n_centroids)
     cents = ivf_centroids(df, id_col, vec_col, n_centroids)
     base = df.select(
         F.col(id_col).alias("vec_id"),
@@ -1403,7 +1458,7 @@ def semantic_dedup(
     lloyd_rounds: int = 1,
     threshold: float = 0.95,
     n_rows: int | None = None,
-    assign: str = "fold",
+    assign: str = "auto",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): cluster-blocked
@@ -1452,15 +1507,23 @@ def semantic_dedup(
     ``n_centroids`` crosses that line; sizing guidance lives in
     docs/SCALE.md's SemDeDup section.
 
-    ``assign``: ``"fold"`` (default — the executed/oracle-mirrored
-    form) or ``"arrow"`` (dark, round 15 — the BLAS twin for the
-    derived-K compute wall above: the O(n × K) dots run as one numpy
-    matmul per Arrow batch in both the final and the per-Lloyd-round
-    assignment; see :func:`_arrow_assign` for the parity contract and
-    the last-ulp caveat that keeps it dark).
+    ``assign``: ``"auto"`` (default since the round-15 auto-resolution)
+    resolves to ``"fold"`` or ``"arrow"`` on the measured nK crossover
+    (:func:`_resolve_assign` — arrow only when ``n_rows × n_centroids``
+    reaches :data:`_AUTO_ARROW_MIN_NK`; without ``n_rows`` auto stays
+    on the fold, no extra action). The derived-K quadratic regime this
+    function's COMPUTE envelope flags is exactly where auto flips:
+    at 16× / K=500 the arrow assignment measured ~7× faster than the
+    interpreted fold (docs/SCALE.md "Round-15"). ``"fold"`` and
+    ``"arrow"`` force a form; both are bit-equal on finite inputs (the
+    arrow twin's IEEE-sequence contract) in the final AND the
+    per-Lloyd-round assignment, so resolution never changes results.
     """
-    if assign not in ("fold", "arrow"):
-        raise ValueError(f"assign must be 'fold' or 'arrow', got {assign!r}")
+    if assign not in ("fold", "arrow", "auto"):
+        raise ValueError(
+            f"assign must be 'fold', 'arrow' or 'auto', got {assign!r}"
+        )
+    assign = _resolve_assign(assign, n_rows, n_centroids)
     if n_rows is not None and n_centroids > 2 * (n_rows ** 0.5):
         import logging
 
