@@ -226,6 +226,43 @@ def main() -> int:
               f"{copies}x {tn:.1f}s ({rn} dups), ratio {tn/t1:.1f}",
               file=sys.stderr)
 
+    if want("semantic_auto"):
+        # assign="auto" (round 15, session 2) on the SAME derived-K
+        # workload, passing the catalog stat the way a deployment with
+        # statistics would: at 1x (2000 x 31 cells = 62k dots) auto must
+        # resolve to the fold, at 16x (32000 x 500 = 16M dots — exactly
+        # the proven-win threshold) to the arrow twin — ONE series
+        # showing the resolver picking each scale's measured optimum.
+        # Identical results either way (bit-equal branches); compare
+        # walls against semantic_dedup_scaled (fold) and
+        # semantic_dedup_scaled_arrow (arrow) at each point.
+        from transit_efficiency_analysis_spark.operators.similarity import (
+            _resolve_assign,
+            semantic_dedup,
+        )
+
+        n1, nn = embs_1.count(), embs_n.count()
+
+        def _sem_auto(d: DataFrame, n: int) -> DataFrame:
+            return semantic_dedup(
+                d, "vec_id", "embedding",
+                n_centroids=max(8, n // 64), lloyd_rounds=1, threshold=0.3,
+                n_rows=n,
+            ).where(~F.col("kept"))
+
+        m1 = _resolve_assign("auto", n1, max(8, n1 // 64))
+        mn = _resolve_assign("auto", nn, max(8, nn // 64))
+        t0 = time.time(); r1 = _sem_auto(embs_1, n1).count(); t1 = time.time() - t0
+        t0 = time.time(); rn = _sem_auto(embs_n, nn).count(); tn = time.time() - t0
+        results["semantic_dedup_auto"] = {
+            "t1": round(t1, 2), "tN": round(tn, 2),
+            "ratio": round(tn / t1, 2), "rows1": r1, "rowsN": rn,
+            "mode1": m1, "modeN": mn,
+        }
+        print(f"# semantic_dedup_auto: 1x {t1:.1f}s ({r1} dups, {m1}) -> "
+              f"{copies}x {tn:.1f}s ({rn} dups, {mn}), ratio {tn/t1:.1f}",
+              file=sys.stderr)
+
     if want("semantic_hier"):
         # Two-level assignment escape (r9 verdict #4): same derived cell
         # count as semantic_dedup_scaled, but vectors score C + K/C
