@@ -142,6 +142,27 @@ def test_sizing_count_feeds_auto(spark, sf_dir):
     assert "MapInArrow" not in _plan(df)
 
 
+def test_auto_routes_nonfinite_corpus_into_the_validating_twin(spark):
+    """The one behavior difference bit-equality does not cover
+    (``_resolve_assign`` docstring): the arrow twin VALIDATES — a
+    non-finite vector component raises — where the fold emits NULL
+    scores. Auto past the threshold must route into that loud failure
+    (validate, don't guess), and forcing ``assign="fold"`` on the same
+    corpus must keep working."""
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [float("nan"), 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # fold: NULL-score semantics, completes
+    assert ivf_topk(
+        df, n_centroids=2, n_probe=1, k=1, assign="fold"
+    ).count() >= 0
+    # auto + big stat → arrow → the validation raise (surfaces from the
+    # Python worker wrapped in Spark's exception types)
+    with pytest.raises(Exception, match="non-finite vector components"):
+        ivf_topk(
+            df, n_centroids=2, n_probe=1, k=1, n_rows=10**9
+        ).count()
+
+
 def test_invalid_assign_rejected():
     import pyspark.sql  # noqa: F401  (spark session not needed — validation is eager)
 

@@ -881,7 +881,17 @@ def _resolve_assign(assign: str, n_rows: int | None, n_centroids: int) -> str:
     never regresses the exchange structure). Both branches are
     bit-equal on finite inputs (the arrow twin's IEEE-sequence
     contract, :func:`_arrow_topk_cells`), so resolution can never
-    change results — only the physical form of the assignment stage."""
+    change results — only the physical form of the assignment stage.
+
+    One behavior difference survives the bit-equality contract: the
+    arrow twin VALIDATES its inputs (NULL-component / ragged /
+    non-finite vectors raise — Spark's NaN-greatest ordering has no
+    cheap numpy mirror), where the fold emits NULL scores. A corpus
+    that may carry such vectors should force ``assign="fold"`` (or
+    clean first) rather than rely on auto — past the threshold auto
+    will route it into the validating twin, which fails loudly instead
+    of ranking NaNs differently between modes (validate, don't
+    guess)."""
     if assign != "auto":
         return assign
     if n_rows is not None and n_rows * n_centroids >= _AUTO_ARROW_MIN_NK:
