@@ -163,6 +163,26 @@ def test_auto_routes_nonfinite_corpus_into_the_validating_twin(spark):
         ).count()
 
 
+def test_ivf_pq_arrow_plan_keeps_the_fold_encode(spark, sf_dir):
+    """Regression pin (r15 session 2): ivf_pq_topk's arrow mode must
+    share the FOLD encode/ADC — the original ``assign == "fold"``
+    branch check predated the arrow mode and silently routed arrow
+    into the join-form encode (per-(vec_id, s) argmin window + the
+    n × dims × ks codebook-join fan-out). Outputs were bit-equal
+    either way (both encodes are, by the decimal contract), so only a
+    PLAN pin can catch this class: no per-vec_id window anywhere, and
+    the coarse stage's MapInArrow present."""
+    from transit_efficiency_analysis_spark.sources.registry import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    plan = _plan(ivf_pq_topk(e, assign="arrow", checkpoint=False))
+    assert "MapInArrow" in plan
+    assert "windowspecdefinition(vec_id" not in plan, (
+        "arrow mode regressed to the join-form encode/ADC"
+    )
+    assert "windowspecdefinition(query_id" in plan  # the candidate top-k
+
+
 def test_invalid_assign_rejected():
     import pyspark.sql  # noqa: F401  (spark session not needed — validation is eager)
 

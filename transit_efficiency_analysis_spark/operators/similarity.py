@@ -1256,8 +1256,15 @@ def ivf_pq_topk(
             idc, cellc, "pos", "rx", F.floor(F.col("pos") / F.col("sub_d")).cast("int").alias("s")
         )
 
-    if assign == "fold":
-        # Fold-mode encode + ADC (round 13; default since r15): the join form below
+    if assign in ("fold", "arrow"):
+        # Fold-mode encode + ADC (round 13; default since r15) — shared
+        # by the arrow coarse stage (r15 session 2: the original
+        # `== "fold"` check predated the arrow mode and silently routed
+        # it into the join-form else-branch below, contradicting the
+        # "encode/ADC DECIMAL folds unchanged" contract; outputs were
+        # still bit-equal — both encodes are — so only the PLAN
+        # regressed, which the plan pin below now guards).
+        # The join form below
         # explodes n × dims residual rows, fans them × ks through the
         # (s, pos) codebook join, aggregates back, and ranks the
         # argmin through a per-(vec_id, s) window — THREE
