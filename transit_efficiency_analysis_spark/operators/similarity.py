@@ -842,6 +842,189 @@ def _seq_scores(vm, cm, chunk: int = 256):
     return out
 
 
+def _quantize_sq9(sq):
+    """Scale-9 int64 mirror of Spark's ``CAST(double AS DECIMAL(18,9))``
+    on NON-NEGATIVE finite doubles (the squared diffs of
+    :func:`_l2sq_decimal`): Spark's cast goes ``BigDecimal.valueOf``
+    (the double's SHORTEST decimal representation — not its exact
+    binary expansion) then ``setScale(9, HALF_UP)``. Fast path:
+    ``floor(x·1e9 + 0.5)`` in float64, which matches everywhere except
+    within float-rounding distance of a ``k + 0.5`` decision boundary
+    (or past 2^51, where float64 loses integer resolution); those
+    elements — a ~1e-6 fraction at the deliberately generous tolerance
+    — recompute exactly through ``Decimal(repr(x))`` (Python's repr is
+    the same shortest-round-trip value as Java's ``Double.toString``).
+
+    Exactness over speed at the boundary is the point: the quantized
+    ints feed EXACT integer sums that must bit-match the fold's
+    DECIMAL(28,9) accumulations (which also makes the twin's sums
+    order-independent — no sequential-IEEE chunking needed here,
+    unlike :func:`_seq_scores`)."""
+    import numpy as np
+
+    y = sq * 1e9
+    k = np.floor(y + 0.5)
+    dist = np.abs(y - (np.floor(y) + 0.5))
+    hazard = (dist < np.maximum(1e-6, y * 1e-12)) | (y >= 2.0**51)
+    k = k.astype(np.int64)
+    if hazard.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        one = Decimal(1)
+        flat_k = k.reshape(-1)
+        flat_sq = sq.reshape(-1)
+        for i in np.nonzero(hazard.reshape(-1))[0]:
+            flat_k[i] = int(
+                Decimal(repr(float(flat_sq[i])))
+                .scaleb(9)
+                .to_integral_value(rounding=ROUND_HALF_UP)
+            )
+    return k
+
+
+def _arrow_pq_encode_adc(assigned_f, probes_f, cb_row, m):
+    """Vectorized twin of ivf_pq_topk's fold-mode encode/ADC (round 15
+    session 2, ``assign="arrow"``): the n × g × ks × sub_d squared-diff
+    arithmetic runs as numpy tensor ops per Arrow batch instead of
+    interpreted ``_l2sq_decimal`` folds per row — the same
+    corpus-vs-broadcast shape the coarse arrow twin vectorizes, and the
+    dominant share of arrow-mode PQ wall once the coarse stage is
+    vectorized (docs/SCALE.md). BIT-EQUAL to the fold encode/ADC: the
+    residual subtraction and squaring are the same single IEEE ops,
+    each square quantizes through :func:`_quantize_sq9` (the exact
+    mirror of the fold's per-dim DECIMAL(18,9) cast), and sums/argmins
+    compare exact scale-9 integers — order-independent, so plain
+    ``np.sum`` is safe where the score twin needed sequential chunks.
+    Argmin ties take the smallest code (``np.argmin`` first occurrence
+    over ascending-code columns = the fold's ``array_sort`` d ASC,
+    code ASC).
+
+    Same contract divergences as every arrow twin: NULL / ragged /
+    non-finite residuals raise (``_list_matrix``), dims < m raises
+    (the fold dies on ANSI division-by-zero there), and building the
+    codebook runs ONE plan-time job (``cb_row.collect()`` — ks × m
+    subvectors, the same bounded payload the fold broadcasts).
+    Returns (enc, adc) with the fold branch's exact schemas:
+    (vec_id, cell, s, code) and (query_id, qcell, s, code,
+    td DECIMAL(28,9) — int64 in Arrow, exactly rescaled Spark-side)."""
+    import numpy as np
+
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    crows = cb_row.collect()
+    groups = []
+    if crows and crows[0]["cb"] is not None:
+        for g in crows[0]["cb"]:
+            codes_ids = np.asarray([c["code"] for c in g["codes_a"]], np.int32)
+            mat = np.asarray([c["cxs"] for c in g["codes_a"]], np.float64)
+            if mat.size and not np.isfinite(mat).all():
+                raise ValueError(
+                    "ivf_pq arrow encode: non-finite codebook components "
+                    "are not supported (see _list_matrix's NaN note)"
+                )
+            groups.append((int(g["s"]), codes_ids, mat))
+        groups.sort(key=lambda t: t[0])
+    spark = assigned_f.sparkSession
+    bc = spark.sparkContext.broadcast(groups)
+
+    def stage(rel, idc, cellc, with_td):
+        out_fields = [
+            StructField(idc, LongType()),
+            StructField(cellc, LongType()),
+            StructField("s", IntegerType()),
+            StructField("code", IntegerType()),
+        ] + ([StructField("td9", LongType())] if with_td else [])
+        schema = StructType(out_fields)
+
+        def run(batches):
+            import pyarrow as pa
+
+            gs = bc.value
+            for batch in batches:
+                n = batch.num_rows
+                if not n:
+                    continue
+                if not gs:
+                    raise ValueError(
+                        "ivf_pq arrow encode: empty codebook with a "
+                        "non-empty corpus batch"
+                    )
+                rm = _list_matrix(batch.column(2))  # residuals (n, dims)
+                dims = rm.shape[1]
+                sd = dims // m
+                if sd == 0:
+                    raise ValueError(
+                        f"ivf_pq arrow encode: dims={dims} < m={m} "
+                        "(the fold form fails here too: its group "
+                        "arithmetic divides by sub_d=0)"
+                    )
+                ids = batch.column(0)
+                cls = batch.column(1)
+                s_out, code_out, td_out, take_idx = [], [], [], []
+                for s, codes_ids, mat in gs:
+                    lo = s * sd
+                    rs = rm[:, lo : lo + sd]
+                    if rs.shape[1] != mat.shape[1]:
+                        raise ValueError(
+                            "ivf_pq arrow encode: residual slice width "
+                            f"{rs.shape[1]} != codebook width "
+                            f"{mat.shape[1]} at s={s} (the fold's "
+                            "_l2sq_decimal raises on the same rows)"
+                        )
+                    d = rs[:, None, :] - mat[None, :, :]
+                    q = _quantize_sq9(d * d)
+                    if q.size and int(q.max()) > (2**62) // max(sd, 1):
+                        raise ValueError(
+                            "ivf_pq arrow encode: squared-diff magnitude "
+                            "overflows the exact int64 accumulator"
+                        )
+                    sums = q.sum(axis=2, dtype=np.int64)  # (n, ks)
+                    if with_td:
+                        ks = len(codes_ids)
+                        take_idx.append(np.repeat(np.arange(n), ks))
+                        s_out.append(np.full(n * ks, s, np.int32))
+                        code_out.append(np.tile(codes_ids, n))
+                        td_out.append(sums.reshape(-1))
+                    else:
+                        take_idx.append(np.arange(n))
+                        s_out.append(np.full(n, s, np.int32))
+                        code_out.append(codes_ids[np.argmin(sums, axis=1)])
+                take = pa.array(np.concatenate(take_idx))
+                arrays = [
+                    ids.take(take),
+                    cls.take(take),
+                    pa.array(np.concatenate(s_out), pa.int32()),
+                    pa.array(np.concatenate(code_out), pa.int32()),
+                ]
+                if with_td:
+                    arrays.append(
+                        pa.array(np.concatenate(td_out), pa.int64())
+                    )
+                yield pa.RecordBatch.from_arrays(
+                    arrays, names=[f.name for f in out_fields]
+                )
+
+        return rel.select(idc, cellc, "r").mapInArrow(run, schema)
+
+    enc = stage(assigned_f, "vec_id", "cell", with_td=False)
+    # int64 scale-9 → DECIMAL(28,9), exactly: the division is by 10^9
+    # of a ≤9-decimal value, exact at the result scale; the final cast
+    # restores the fold's declared type without rounding anything
+    td_dec = (
+        F.col("td9").cast("decimal(28,0)")
+        / F.lit(1_000_000_000).cast("decimal(10,0)")
+    ).cast("decimal(28,9)")
+    adc = stage(probes_f, "query_id", "qcell", with_td=True).select(
+        "query_id", "qcell", "s", "code", td_dec.alias("td")
+    )
+    return enc, adc
+
+
 def _arrow_assign(base: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, v, vn, cell): the Arrow/BLAS twin of :func:`_fold_assign`
     — :func:`_arrow_topk_cells` at ``n_probe=1`` (dark, round 15). The
@@ -1180,14 +1363,16 @@ def ivf_pq_topk(
     (order-equal under different FP rounding, equality pinned on the
     tested corpus; the demo oracle MIRRORS the fold arithmetic rather
     than assuming equivalence). ``"arrow"`` (auto's large-nK
-    resolution) swaps the
-    coarse assignment for the bit-exact vectorized twin
+    resolution) vectorizes BOTH corpus-vs-broadcast stage groups:
+    the coarse assignment via the bit-exact twin
     (:func:`_arrow_topk_cells` — fold-identical scores on finite
-    inputs); the encode/ADC DECIMAL folds are unchanged, so the whole
-    output stays bit-equal to ``"fold"``.
+    inputs) and, since round 15 session 2, the encode/ADC via
+    :func:`_arrow_pq_encode_adc` — exact scale-9 integer mirrors of
+    the DECIMAL folds (per-element quantization through
+    :func:`_quantize_sq9`), so the whole output stays bit-equal to
+    ``"fold"`` while the n × g × ks distance arithmetic runs as numpy
+    tensor ops per Arrow batch.
     """
-    from transit_efficiency_analysis_spark.functions.parity import parity_double
-
     if assign not in ("window", "fold", "arrow", "auto"):
         raise ValueError(
             f"assign must be 'window', 'fold', 'arrow' or 'auto', got {assign!r}"
@@ -1315,6 +1500,20 @@ def ivf_pq_topk(
             )
             .agg(F.sort_array(F.collect_list(F.struct("s", "codes_a"))).alias("cb"))
         )
+        probes_f = ranked.where(F.col("crank") <= n_probe).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cell").alias("qcell"),
+            r_expr.alias("r"),
+            sd_expr.alias("sd"),
+        )
+        if assign == "arrow":
+            # round 15 session 2: the vectorized encode/ADC twin — the
+            # same exact scale-9 integer arithmetic as the decimal
+            # folds below (see _arrow_pq_encode_adc's parity contract),
+            # one numpy tensor pass per Arrow batch instead of
+            # n × g × ks interpreted _l2sq_decimal folds
+            enc, adc = _arrow_pq_encode_adc(assigned_f, probes_f, cb_row, m)
+            return _pq_rank(enc, adc, k)
         # (s, residual-slice, codes) staged once per group so the inner
         # per-code transforms read the slice as a cheap field access
         staged_groups = F.transform(
@@ -1369,12 +1568,6 @@ def ivf_pq_topk(
                     ),
                 ).alias("tds"),
             ),
-        )
-        probes_f = ranked.where(F.col("crank") <= n_probe).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("cell").alias("qcell"),
-            r_expr.alias("r"),
-            sd_expr.alias("sd"),
         )
         adc = (
             probes_f.crossJoin(F.broadcast(cb_row))
@@ -1435,8 +1628,18 @@ def ivf_pq_topk(
             .agg(F.sum(sqdiff).alias("td"))
         )
 
-    # enc and adc both descend from codedim — explicit aliases make the
-    # (s, code) equi-keys unambiguous side references, not self-compares
+    return _pq_rank(enc, adc, k)
+
+
+def _pq_rank(enc: DataFrame, adc: DataFrame, k: int) -> DataFrame:
+    """Shared ivf_pq_topk tail over any (enc, adc) pair — the encode
+    forms (join / fold / arrow) all emit the same schemas and EXACT
+    distances, so the candidate scoring and rank are one code path.
+    Explicit aliases make the (s, code) equi-keys unambiguous side
+    references, not self-compares (enc/adc may descend from the same
+    relation)."""
+    from transit_efficiency_analysis_spark.functions.parity import parity_double
+
     scored = (
         enc.alias("enc")
         .join(
