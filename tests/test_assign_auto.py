@@ -27,6 +27,7 @@ import pytest
 from transit_efficiency_analysis_spark.operators.similarity import (
     _AUTO_ARROW_MIN_NK,
     _resolve_assign,
+    ivf_centroids,
     ivf_pq_topk,
     ivf_topk,
     semantic_dedup,
@@ -47,6 +48,31 @@ def test_resolve_assign_rules():
     at = -(-_AUTO_ARROW_MIN_NK // k)  # ceil
     assert _resolve_assign("auto", at, k) == "arrow"
     assert _resolve_assign("auto", 10**9, 30_000) == "arrow"
+
+
+def test_ivf_centroids_auto_default(spark, sf_dir):
+    """ivf_centroids carries the same auto surface (its per-Lloyd-round
+    assignment is the same n × K shape); stat-less default must plan
+    the fold, a big stat the arrow twin."""
+    import inspect
+
+    from transit_efficiency_analysis_spark.sources.registry import load_table
+
+    assert inspect.signature(ivf_centroids).parameters["assign"].default == "auto"
+    e = load_table(spark, sf_dir, "embeddings")
+    fold_df = ivf_centroids(e, "vec_id", "embedding", 4, lloyd_rounds=1)
+    assert "MapInArrow" not in _plan(fold_df)
+    # the arrow Lloyd path materializes each round driver-side (its
+    # lineage truncation), so the returned relation is local — assert
+    # the resolution by RESULT equality (bit-equal contract) instead
+    # of plan shape
+    arrow_df = ivf_centroids(
+        e, "vec_id", "embedding", 4, lloyd_rounds=1, n_rows=10**9
+    )
+    key = lambda r: r["cell"]  # noqa: E731
+    assert sorted(arrow_df.collect(), key=key) == sorted(
+        fold_df.collect(), key=key
+    )
 
 
 def test_threshold_is_the_proven_win_point():

@@ -360,7 +360,8 @@ def ivf_centroids(
     vec_col: str = "embedding",
     n_centroids: int = 8,
     lloyd_rounds: int = 0,
-    assign: str = "fold",
+    assign: str = "auto",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Coarse centroids for IVF. Returns (cell, cv, cn).
 
@@ -382,13 +383,20 @@ def ivf_centroids(
     recall-vs-cost knob (demo pins one round; more rounds converge
     further but the seeds already place cells on real data points).
 
-    ``assign`` picks the per-round nearest-cell plan: ``"fold"``
-    (default — the executed/oracle-mirrored form) or ``"arrow"`` (dark,
-    round 15 — the BLAS twin, see :func:`_arrow_topk_cells`; same
-    map-only shape, last-ulp summation caveat).
+    ``assign`` picks the per-round nearest-cell plan: ``"auto"``
+    (default) resolves to ``"fold"`` or ``"arrow"`` on the measured nK
+    crossover (:func:`_resolve_assign` — the per-round assignment is
+    the same n × K corpus-vs-broadcast shape as the final one; without
+    ``n_rows`` auto stays on the fold, no extra action). ``"fold"`` is
+    the executed/oracle-mirrored form; ``"arrow"`` the bit-equal
+    vectorized twin (see :func:`_arrow_topk_cells`). Callers that
+    already resolved (ivf_topk, semantic_dedup) pass an explicit mode.
     """
-    if assign not in ("fold", "arrow"):
-        raise ValueError(f"assign must be 'fold' or 'arrow', got {assign!r}")
+    if assign not in ("fold", "arrow", "auto"):
+        raise ValueError(
+            f"assign must be 'fold', 'arrow' or 'auto', got {assign!r}"
+        )
+    assign = _resolve_assign(assign, n_rows, n_centroids)
     seeds = (
         df.select(F.col(id_col).alias("sid"), as_double(F.col(vec_col)).alias("cv"))
         .orderBy(F.md5(F.col("sid").cast("string")), F.col("sid"))
