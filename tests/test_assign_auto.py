@@ -168,6 +168,27 @@ def test_sizing_count_feeds_auto(spark, sf_dir):
     assert "MapInArrow" not in _plan(df)
 
 
+def test_registered_ivf_demos_plan_the_fold(spark, sf_dir):
+    """The DRIVER-checked demos must keep planning the interpreted fold
+    (their oracles mirror its arithmetic; auto resolves to it because
+    the demos pass no stat). A future change that threads a catalog
+    stat into a demo would silently flip its executed plan to the
+    arrow twin — still bit-equal, but the executed-plan claims in the
+    demo docstrings and SCALE.md would go stale; this pin makes that
+    flip a deliberate, test-visible act."""
+    from transit_efficiency_analysis_spark.demo import load_registry
+
+    reg = load_registry()
+    for name in (
+        "q_sim_ivf_topk",
+        "q_sim_ivf_lloyd_topk",
+        "q_sim_ivf_pq_topk",
+        "q_dedup_semantic",
+    ):
+        plan = _plan(reg[name].fn(spark, sf_dir))
+        assert "MapInArrow" not in plan, name
+
+
 def test_auto_routes_nonfinite_corpus_into_the_validating_twin(spark):
     """The one behavior difference bit-equality does not cover
     (``_resolve_assign`` docstring): the arrow twin VALIDATES — a
