@@ -115,3 +115,58 @@ def test_pq_arrow_rejects_dims_smaller_than_m(spark):
         ivf_pq_topk(
             df, n_centroids=2, m=4, ks=2, n_probe=1, k=1, assign="arrow"
         ).count()
+
+
+def test_quantize_sq9_hypothesis_vs_exact_decimal():
+    """Hammer the fast-path/hazard split (no Spark): for ANY
+    non-negative finite float64, _quantize_sq9 must equal the exact
+    ``Decimal(repr(x)).scaleb(9)`` HALF_UP integral — the same ground
+    truth the Spark-cast grid test samples, but 10k+ examples across
+    magnitudes, including floats manufactured adjacent to decision
+    boundaries."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def exact(x: float) -> int:
+        return int(
+            Decimal(repr(x)).scaleb(9).to_integral_value(rounding=ROUND_HALF_UP)
+        )
+
+    @settings(max_examples=2000, deadline=None)
+    @given(
+        st.one_of(
+            # < 1e9: the DECIMAL(18,9) domain (>= 1e9 raises, below)
+            st.floats(min_value=0.0, max_value=9.99e8, allow_nan=False),
+            st.floats(min_value=0.0, max_value=1e-3, allow_nan=False),
+            # floats adjacent to k + 0.5 boundaries at scale 9
+            st.integers(min_value=0, max_value=10**10).flatmap(
+                lambda k: st.sampled_from(
+                    [
+                        float(Decimal(2 * k + 1) / Decimal(2 * 10**9)),
+                        np.nextafter((2 * k + 1) / 2e9, np.inf),
+                        np.nextafter((2 * k + 1) / 2e9, 0.0),
+                    ]
+                )
+            ),
+        )
+    )
+    def check(x):
+        got = int(_quantize_sq9(np.asarray([x], np.float64))[0])
+        assert got == exact(float(x)), (x, got, exact(float(x)))
+
+    check()
+
+
+def test_quantize_sq9_decimal_overflow_raises():
+    """sq >= 1e9 is outside DECIMAL(18,9) — the fold's ANSI cast errors
+    there, and the twin must raise the same class loudly instead of
+    wrapping int64 (found by the hypothesis hammer: 9223372037.0
+    previously OverflowError'd out of the exact path)."""
+    for bad in (1e9, 9223372037.0, 1e300, float(np.nextafter(1e9, np.inf))):
+        with pytest.raises(ValueError, match="DECIMAL"):
+            _quantize_sq9(np.asarray([0.5, bad], np.float64))
+    # the largest in-domain float stays on the normal path
+    ok = float(np.nextafter(1e9, 0.0))
+    assert int(_quantize_sq9(np.asarray([ok], np.float64))[0]) < 10**18

@@ -870,6 +870,17 @@ def _quantize_sq9(sq):
     unlike :func:`_seq_scores`)."""
     import numpy as np
 
+    if sq.size and float(np.max(sq)) >= 1e9:
+        # DECIMAL(18,9) holds 9 integer digits: the fold's ANSI cast
+        # OVERFLOWS (errors) at squared diffs >= 1e9, so the twin
+        # raises the same class loudly instead of wrapping int64
+        # (no float64 lies inside [1e9 - 5e-10, 1e9), so this compare
+        # is exactly the q >= 10^18 decimal-overflow condition; it
+        # also covers inf from an overflowed square)
+        raise ValueError(
+            "_quantize_sq9: squared diff >= 1e9 overflows DECIMAL(18,9) "
+            "— the fold's ANSI cast fails these values too"
+        )
     y = sq * 1e9
     k = np.floor(y + 0.5)
     dist = np.abs(y - (np.floor(y) + 0.5))
