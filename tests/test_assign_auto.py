@@ -235,3 +235,19 @@ def test_invalid_assign_rejected():
 
     with pytest.raises(ValueError, match="auto"):
         ivf_topk(None, n_centroids=4, assign="blas")
+
+
+def test_parquet_rows_matches_count(spark, sf_dir, tmp_path):
+    """The footer stat must equal COUNT(*) exactly — on the single-file
+    testdata layout AND a Spark-written partitioned directory."""
+    from transit_efficiency_analysis_spark.sources.registry import (
+        load_table,
+        parquet_rows,
+    )
+
+    for t in ("embeddings", "documents"):
+        assert parquet_rows(sf_dir, t) == load_table(spark, sf_dir, t).count()
+    # directory dataset
+    out = str(tmp_path / "t.parquet")
+    spark.range(1234).repartition(7).write.parquet(out)
+    assert parquet_rows(str(tmp_path), "t") == 1234

@@ -6,10 +6,10 @@ Three layers of evidence, innermost-out:
    on adversarial inputs — the ONLY approximable step in the twin
    (everything downstream is exact integer arithmetic), so this is
    the whole parity surface.
-2. The twin's (enc, adc) relations vs the fold's, bit-for-bit, at
-   sf0.001 — stage-level, so a divergence localizes.
-3. ivf_pq_topk(assign="arrow") vs (assign="fold") full-collect
-   equality at sf0.01 (more rows → more boundary exposure than the
+2. ivf_pq_topk(assign="arrow") vs (assign="fold") full-collect
+   equality at sf0.001 (every query's exact decimal rank and the
+   emitted approx_l2sq doubles).
+3. The same at sf0.01 (more rows → more boundary exposure than the
    sf0.001 smoke the r15 pin uses).
 """
 

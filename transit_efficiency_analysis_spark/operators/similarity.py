@@ -1093,7 +1093,13 @@ def _resolve_assign(assign: str, n_rows: int | None, n_centroids: int) -> str:
     clean first) rather than rely on auto — past the threshold auto
     will route it into the validating twin, which fails loudly instead
     of ranking NaNs differently between modes (validate, don't
-    guess)."""
+    guess).
+
+    Getting a stat is usually free: parquet footers carry exact row
+    counts (``sources.registry.parquet_rows`` reads them driver-side
+    in microseconds, no scan), and lakehouse catalogs serve the same
+    number — pass it through rather than letting auto default blind.
+    """
     if assign != "auto":
         return assign
     if n_rows is not None and n_rows * n_centroids >= _AUTO_ARROW_MIN_NK:

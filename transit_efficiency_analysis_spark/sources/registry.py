@@ -68,3 +68,27 @@ def load_tables(
 ) -> dict[str, DataFrame]:
     """Read several testdata tables; returns {name: DataFrame}."""
     return {n: load_table(spark, sf_dir, n) for n in (names or TESTDATA_TABLES)}
+
+
+def parquet_rows(sf_dir: str, name: str) -> int:
+    """Exact row count of a testdata parquet table from its FOOTER
+    metadata — no Spark job, no scan, microseconds on the driver.
+
+    This is the zero-cost ``n_rows`` source for the cached-statistics
+    paths (``lsh_topk(n_rows=...)`` sizing, the IVF/SemDeDup
+    ``assign="auto"`` crossover resolution, the SemDeDup K-knee
+    warning): parquet writers record num_rows per file footer, so the
+    stat is exact, not an estimate — the same number ``COUNT(*)``
+    returns, read the way a lakehouse catalog would serve it. Directory
+    datasets (a table written as ``<name>.parquet/part-*.parquet``) sum
+    their fragments' footers; works on both the single-file testdata
+    layout and Spark-written partitioned dirs."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        return total
+    return pq.ParquetFile(path).metadata.num_rows
