@@ -97,16 +97,23 @@ _DEMO_MODULES = [
 # results were just recorded" (grace: newest artifact == window and
 # 50/50 green) from "rotation skipped" (artifacts newer than the
 # window's target round) — the ADVICE r11 medium item.
-_WINDOW_ROUND = 15
+_WINDOW_ROUND = 16
 
-# Round-15 window. Front = the 6 demos whose executed implementation or
-# oracle changed this round (docs/ROUND14.md scheduled 3 IVF flips +
-# 2 oracle guards + 1 spare; the spare goes to q_join_bucketed, whose
-# r14 driver row went RED on a stale-warehouse LOCATION_ALREADY_EXISTS
-# crash — fixed this round, see docs/ROUND15.md — so its re-verification
-# is mandatory, not optional). Filler = the 44 r10-era rows that hit the
-# rotation-cycle boundary at round 15 (ROUND14.md precomputed the list;
-# check_window R3 confirms it mechanically).
+# Round-16 window (docs/ROUND15.md precomputed the arithmetic; VERDICT
+# r15 confirmed it against the artifacts: 46 forced r11-era rows + 4
+# genuinely free slots). Nothing in this window changed implementation
+# this round — round 16's code work (the parquet_rows n_rows threading,
+# the manifest commit-backend interface, the MinHash signature arrow
+# twin, the three ADVICE r15 fixes) is either plan-pinned-identical on
+# the demo path (test_assign_auto's fold pins are the gate the VERDICT
+# names for the threading), scoped to manifest-protocol functions the
+# symlink-protocol demo never executes, or dark behind a non-default
+# parameter (standing dark-ship exemption, ADVICE r13). The demos whose
+# executed Python changed by the n_rows threading (the 3 IVF + 2
+# SemDeDup call sites) are re-verified locally via tools/verify_local.py
+# this round and take 5 of round 17's 8 free slots (precomputed in
+# docs/ROUND16.md) — their plans are pinned unchanged, so the driver
+# re-check is confirmation, not discovery.
 #
 # Dark-ship exemption (standing policy, ADVICE r13): an engine-side
 # branch shipped behind a non-default parameter whose default takes the
@@ -114,77 +121,74 @@ _WINDOW_ROUND = 15
 # it lands; it takes one the round its DEFAULT flips (the oracle is
 # mirrored then too). Each exemption must be (a) named in ROUNDn.md,
 # (b) re-verified locally via tools/verify_local.py the round it lands,
-# and (c) scheduled for a real slot at its flip. Round 15 RETIRES the
-# last outstanding exemptions: the three IVF demos flip here
-# (assign="fold" is now the operator default, oracles mirrored to the
-# fold arithmetic), and the zero-norm oracle guards land on both
-# SemDeDup demos.
+# and (c) scheduled for a real slot at its flip. Round 16's exemption:
+# the MinHash signature mapInArrow twin (assign-style opt-in on
+# minhash_signatures; default keeps the expression form verbatim).
 _WINDOW_FRONT = [
-    # Implementation changed this round (stale-warehouse idempotency
-    # fix; RED in CORRECTNESS_r14 — the re-verification slot is forced):
-    "q_join_bucketed",
-    # Executed default + oracle changed this round (the r13 fold paths'
-    # scheduled flip: assign="fold" default, oracles mirrored to the
-    # fold arithmetic incl. the zero-norm guard + all-NULL fallback):
-    "q_sim_ivf_topk",
-    "q_sim_ivf_lloyd_topk",
-    "q_sim_ivf_pq_topk",
-    # Oracle changed this round (zero-norm centroid guards, ADVICE r13
-    # #1 — output-neutral on the gate corpus, pinned in
-    # tests/test_ivf_fold_oracles.py):
-    "q_dedup_semantic",
-    "q_dedup_semantic_hier",
+    # The 4 free slots: r12-tier early start (taking 4 now leaves round
+    # 17 at 42 forced + 8 free — incident slack where the r15 red row
+    # showed it's needed). Selection rule: the r12-era rows most
+    # adjacent to files this round touches (similarity.py: ADVICE r15
+    # fixes; dedup.py: the MinHash arrow twin; operators/upsert.py: the
+    # manifest commit-backend interface) so the re-verification also
+    # exercises the changed files' untouched paths.
+    "q_sim_int8_quantize",
+    "q_dedup_minhash_banded",
+    "q_upsert_cond",
+    "q_upsert_ignore",
 ]
 
 # Prior-green re-verification filler, least-recently-verified first:
-# the 44 r10-era rows (latest driver row CORRECTNESS_r10 — exactly one
-# rotation cycle old at round 15; check_window R3 lists exactly this
-# set).
+# the 46 r11-era rows (latest driver row CORRECTNESS_r11 — exactly one
+# rotation cycle old at round 16; check_window R3 lists exactly this
+# set, and docs/ROUND15.md precomputed it).
 _WINDOW_FILLER: list[str] = [
-    "q_array_agg",
-    "q_array_explode",
-    "q_corpus_domain_affinity",
-    "q_corpus_token_budget",
-    "q_dedup_minhash_lsh",
-    "q_dedup_simhash_pairs",
-    "q_grouping_sets",
-    "q_join_asof_tolerance",
-    "q_sample_rebalance",
-    "q_sample_weighted",
-    "q_sim_lsh_buckets",
-    "q_sim_lsh_multiprobe_topk",
-    "q_sink_orc",
-    "q_sink_partitioned",
-    "q_sink_roundtrip",
-    "q_sql_group_by_all",
-    "q_sql_recursive_chain",
-    "q_sql_session_variables",
-    "q_sql_star_except_lateral",
-    "q_sql_tpch_q1",
-    "q_stream_daily_agg",
-    "q_stream_daily_agg_append",
-    "q_stream_join_append",
-    "q_stream_join_left_append",
-    "q_stream_upsert_foreachbatch",
-    "q_text_contamination_capped",
-    "q_text_ngram_stats",
-    "q_tpch_q2",
-    "q_tpch_q4",
-    "q_tpch_q6",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q9",
-    "q_tpch_q11",
-    "q_tpch_q13",
-    "q_tpch_q14",
-    "q_tpch_q15",
-    "q_tpch_q16",
-    "q_tpch_q17",
-    "q_tpch_q18",
-    "q_tpch_q19",
-    "q_tpch_q20",
-    "q_tpch_q21",
-    "q_tpch_q22",
+    "q_agg_dashboard_materialized",
+    "q_agg_incremental_maintenance",
+    "q_agg_mode",
+    "q_agg_share",
+    "q_approx_distinct",
+    "q_approx_quantiles",
+    "q_approx_topk_cms",
+    "q_clean_mad_outliers",
+    "q_clean_winsorize",
+    "q_corpus_prep_pipeline",
+    "q_events_attribution",
+    "q_events_funnel",
+    "q_events_retention",
+    "q_join_bloom_prefilter",
+    "q_join_incremental_maintenance",
+    "q_join_nullsafe",
+    "q_layout_zorder",
+    "q_multimodal_resize",
+    "q_retrieval_bm25",
+    "q_retrieval_hybrid_rrf",
+    "q_retrieval_tfidf",
+    "q_sample_split",
+    "q_sim_centroid_outliers",
+    "q_sim_lsh_recall",
+    "q_sim_lsh_topk_derived",
+    "q_sink_codec_zstd",
+    "q_sink_dynamic_overwrite",
+    "q_sink_jsonl",
+    "q_sink_schema_evolution",
+    "q_stats_regression",
+    "q_text_bpe_encode",
+    "q_text_bpe_merges",
+    "q_text_collocations",
+    "q_text_dup_span_removal",
+    "q_text_dup_spans",
+    "q_text_novelty",
+    "q_text_pack",
+    "q_text_pack_concat",
+    "q_text_vocab_coverage",
+    "q_topk_per_group",
+    "q_ts_gapfill_ffill",
+    "q_ts_now_audit",
+    "q_upsert_scd2_history",
+    "q_validate_expectations",
+    "q_window_ntile",
+    "q_window_ohlc",
 ]
 
 _WINDOW = _WINDOW_FRONT + _WINDOW_FILLER
