@@ -170,3 +170,58 @@ def test_quantize_sq9_decimal_overflow_raises():
     # the largest in-domain float stays on the normal path
     ok = float(np.nextafter(1e9, 0.0))
     assert int(_quantize_sq9(np.asarray([ok], np.float64))[0]) < 10**18
+
+
+def test_sq9_hazard_no_cliff_at_large_magnitudes():
+    """ADVICE r15 #1: the old tolerance max(1e-6, y*1e-12) saturated the
+    0.5 maximum boundary distance at y = 5e11 (squared diff ~500), so
+    EVERY element with sq >= ~500 routed through the per-element Python
+    Decimal loop — correct but a silent perf cliff spanning six decades
+    of in-domain magnitudes. The fixed slope (y*1e-15) must keep random
+    (non-boundary-adjacent) values in that zone on the vectorized fast
+    path, while values past the float64-resolution wall (y >= 2^51)
+    still all route exact."""
+    from transit_efficiency_analysis_spark.operators.similarity import (
+        _sq9_hazard,
+    )
+
+    rng = np.random.default_rng(7)
+    # sq in [500, 5000): the first decade of the formerly-cliffed zone
+    # (old formula: 100% hazard everywhere here). New slope 1e-15 gives
+    # expected fraction 2e-15*y <= 1% at the top of this decade; the
+    # fraction grows with y by design (the true float64 error bound is
+    # proportional to y) until full saturation at y ~ 5e14 — well below
+    # the old formula's 5e11 onset.
+    y = rng.uniform(500.0, 5000.0, 4000) * 1e9
+    frac = float(np.mean(_sq9_hazard(y)))
+    assert frac < 0.02, f"hazard fraction {frac} — the Decimal cliff is back"
+    # past 2^51 everything must stay on the exact path
+    assert _sq9_hazard(np.asarray([2.0**51, 2.0**52 * 1.7])).all()
+    # genuinely boundary-adjacent values must still be flagged:
+    # k + 0.5 at scale 9, well inside the formerly-cliffed zone
+    boundary = (2 * 750_000_000_000 + 1) / 2.0  # y = 7.5e11 + 0.5
+    assert _sq9_hazard(np.asarray([boundary])).all()
+
+
+def test_pq_arrow_string_ids_equal_fold(spark, sf_dir):
+    """ADVICE r15 #2: the arrow encode/ADC stage pinned LongType for the
+    pass-through id column, so a string id_col (fine in fold mode — its
+    joins are type-agnostic) crashed auto/arrow mode on an Arrow schema
+    mismatch. The id field's type is now derived from the input
+    relation's schema; string-keyed PQ must be bit-equal across modes."""
+    base = _embeddings(spark, sf_dir).select(
+        F.concat(F.lit("doc-"), F.col("vec_id").cast("string")).alias("vec_id"),
+        "embedding",
+    )
+    got = {}
+    for mode in ("fold", "arrow"):
+        out = ivf_pq_topk(
+            base, n_centroids=4, m=4, ks=8, n_probe=2, k=3, assign=mode,
+            checkpoint=False,
+        ).collect()
+        got[mode] = sorted(map(tuple, out))
+    assert got["arrow"] == got["fold"]
+    assert got["arrow"], "string-id PQ returned no rows"
+    assert all(
+        isinstance(t[0], str) and t[0].startswith("doc-") for t in got["arrow"]
+    )

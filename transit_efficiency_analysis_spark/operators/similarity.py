@@ -354,6 +354,24 @@ def multiprobe_lsh_topk(
     )
 
 
+def _const_key(df: DataFrame, id_col: str, alias: str):
+    """Constant-by-construction, non-foldable window partition key over
+    the aliased id column: numeric ids keep the original
+    ``pmod(id, 1)`` expression VERBATIM (always 0; Catalyst keeps the
+    partition spec because the column is non-foldable), while
+    non-numeric ids — string document keys are routine in dedup/ANN
+    corpora — go through ``pmod(length(cast(id as string)), 1)``
+    (also always 0). The old unconditional ``pmod(id, 1)`` ANSI-cast
+    string ids to BIGINT and crashed BOTH assign modes at the seeding
+    stage (found extending ADVICE r15 #2's string-id fix: the arrow
+    schema pin was the second of two string-id breaks on this path)."""
+    from pyspark.sql.types import NumericType
+
+    if isinstance(df.schema[id_col].dataType, NumericType):
+        return F.pmod(F.col(alias), F.lit(1))
+    return F.pmod(F.length(F.col(alias).cast("string")), F.lit(1))
+
+
 def ivf_centroids(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -406,7 +424,7 @@ def ivf_centroids(
     # but non-foldable so Catalyst keeps the partition spec): the window
     # runs over exactly n_centroids rows post-limit — a deliberate tiny
     # single-partition sort, not an accidental global window
-    w = Window.partitionBy(F.pmod(F.col("sid"), F.lit(1))).orderBy(
+    w = Window.partitionBy(_const_key(df, id_col, "sid")).orderBy(
         F.md5(F.col("sid").cast("string")), F.col("sid")
     )
     cents = seeds.select(
@@ -734,6 +752,7 @@ def _arrow_topk_cells(base: DataFrame, cents: DataFrame, n_probe: int) -> DataFr
         raise ValueError(
             "arrow assignment: non-finite centroid components are not "
             "supported (see _list_matrix's NaN-ordering note)"
+            + _FOLD_ESCAPE
         )
     cell_ids = np.asarray(cells, dtype=np.int64)
     fallback = [int(r.cell) for r in rows[:n_probe]]
@@ -784,6 +803,16 @@ def _arrow_topk_cells(base: DataFrame, cents: DataFrame, n_probe: int) -> DataFr
     return base.mapInArrow(score_batches, schema)
 
 
+#: Appended to every arrow-twin input-validation error so an operator
+#: hitting one in production sees the immediate workaround (ADVICE r15
+#: #3): the fold form accepts the same dirty inputs by NULL-propagating
+#: them — the documented pre-flip semantics.
+_FOLD_ESCAPE = (
+    " — pass assign='fold' to force the NULL-propagating expression "
+    "form, or clean the corpus first"
+)
+
+
 def _list_matrix(col):
     """Zero-copy (n, dims) float64 view of an Arrow list<float64>
     column: offsets-validated reshape of the flat values buffer — no
@@ -795,20 +824,24 @@ def _list_matrix(col):
     import numpy as np
 
     if col.null_count:
-        raise ValueError("arrow assignment: NULL vectors are not supported")
+        raise ValueError(
+            "arrow assignment: NULL vectors are not supported"
+            + _FOLD_ESCAPE
+        )
     if col.values.null_count:
         # an element-level NULL would silently convert to NaN in the
         # flat-buffer view (the fold NULL-propagates instead) — raise,
         # don't let the two modes diverge silently (review r15)
         raise ValueError(
             "arrow assignment: NULL vector COMPONENTS are not supported"
+            + _FOLD_ESCAPE
         )
     offs = col.offsets.to_numpy()
     widths = np.diff(offs)
     if len(widths) and (widths != widths[0]).any():
         raise ValueError(
             f"arrow assignment: ragged vector dims "
-            f"{int(widths.min())}..{int(widths.max())}"
+            f"{int(widths.min())}..{int(widths.max())}" + _FOLD_ESCAPE
         )
     dims = int(widths[0]) if len(widths) else 0
     vals = col.values.to_numpy(zero_copy_only=False)
@@ -821,7 +854,7 @@ def _list_matrix(col):
         raise ValueError(
             "arrow assignment: non-finite vector components are not "
             "supported (the fold ranks NaN scores via Spark's "
-            "NaN-greatest ordering; numpy's differs)"
+            "NaN-greatest ordering; numpy's differs)" + _FOLD_ESCAPE
         )
     return out
 
@@ -850,6 +883,28 @@ def _seq_scores(vm, cm, chunk: int = 256):
     return out
 
 
+def _sq9_hazard(y):
+    """Boundary-hazard mask for :func:`_quantize_sq9`'s fast path:
+    True where ``floor(y + 0.5)`` in float64 might round differently
+    than the exact decimal computation, so the element must recompute
+    through the per-element Decimal loop.
+
+    The tolerance is ``max(1e-6, y·1e-15)`` — more than 4× the true
+    float64 error bound (repr-vs-binary ≤ 0.5 ulp plus the ×1e9
+    multiply's ≤ 0.5 ulp ⇒ |y_float − y_exact| ≤ ~2.3e-16·y, and the
+    ``+ 0.5`` rounding adds ≤ ~1.1e-16·y more), yet it only saturates
+    the 0.5 maximum possible boundary distance at y ≈ 5e14. The
+    previous ``y·1e-12`` slope crossed 0.5 at y = 5e11, silently
+    routing EVERY element with squared diff ≥ ~500 through the Python
+    Decimal loop — a correct-but-cliff regime covering six decades of
+    in-domain magnitudes (ADVICE r15 #1). Above 2^51 float64 integer
+    resolution is gone regardless, so everything routes to Decimal."""
+    import numpy as np
+
+    dist = np.abs(y - (np.floor(y) + 0.5))
+    return (dist < np.maximum(1e-6, y * 1e-15)) | (y >= 2.0**51)
+
+
 def _quantize_sq9(sq):
     """Scale-9 int64 mirror of Spark's ``CAST(double AS DECIMAL(18,9))``
     on NON-NEGATIVE finite doubles (the squared diffs of
@@ -859,7 +914,8 @@ def _quantize_sq9(sq):
     ``floor(x·1e9 + 0.5)`` in float64, which matches everywhere except
     within float-rounding distance of a ``k + 0.5`` decision boundary
     (or past 2^51, where float64 loses integer resolution); those
-    elements — a ~1e-6 fraction at the deliberately generous tolerance
+    elements — rare under :func:`_sq9_hazard`'s tolerance, which sits
+    ≥4× above the real float64 error without saturating until y≈5e14
     — recompute exactly through ``Decimal(repr(x))`` (Python's repr is
     the same shortest-round-trip value as Java's ``Double.toString``).
 
@@ -883,8 +939,7 @@ def _quantize_sq9(sq):
         )
     y = sq * 1e9
     k = np.floor(y + 0.5)
-    dist = np.abs(y - (np.floor(y) + 0.5))
-    hazard = (dist < np.maximum(1e-6, y * 1e-12)) | (y >= 2.0**51)
+    hazard = _sq9_hazard(y)
     k = k.astype(np.int64)
     if hazard.any():
         from decimal import ROUND_HALF_UP, Decimal
@@ -945,6 +1000,7 @@ def _arrow_pq_encode_adc(assigned_f, probes_f, cb_row, m):
                 raise ValueError(
                     "ivf_pq arrow encode: non-finite codebook components "
                     "are not supported (see _list_matrix's NaN note)"
+                    + _FOLD_ESCAPE
                 )
             groups.append((int(g["s"]), codes_ids, mat))
         groups.sort(key=lambda t: t[0])
@@ -952,9 +1008,15 @@ def _arrow_pq_encode_adc(assigned_f, probes_f, cb_row, m):
     bc = spark.sparkContext.broadcast(groups)
 
     def stage(rel, idc, cellc, with_td):
+        # id/cell pass through the batch untouched, so their declared
+        # types must be the INPUT relation's — fold mode supports any
+        # id type (string ids join fine), and pinning LongType here
+        # made auto/arrow mode fail on an Arrow schema mismatch for
+        # non-long id_col (ADVICE r15 #2; same derivation as
+        # _arrow_topk_cells' reuse of base.schema.fields).
         out_fields = [
-            StructField(idc, LongType()),
-            StructField(cellc, LongType()),
+            StructField(idc, rel.schema[idc].dataType),
+            StructField(cellc, rel.schema[cellc].dataType),
             StructField("s", IntegerType()),
             StructField("code", IntegerType()),
         ] + ([StructField("td9", LongType())] if with_td else [])
@@ -1448,7 +1510,7 @@ def ivf_pq_topk(
         .orderBy(F.md5(F.col("sid2").cast("string")), F.col("sid2"))
         .limit(ks)
     )
-    wseed = Window.partitionBy(F.pmod(F.col("sid2"), F.lit(1))).orderBy(
+    wseed = Window.partitionBy(_const_key(df, id_col, "sid2")).orderBy(
         F.md5(F.col("sid2").cast("string")), F.col("sid2")
     )
     codes = seed_ids.select("sid2", (F.row_number().over(wseed) - 1).alias("code"))
