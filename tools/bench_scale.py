@@ -657,9 +657,10 @@ import json, sys, time
 sys.path.insert(0, sys.argv[5])
 from pyspark.sql import functions as F
 from transit_efficiency_analysis_spark.session import get_spark
-from transit_efficiency_analysis_spark.sources.registry import load_table
+from transit_efficiency_analysis_spark.sources.registry import (
+    load_table, parquet_rows)
 from transit_efficiency_analysis_spark.operators.similarity import (
-    ivf_topk, ivf_pq_topk)
+    _resolve_assign, ivf_topk, ivf_pq_topk)
 op_name, mode, sfd, n = sys.argv[1], sys.argv[2], sys.argv[3], int(sys.argv[4])
 spark = get_spark("bench_ivf_cell")
 e = load_table(spark, sfd, "embeddings").select("vec_id", "embedding")
@@ -670,10 +671,22 @@ for i in range(n):
         "embedding", F.transform("embedding", lambda x: x + F.lit(0.003 * i)))
     out = c if out is None else out.unionByName(c)
 op = ivf_topk if op_name == "ivf_topk" else ivf_pq_topk
+# the auto arm threads the FREE catalog stat end-to-end the way the
+# canonical parquet path does (round 16, VERDICT r15 #2): footer row
+# count x copies, no corpus scan; record what auto resolved to so the
+# battery row shows the resolver picking each scale's winner
+kw = {}
+resolved = mode
+if mode == "auto":
+    kw["n_rows"] = parquet_rows(sfd, "embeddings") * n
+    resolved = _resolve_assign("auto", kw["n_rows"], 500)
 spark.range(1).count()
 t0 = time.time()
-r = op(out, n_centroids=500, n_probe=2, k=3, assign=mode).count()
-print("CELL " + json.dumps({"t": round(time.time() - t0, 2), "rows": r}))
+r = op(out, n_centroids=500, n_probe=2, k=3, assign=mode, **kw).count()
+row = {"t": round(time.time() - t0, 2), "rows": r}
+if mode == "auto":
+    row["resolved"] = resolved
+print("CELL " + json.dumps(row))
 """
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -699,12 +712,14 @@ print("CELL " + json.dumps({"t": round(time.time() - t0, 2), "rows": r}))
 
         def _fmt(cell) -> str:
             if cell.get("t") is not None:
-                return f"{cell['t']}s ({cell['rows']} rows)"
+                res = cell.get("resolved")
+                tag = f"->{res}" if res else ""
+                return f"{cell['t']}s{tag} ({cell['rows']} rows)"
             return f"FAILED[{cell.get('error')}]"
 
         modes = {
-            "ivf_topk": ("arrow", "fold", "window"),
-            "ivf_pq_topk": ("arrow", "fold", "window"),
+            "ivf_topk": ("auto", "arrow", "fold", "window"),
+            "ivf_pq_topk": ("auto", "arrow", "fold", "window"),
         }
         for op_name, mlist in modes.items():
             ab = {m: _cell(op_name, m) for m in mlist}
