@@ -717,9 +717,16 @@ print("CELL " + json.dumps(row))
                 return f"{cell['t']}s{tag} ({cell['rows']} rows)"
             return f"FAILED[{cell.get('error')}]"
 
+        # SPARK_GRAFT_IVF_MODES=auto,arrow,fold trims arms (e.g. the
+        # window arm at 64x burns its full subprocess timeout on a
+        # known OOM — skip it when the battery's question is the
+        # auto-resolution story, not the window post-mortem)
+        _sel = os.environ.get("SPARK_GRAFT_IVF_MODES")
+        _arms = tuple(_sel.split(",")) if _sel else (
+            "auto", "arrow", "fold", "window")
         modes = {
-            "ivf_topk": ("auto", "arrow", "fold", "window"),
-            "ivf_pq_topk": ("auto", "arrow", "fold", "window"),
+            "ivf_topk": _arms,
+            "ivf_pq_topk": _arms,
         }
         for op_name, mlist in modes.items():
             ab = {m: _cell(op_name, m) for m in mlist}

@@ -1,0 +1,204 @@
+"""Pluggable storage backend for the manifest commit protocol.
+
+The partitioned MERGE runtime's manifest mode (``operators/upsert.py``,
+round 14) is object-store-*shaped* by construction — version dirs are
+write-once, the single mutable object is ``.manifest.json`` — but its
+primitives were inlined as POSIX calls (``os.replace``, ``os.rename``,
+``os.listdir``), so the protocol could only ever execute against a
+local filesystem. This module names those primitives as an interface
+(VERDICT r15 ask #3): the protocol code talks to a
+:class:`ManifestCommitBackend`, the POSIX implementation is the default
+and preserves the round-14/15 behavior byte-for-byte, and each
+primitive's docstring records the object-store mapping an S3/GCS
+backend would implement. The existing merge/compaction/interleaving
+tests run through the interface unchanged — that equivalence IS the
+refactor's correctness argument.
+
+What a real S3 backend would add, per primitive, is documented on each
+method. The one semantic upgrade an object store offers over POSIX is
+on :meth:`swap_manifest`: a conditional put (S3 ``If-Match`` /
+PutObject-with-ETag-precondition, GCS ``ifGenerationMatch``) turns the
+protocol's re-read→swap *detector* (a microsecond lost-update window,
+documented in upsert.py's mode comment) into true compare-and-swap
+serialization — the piece docs/SCALE.md's "what a metadata format buys"
+analysis names as the remaining gap. The interface therefore passes the
+reader's snapshot through ``expected`` so a CAS-capable backend can
+enforce it; the POSIX backend documents that it only detects (callers
+re-read immediately before swapping, keeping the window microseconds).
+
+Layout contract shared by every backend (what readers resolve):
+
+- ``<root>/.manifest.json`` — the ONE mutable object: a JSON map of
+  ``bucket -> committed version``. Replaced atomically, never edited.
+- ``<root>/.v/b<bucket>_v<version>/`` — write-once version "dirs"
+  (object-store: key prefixes) holding that bucket's parquet files.
+  Published exactly once, never mutated, deleted only when superseded
+  (protocol cleanup) or orphaned (maintenance sweep).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import uuid
+
+_MANIFEST_NAME = ".manifest.json"
+_VROOT = ".v"
+
+
+class ManifestCommitBackend:
+    """Storage primitives the manifest commit protocol needs.
+
+    Implementations MUST be usable from the driver only (the protocol
+    never calls these from executors; Spark itself reads/writes the
+    parquet payloads through its own Hadoop filesystem layer).
+    """
+
+    def manifest_exists(self, root: str) -> bool:
+        """True iff the table at ``root`` has a manifest object — the
+        marker distinguishing a manifest-protocol table from a symlink
+        one. S3: ``HeadObject`` on the manifest key."""
+        raise NotImplementedError
+
+    def read_manifest(self, root: str) -> dict[int, int]:
+        """The committed ``bucket -> version`` map ({} when absent —
+        a table that was created-but-never-committed or legitimately
+        emptied). S3: ``GetObject`` of the manifest key; implementations
+        that support CAS should retain the object's ETag/generation for
+        the snapshot they hand back (see :meth:`swap_manifest`)."""
+        raise NotImplementedError
+
+    def swap_manifest(
+        self,
+        root: str,
+        manifest: dict[int, int],
+        expected: dict[int, int] | None = None,
+    ) -> None:
+        """THE commit: replace the manifest atomically so every touched
+        bucket becomes visible at once.
+
+        ``expected`` is the manifest state this commit was based on
+        (the caller's immediately-preceding :meth:`read_manifest`). A
+        CAS-capable backend (S3 conditional put / ``If-Match`` on the
+        retained ETag, GCS ``ifGenerationMatch``) MUST fail the swap
+        when the stored object no longer matches ``expected``, closing
+        the lost-update window entirely — true serialization. The POSIX
+        backend cannot express that precondition atomically and relies
+        on the protocol's re-read→swap detector instead (window:
+        microseconds); it ignores ``expected``."""
+        raise NotImplementedError
+
+    def publish_version(
+        self, root: str, staged_dir: str, bucket: int, version: int
+    ) -> str:
+        """Move a freshly-staged partition dir to its write-once
+        versioned home, returning the published path. POSIX: one
+        ``os.rename`` (atomic, same filesystem). S3: there is no
+        rename — a real backend has Spark write the staged files
+        DIRECTLY under the destination prefix (version ids are chosen
+        before the write, so the prefix is known) and this method
+        reduces to a no-op returning the prefix; uncommitted prefixes
+        are invisible to readers regardless, because reads resolve the
+        manifest and list nothing."""
+        raise NotImplementedError
+
+    def version_path(self, root: str, bucket: int, version: int) -> str:
+        """The path/URI readers pass to ``spark.read.parquet`` for one
+        committed (bucket, version). Pure string construction — no I/O
+        on any backend."""
+        raise NotImplementedError
+
+    def list_versions(self, root: str, bucket: int) -> list[tuple[int, str]]:
+        """All published versions of ``bucket``, committed or not,
+        sorted ascending — the protocol uses this to pick the next
+        version id above anything ever published (orphans included, so
+        a crashed writer's id is never reused). S3: ``ListObjectsV2``
+        with prefix ``<root>/.v/b<bucket>_v`` and delimiter ``/``.
+        Listing is NOT on the read path (readers resolve the manifest);
+        it runs once per touched bucket per commit."""
+        raise NotImplementedError
+
+    def list_all_versions(self, root: str) -> list[tuple[str, str]]:
+        """Every published version dir as ``(name, path)`` — the
+        maintenance sweep's orphan source. S3: one prefix listing of
+        ``<root>/.v/``."""
+        raise NotImplementedError
+
+    def delete_version_path(self, path: str, strict: bool = True) -> None:
+        """Delete one version dir/prefix. ``strict=False`` swallows
+        failures (protocol cleanup of superseded versions — best
+        effort, a survivor is just an orphan for the sweep);
+        ``strict=True`` raises (the sweep's contract: the returned list
+        names only dirs that are actually gone). S3: batched
+        ``DeleteObjects`` over the prefix."""
+        raise NotImplementedError
+
+
+class PosixManifestBackend(ManifestCommitBackend):
+    """The default backend: local/POSIX filesystem, byte-identical to
+    the pre-interface round-14/15 inline implementation. Atomicity
+    comes from ``os.replace`` (manifest swap) and same-filesystem
+    ``os.rename`` (version publish); ``expected`` on the swap is
+    ignored — POSIX has no conditional replace, so the protocol's
+    re-read→swap detector is the concurrency story here."""
+
+    def manifest_exists(self, root: str) -> bool:
+        return os.path.exists(os.path.join(root, _MANIFEST_NAME))
+
+    def read_manifest(self, root: str) -> dict[int, int]:
+        path = os.path.join(root, _MANIFEST_NAME)
+        if not os.path.exists(path):
+            return {}
+        with open(path) as f:
+            return {int(k): int(v) for k, v in json.load(f).items()}
+
+    def swap_manifest(
+        self,
+        root: str,
+        manifest: dict[int, int],
+        expected: dict[int, int] | None = None,
+    ) -> None:
+        tmp = os.path.join(root, f".manifest_{uuid.uuid4().hex[:12]}.tmp")
+        with open(tmp, "w") as f:
+            json.dump({str(b): v for b, v in sorted(manifest.items())}, f)
+        os.replace(tmp, os.path.join(root, _MANIFEST_NAME))
+
+    def publish_version(
+        self, root: str, staged_dir: str, bucket: int, version: int
+    ) -> str:
+        vroot = os.path.join(root, _VROOT)
+        os.makedirs(vroot, exist_ok=True)
+        dest = os.path.join(vroot, f"b{bucket}_v{version}")
+        os.rename(staged_dir, dest)
+        return dest
+
+    def version_path(self, root: str, bucket: int, version: int) -> str:
+        return os.path.join(root, _VROOT, f"b{bucket}_v{version}")
+
+    def list_versions(self, root: str, bucket: int) -> list[tuple[int, str]]:
+        vroot = os.path.join(root, _VROOT)
+        out = []
+        if os.path.isdir(vroot):
+            pat = re.compile(rf"^b{bucket}_v(\d+)$")
+            for name in os.listdir(vroot):
+                m = pat.match(name)
+                if m:
+                    out.append((int(m.group(1)), os.path.join(vroot, name)))
+        return sorted(out)
+
+    def list_all_versions(self, root: str) -> list[tuple[str, str]]:
+        vroot = os.path.join(root, _VROOT)
+        if not os.path.isdir(vroot):
+            return []
+        return [
+            (name, os.path.join(vroot, name))
+            for name in sorted(os.listdir(vroot))
+        ]
+
+    def delete_version_path(self, path: str, strict: bool = True) -> None:
+        shutil.rmtree(path, ignore_errors=not strict)
+
+
+POSIX_BACKEND = PosixManifestBackend()

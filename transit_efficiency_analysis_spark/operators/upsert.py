@@ -530,46 +530,55 @@ def _swap_bucket(local: str, staging_part: str, bucket: int) -> None:
 # code path verbatim.
 
 
+#: Test/deployment seam: set to a ManifestCommitBackend instance to
+#: route every manifest-protocol storage primitive through it; None
+#: means the POSIX default. The symlink protocol does NOT go through
+#: the backend (it is POSIX-only by construction — atomic symlink
+#: flips have no object-store analogue; the manifest protocol IS the
+#: object-store-shaped alternative).
+_COMMIT_BACKEND = None
+
+
+def _backend():
+    if _COMMIT_BACKEND is not None:
+        return _COMMIT_BACKEND
+    from transit_efficiency_analysis_spark.operators.commit_backend import (
+        POSIX_BACKEND,
+    )
+
+    return POSIX_BACKEND
+
+
 def _read_manifest(local: str) -> dict[int, int]:
-    import json
-    import os
-
-    path = os.path.join(local, _MANIFEST_NAME)
-    if not os.path.exists(path):
-        return {}
-    with open(path) as f:
-        return {int(k): int(v) for k, v in json.load(f).items()}
+    return _backend().read_manifest(local)
 
 
-def _write_manifest(local: str, manifest: dict[int, int]) -> None:
-    """Atomic whole-table commit point: temp file + os.replace (the
-    object-store analogue is a conditional put of the manifest key)."""
-    import json
-    import os
-    import uuid
-
-    tmp = os.path.join(local, f".manifest_{uuid.uuid4().hex[:12]}.tmp")
-    with open(tmp, "w") as f:
-        json.dump({str(b): v for b, v in sorted(manifest.items())}, f)
-    os.replace(tmp, os.path.join(local, _MANIFEST_NAME))
+def _write_manifest(
+    local: str,
+    manifest: dict[int, int],
+    expected: dict[int, int] | None = None,
+) -> None:
+    """Atomic whole-table commit point. ``expected`` (the state this
+    commit was computed from, re-read immediately before the call) is
+    a no-op on the POSIX backend but lets a CAS-capable object-store
+    backend turn the protocol's detector into true compare-and-swap
+    serialization (commit_backend.ManifestCommitBackend.swap_manifest)."""
+    _backend().swap_manifest(local, manifest, expected=expected)
 
 
 def _manifest_dirs(
     local: str, manifest: dict[int, int], buckets=None
 ) -> list[str]:
-    import os
-
+    be = _backend()
     return [
-        os.path.join(local, ".v", f"b{b}_v{v}")
+        be.version_path(local, b, v)
         for b, v in sorted(manifest.items())
         if buckets is None or b in buckets
     ]
 
 
 def _is_manifest_table(local: str) -> bool:
-    import os
-
-    return os.path.exists(os.path.join(local, _MANIFEST_NAME))
+    return _backend().manifest_exists(local)
 
 
 def read_partitioned(spark, target: str) -> DataFrame:
@@ -636,9 +645,6 @@ def sweep_orphans(target: str) -> list[str]:
     raise here to catch mode confusion. A deletion failure (EACCES,
     EIO) raises rather than reporting the path as deleted — the
     returned list names only dirs that are actually gone."""
-    import os
-    import shutil
-
     from transit_efficiency_analysis_spark.sinks import _local_path
 
     local = _local_path(target)
@@ -650,14 +656,13 @@ def sweep_orphans(target: str) -> list[str]:
             "tables delete superseded versions eagerly and have no "
             "orphans to sweep"
         )
+    be = _backend()
     manifest = _read_manifest(local)
     live = {f"b{b}_v{v}" for b, v in manifest.items()}
-    vroot = os.path.join(local, ".v")
     deleted = []
-    for name in sorted(os.listdir(vroot)) if os.path.isdir(vroot) else []:
+    for name, path in be.list_all_versions(local):
         if name not in live:
-            path = os.path.join(vroot, name)
-            shutil.rmtree(path)
+            be.delete_version_path(path, strict=True)
             deleted.append(path)
     return deleted
 
@@ -759,8 +764,7 @@ def _merge_into_partitioned_manifest(
                 )
             os.replace(tmp_meta, meta_path)
 
-        vroot = os.path.join(local, ".v")
-        os.makedirs(vroot, exist_ok=True)
+        be = _backend()
         ours: dict[int, int] = {}
         try:
             for b in touched:
@@ -769,12 +773,12 @@ def _merge_into_partitioned_manifest(
                     raise RuntimeError(
                         f"merge produced no output for touched bucket {b}"
                     )
-                listed = _bucket_versions(vroot, b)
+                listed = be.list_versions(local, b)
                 version = (
                     max(listed[-1][0] if listed else 0, manifest.get(b, 0))
                     + 1
                 )
-                os.rename(part, os.path.join(vroot, f"b{b}_v{version}"))
+                be.publish_version(local, part, b, version)
                 ours[b] = version
             # Re-read the manifest immediately before the swap and base
             # the commit on the CURRENT state (ADVICE r14): untouched
@@ -808,8 +812,9 @@ def _merge_into_partitioned_manifest(
             new_manifest = dict(current)
             new_manifest.update(ours)
             # THE commit: every touched bucket becomes visible in one
-            # atomic swap (cross-bucket, unlike the symlink flips)
-            _write_manifest(local, new_manifest)
+            # atomic swap (cross-bucket, unlike the symlink flips);
+            # `expected` lets a CAS backend serialize on `current`
+            _write_manifest(local, new_manifest, expected=current)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         # post-commit cleanup, bounded by OUR read snapshot: only
@@ -824,9 +829,9 @@ def _merge_into_partitioned_manifest(
         # sweep may delete any .v dir the current manifest doesn't
         # name, after quiescing writers.
         for b in touched:
-            for v, stale in _bucket_versions(vroot, b):
+            for v, stale in be.list_versions(local, b):
                 if v <= manifest.get(b, 0):
-                    shutil.rmtree(stale, ignore_errors=True)
+                    be.delete_version_path(stale, strict=False)
     finally:
         collapsed.unpersist()
 
@@ -882,7 +887,7 @@ def _filter_partitioned_manifest(
         .mode("overwrite")
         .parquet(staging)
     )
-    vroot = os.path.join(local, ".v")
+    be = _backend()
     try:
         if _before_commit is not None:
             _before_commit()
@@ -897,21 +902,21 @@ def _filter_partitioned_manifest(
         for b in sorted(manifest):
             part = os.path.join(staging, f"{_BUCKET_COL}={b}")
             if os.path.isdir(part):
-                listed = _bucket_versions(vroot, b)
+                listed = be.list_versions(local, b)
                 version = (
                     max(listed[-1][0] if listed else 0, manifest[b]) + 1
                 )
-                os.rename(part, os.path.join(vroot, f"b{b}_v{version}"))
+                be.publish_version(local, part, b, version)
                 new_manifest[b] = version
             # else: every row filtered away — the bucket simply has no
             # entry in the new manifest; its old versions go in cleanup
-        _write_manifest(local, new_manifest)
+        _write_manifest(local, new_manifest, expected=current)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     for b in manifest:
-        for v, stale in _bucket_versions(vroot, b):
+        for v, stale in be.list_versions(local, b):
             if v <= manifest[b] and v != new_manifest.get(b):
-                shutil.rmtree(stale, ignore_errors=True)
+                be.delete_version_path(stale, strict=False)
     if not new_manifest:
         return spark.createDataFrame(
             [], kept.drop(_BUCKET_COL).schema
