@@ -152,6 +152,56 @@ def main() -> int:
         print(f"# {name}: 1x {t1:.1f}s ({r1} pairs) -> {copies}x {tn:.1f}s "
               f"({rn} pairs), ratio {tn/t1:.1f}", file=sys.stderr)
 
+    if want("minhash_sig"):
+        # Round-16 A/B for the dark mapInArrow signature twin (VERDICT
+        # r15 #4): SIGNATURE STAGE ONLY, isolated from the shared
+        # candidate-join/verify tail — set = the executed JVM
+        # explode->md5->groupBy-minima form, arrow = the bit-equal
+        # map-only numpy twin (Python md5 loop per distinct shingle).
+        # agg(sum(mh), count) forces the minima computation on both arms
+        # (a bare count could prune the set form's agg expressions).
+        from transit_efficiency_analysis_spark.operators.dedup import (
+            _arrow_minhash_sig,
+            shingle_sets,
+            shingles_exploded,
+        )
+
+        def _sig_set(d: DataFrame) -> DataFrame:
+            exp = shingles_exploded(d, "doc_id", "text", 3)
+            hx = F.md5(F.col("s"))
+            hashed = exp.select(
+                "doc_id",
+                F.conv(F.substring(hx, 1, 8), 16, 10).cast("long").alias("h1"),
+                F.conv(F.substring(hx, 9, 8), 16, 10).cast("long").alias("h2"),
+            )
+            mins = hashed.groupBy("doc_id").agg(*[
+                F.min((F.col("h1") + F.lit(b) * F.col("h2")) % F.lit(2**32))
+                .alias(f"mh_{b}") for b in range(6)
+            ])
+            stacked = "stack(6, {}) as (band, mh)".format(
+                ", ".join(f"{b}, mh_{b}" for b in range(6)))
+            return mins.select("doc_id", F.expr(stacked))
+
+        def _sig_arrow(d: DataFrame) -> DataFrame:
+            return _arrow_minhash_sig(shingle_sets(d, "doc_id", "text", 3), 6)
+
+        for mode, fn in (("set", _sig_set), ("arrow", _sig_arrow)):
+            t0 = time.time()
+            a1 = fn(docs_1).agg(F.sum("mh"), F.count("*")).collect()[0]
+            t1 = time.time() - t0
+            t0 = time.time()
+            an = fn(docs_n).agg(F.sum("mh"), F.count("*")).collect()[0]
+            tn = time.time() - t0
+            results[f"minhash_sig_{mode}"] = {
+                "t1": round(t1, 2), "tN": round(tn, 2),
+                "ratio": round(tn / t1, 2),
+                "rows1": a1[1], "rowsN": an[1],
+                "sum1": a1[0], "sumN": an[0],
+            }
+            print(f"# minhash_sig_{mode}: 1x {t1:.1f}s ({a1[1]} sigs) -> "
+                  f"{copies}x {tn:.1f}s ({an[1]} sigs), ratio {tn/t1:.1f}",
+                  file=sys.stderr)
+
     if want("sim_lsh_topk"):
         # Fixed planes=8 — the demo/oracle mode. Bucket occupancy grows
         # linearly with the corpus at constant 2^8 buckets, so candidate
