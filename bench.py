@@ -17,6 +17,20 @@ loadavg_1m 13.59 on the 32-cpu box and every headline query showed
 both the stdout line and the stderr detail carry
 "load_contaminated": true plus the triggering loadavg; the run still
 completes (warn-and-record, never abort).
+
+Load retry (round 16, VERDICT r15 ask #7 — BENCH_r14 AND r15 were both
+load-contaminated; the gate reported honestly but the artifact of
+record never got a fair shot): when env_before exceeds the gate the
+run first WAITS, bounded by $SPARK_GRAFT_LOAD_WAIT seconds (default
+240; 0 disables), polling until loadavg_1m drops under the gate —
+loadavg decays with a ~1-minute time constant, so the driver's own
+just-finished work (the usual contaminant) clears well inside the
+bound. If the timed battery still STARTED contaminated, one bounded
+re-wait + ONE retry of the timed passes runs afterwards; when the
+retry starts clean it becomes the figure of record and the loaded
+attempt is kept alongside (never hidden) as "first_attempt". A box
+that stays busy past both waits records the single loaded run exactly
+as before — measure-and-say-so, never block forever.
 """
 
 from __future__ import annotations
@@ -121,15 +135,49 @@ def _machine_context(spark=None) -> dict:
     return ctx
 
 
+def _wait_for_idle(gate: float, budget_s: float) -> float:
+    """Poll loadavg_1m every 10 s for up to ``budget_s`` seconds, until
+    it drops to ``gate`` or below. Returns seconds actually waited.
+    Platforms without getloadavg return immediately (nothing to gate)."""
+    waited = 0.0
+    while budget_s - waited >= 10.0:
+        try:
+            la = os.getloadavg()[0]
+        except OSError:  # pragma: no cover - platform without getloadavg
+            return waited
+        if la <= gate:
+            return waited
+        print(
+            f"# load wait: loadavg_1m {la:.2f} > gate {gate} — sleeping "
+            f"10s ({waited:.0f}/{budget_s:.0f}s used)",
+            file=sys.stderr,
+        )
+        time.sleep(10.0)
+        waited += 10.0
+    return waited
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark("bench")
     registry = load_registry()
-    env_before = _machine_context(spark)
     # warn-and-record load gate (docstring "Load gate"): a battery
     # launched on a busy box measures the box, not the round
     load_gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "4.0"))
+    load_wait = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "240"))
+    env_before = _machine_context(spark)
+    waited_s = 0.0
+    if (
+        env_before.get("loadavg_1m") is not None
+        and env_before["loadavg_1m"] > load_gate
+        and load_wait > 0
+    ):
+        # bounded pre-wait (docstring "Load retry"): give the figure of
+        # record a fair shot at an idle box before measuring anything
+        waited_s = _wait_for_idle(load_gate, load_wait)
+        env_before = _machine_context(spark)
+        env_before["pre_waited_s"] = round(waited_s, 1)
     load_1m = env_before.get("loadavg_1m")
     load_contaminated = load_1m is not None and load_1m > load_gate
     if load_contaminated:
@@ -180,27 +228,103 @@ def main() -> None:
             target_bucket_size=64,
             n_rows=emb_rows,
         )
-    samples: dict[str, list[float]] = {n: [] for n in fns}
     # one untimed warm-up pass (round-4 ask #7): cache fills (the dedup
     # operators persist their shared shingle/fingerprint relations) and
     # any other one-time materialization land OUTSIDE the timed region,
     # so medians measure the query and spreads measure the machine.
-    for name in samples:
+    for name in fns:
         n = fns[name](spark, sf_dir).count()
         print(f"# {name} warmup: {n} rows", file=sys.stderr)
-    for r in range(runs):
-        for name in samples:
-            t0 = time.time()
-            df = fns[name](spark, sf_dir)
-            n = df.count()
-            dt = round(time.time() - t0, 3)
-            samples[name].append(dt)
-            print(f"# {name} run{r}: {n} rows in {dt}s", file=sys.stderr)
+
+    # the frozen list must stay comparable round-over-round, so extra
+    # coverage is reported SEPARATELY (round-3 ask: "keep this list
+    # intact and report additional queries separately"): the full 22-query
+    # TPC-H battery, under the SAME median-of-N + spread protocol as
+    # the headline (round-7 verdict ask #3: runs=1 made the battery's
+    # round-over-round drift unreadable as signal). No separate warm-up
+    # pass — run 1's samples still land in the median like the r2-r7
+    # single-run numbers did, keeping the series roughly comparable while
+    # the median+spread makes drift interpretable going forward.
+    tpch = [n for n in registry if n.startswith("q_tpch_q")] + ["q_sql_tpch_q1"]
+    tpch_order = sorted(tpch, key=lambda n: (len(n), n))
+
+    def _timed_passes(tag: str = ""):
+        """One full timed battery: `runs` interleaved headline passes,
+        then `runs` interleaved TPC-H passes. Re-runnable — the load
+        retry calls it a second time on a box that went idle."""
+        samples: dict[str, list[float]] = {n: [] for n in fns}
+        for r in range(runs):
+            for name in samples:
+                t0 = time.time()
+                df = fns[name](spark, sf_dir)
+                n = df.count()
+                dt = round(time.time() - t0, 3)
+                samples[name].append(dt)
+                print(
+                    f"# {name} {tag}run{r}: {n} rows in {dt}s",
+                    file=sys.stderr,
+                )
+        tpch_samples: dict[str, list[float]] = {n: [] for n in tpch_order}
+        for r in range(runs):
+            for name in tpch_order:
+                t0 = time.time()
+                n_rows = registry[name].fn(spark, sf_dir).count()
+                dt = round(time.time() - t0, 3)
+                tpch_samples[name].append(dt)
+                print(
+                    f"# {name} battery {tag}run{r}: {n_rows} rows in {dt}s",
+                    file=sys.stderr,
+                )
+        return samples, tpch_samples
 
     def median(xs: list[float]) -> float:
         s = sorted(xs)
         mid = len(s) // 2
         return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+    samples, tpch_samples = _timed_passes()
+    first_attempt = None
+    retried = False
+    if load_contaminated and load_wait > 0:
+        # one bounded re-wait + ONE retry (docstring "Load retry"): when
+        # the box goes idle the clean run becomes the figure of record;
+        # the loaded attempt is recorded alongside, never hidden
+        _wait_for_idle(load_gate, load_wait)
+        env_retry = _machine_context(spark)
+        if (
+            env_retry.get("loadavg_1m") is not None
+            and env_retry["loadavg_1m"] <= load_gate
+        ):
+            first_headline = {
+                n: round(median(xs), 3)
+                for n, xs in samples.items()
+                if n in HEADLINE
+            }
+            first_attempt = {
+                "total": round(sum(first_headline.values()), 3),
+                "tpch_total": round(
+                    sum(median(xs) for xs in tpch_samples.values()), 3
+                ),
+                "loadavg_1m": load_1m,
+            }
+            print(
+                f"# load retry: box idle (loadavg_1m "
+                f"{env_retry['loadavg_1m']}) — re-running the timed "
+                f"battery; loaded attempt kept as first_attempt "
+                f"{first_attempt}",
+                file=sys.stderr,
+            )
+            retried = True
+            env_before = env_retry
+            load_1m = env_retry["loadavg_1m"]
+            load_contaminated = False
+            samples, tpch_samples = _timed_passes(tag="retry-")
+        else:
+            print(
+                "# load retry: box still busy after the bounded wait — "
+                "keeping the single loaded run (measure-and-say-so)",
+                file=sys.stderr,
+            )
 
     all_t = {n: round(median(xs), 3) for n, xs in samples.items()}
     all_s = {n: round(max(xs) - min(xs), 3) for n, xs in samples.items()}
@@ -210,25 +334,6 @@ def main() -> None:
     extras_spread = {n: all_s[n] for n in EXTRAS if n in all_s}
     total = round(sum(timings.values()), 3)
 
-    # the frozen list must stay comparable round-over-round, so extra
-    # coverage is reported SEPARATELY (round-3 ask: "keep this list
-    # intact and report additional queries separately"): the full 22-query
-    # TPC-H battery, now under the SAME median-of-N + spread protocol as
-    # the headline (round-7 verdict ask #3: runs=1 made the battery's
-    # round-over-round drift unreadable as signal). No separate warm-up
-    # pass — run 1's samples still land in the median like the r2-r7
-    # single-run numbers did, keeping the series roughly comparable while
-    # the median+spread makes drift interpretable going forward.
-    tpch = [n for n in registry if n.startswith("q_tpch_q")] + ["q_sql_tpch_q1"]
-    tpch_order = sorted(tpch, key=lambda n: (len(n), n))
-    tpch_samples: dict[str, list[float]] = {n: [] for n in tpch_order}
-    for r in range(runs):
-        for name in tpch_order:
-            t0 = time.time()
-            n_rows = registry[name].fn(spark, sf_dir).count()
-            dt = round(time.time() - t0, 3)
-            tpch_samples[name].append(dt)
-            print(f"# {name} battery run{r}: {n_rows} rows in {dt}s", file=sys.stderr)
     tpch_timings = {n: round(median(xs), 3) for n, xs in tpch_samples.items()}
     tpch_spread = {n: round(max(xs) - min(xs), 3) for n, xs in tpch_samples.items()}
 
@@ -254,6 +359,7 @@ def main() -> None:
         "env_after": _machine_context(spark),
         "load_contaminated": load_contaminated,
         "load_gate": load_gate,
+        "load_retry": {"retried": retried, "first_attempt": first_attempt},
     }
     print(json.dumps(detail), file=sys.stderr)
     print(
@@ -269,6 +375,11 @@ def main() -> None:
                 "tpch_total": detail["tpch_battery"]["total"],
                 "load_contaminated": load_contaminated,
                 "loadavg_1m": load_1m,
+                **(
+                    {"retried_after_load": True, "first_attempt": first_attempt}
+                    if retried
+                    else {}
+                ),
             }
         )
     )
