@@ -306,6 +306,10 @@ def main() -> None:
                     sum(median(xs) for xs in tpch_samples.values()), 3
                 ),
                 "loadavg_1m": load_1m,
+                # keep the loaded attempt's environment in the artifact
+                # (env_before is about to be replaced by the clean
+                # retry's) — never hide the loaded run
+                "env_before": env_before,
             }
             print(
                 f"# load retry: box idle (loadavg_1m "
