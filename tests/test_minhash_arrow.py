@@ -122,3 +122,10 @@ def test_twin_string_doc_ids(spark, sf_dir):
     )
     rows = _arrow_minhash_sig(shingle_sets(d, "doc_id", "text", 3), 4).collect()
     assert rows and all(r.doc_id.startswith("d-") for r in rows)
+
+
+def test_invalid_signature_mode_rejected(spark, sf_dir):
+    with pytest.raises(ValueError, match="signature must be"):
+        minhash_lsh_pairs(
+            _docs(spark, sf_dir), "doc_id", "text", signature="bogus"
+        )
