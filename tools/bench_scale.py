@@ -345,6 +345,83 @@ def main() -> int:
               f"{copies}x {tn:.1f}s ({rn} dups), ratio {tn/t1:.1f}",
               file=sys.stderr)
 
+    if want("semantic_hier_arrow"):
+        # Round-16 A/B for the hier twins: same derived workload as
+        # semantic_hier_scaled, explicit assign="arrow" (coarse
+        # _arrow_assign + per-group _arrow_fine_assign). The two-level
+        # dot envelope is only C + K/C per row, so the interpreted-
+        # compute share the twin removes is much smaller than the flat
+        # form's — expect a modest edge at best (compare against
+        # semantic_hier_scaled at the same copies).
+        import math as _math
+
+        from transit_efficiency_analysis_spark.operators.similarity import (
+            semantic_dedup_hier,
+        )
+
+        n1, nn = embs_1.count(), embs_n.count()
+
+        def _semha(d: DataFrame, n: int) -> DataFrame:
+            k = max(8, n // 64)
+            return semantic_dedup_hier(
+                d, "vec_id", "embedding",
+                n_centroids=k,
+                coarse_cells=max(2, int(_math.isqrt(k))),
+                threshold=0.3, assign="arrow",
+            ).where(~F.col("kept"))
+
+        t0 = time.time(); r1 = _semha(embs_1, n1).count(); t1 = time.time() - t0
+        t0 = time.time(); rn = _semha(embs_n, nn).count(); tn = time.time() - t0
+        results["semantic_hier_arrow"] = {
+            "t1": round(t1, 2), "tN": round(tn, 2),
+            "ratio": round(tn / t1, 2), "rows1": r1, "rowsN": rn,
+        }
+        print(f"# semantic_hier_arrow: 1x {t1:.1f}s ({r1} dups) -> "
+              f"{copies}x {tn:.1f}s ({rn} dups), ratio {tn/t1:.1f}",
+              file=sys.stderr)
+
+    if want("semantic_hier_auto"):
+        # the hier resolver end-to-end: footer-free corpus stat (the
+        # battery knows n exactly) -> auto picks fold at 1x (22k
+        # envelope dots) and arrow at 16x (1.4M — the measured hier
+        # knee, _AUTO_ARROW_MIN_NK_HIER). Identical outputs either way.
+        import math as _math
+
+        from transit_efficiency_analysis_spark.operators.similarity import (
+            _AUTO_ARROW_MIN_NK_HIER,
+            _resolve_assign,
+            semantic_dedup_hier,
+        )
+
+        n1, nn = embs_1.count(), embs_n.count()
+
+        def _semh_auto(d: DataFrame, n: int) -> DataFrame:
+            k = max(8, n // 64)
+            return semantic_dedup_hier(
+                d, "vec_id", "embedding",
+                n_centroids=k,
+                coarse_cells=max(2, int(_math.isqrt(k))),
+                threshold=0.3, n_rows=n,
+            ).where(~F.col("kept"))
+
+        def _mode(n: int) -> str:
+            k = max(8, n // 64)
+            c = max(2, int(_math.isqrt(k)))
+            return _resolve_assign(
+                "auto", n, c + max(1, k // c), min_nk=_AUTO_ARROW_MIN_NK_HIER
+            )
+
+        t0 = time.time(); r1 = _semh_auto(embs_1, n1).count(); t1 = time.time() - t0
+        t0 = time.time(); rn = _semh_auto(embs_n, nn).count(); tn = time.time() - t0
+        results["semantic_hier_auto"] = {
+            "t1": round(t1, 2), "tN": round(tn, 2),
+            "ratio": round(tn / t1, 2), "rows1": r1, "rowsN": rn,
+            "mode1": _mode(n1), "modeN": _mode(nn),
+        }
+        print(f"# semantic_hier_auto: 1x {t1:.1f}s ({r1} dups, {_mode(n1)}) "
+              f"-> {copies}x {tn:.1f}s ({rn} dups, {_mode(nn)}), "
+              f"ratio {tn/t1:.1f}", file=sys.stderr)
+
     if want("sim_lsh_topk_derived"):
         # The 100 TB mode: planes derived from corpus size
         # (target_bucket_size=64 -> planes = ceil(log2(n/64))), holding

@@ -1134,8 +1134,25 @@ def _arrow_assign(base: DataFrame, cents: DataFrame) -> DataFrame:
 #: any realistic K, which is the regime auto exists for.
 _AUTO_ARROW_MIN_NK = 16_000_000
 
+#: The TWO-LEVEL (hier) form's crossover, in ENVELOPE dots (n_rows ×
+#: (C + K/C)). Measured separately (round 16, docs/SCALE.md) because
+#: the hier fold's per-row cost is not just dots: the fine stage runs
+#: an interpreted fold over ~K/C structs AFTER a broadcast join, so
+#: the vectorized twin wins at a much lower dot count than the flat
+#: form — 16× (32k rows × 44-dot envelope = 1.4M): arrow 6.5 s vs fold
+#: 10.2 s; 64× (128k × 89 = 11.4M): arrow 19.0 s vs fold 43.7 s, both
+#: with identical outputs; at 1× (22k dots) the two tie. The threshold
+#: sits at the lowest PROVEN win point (1.4M), same philosophy as the
+#: flat constant — never inside the mixed zone below it.
+_AUTO_ARROW_MIN_NK_HIER = 1_400_000
 
-def _resolve_assign(assign: str, n_rows: int | None, n_centroids: int) -> str:
+
+def _resolve_assign(
+    assign: str,
+    n_rows: int | None,
+    n_centroids: int,
+    min_nk: int = _AUTO_ARROW_MIN_NK,
+) -> str:
     """Resolve ``assign="auto"`` to ``"fold"`` or ``"arrow"`` on the
     measured nK crossover (see :data:`_AUTO_ARROW_MIN_NK`). Explicit
     modes pass through untouched. Without ``n_rows`` (no catalog stat
@@ -1164,7 +1181,7 @@ def _resolve_assign(assign: str, n_rows: int | None, n_centroids: int) -> str:
     """
     if assign != "auto":
         return assign
-    if n_rows is not None and n_rows * n_centroids >= _AUTO_ARROW_MIN_NK:
+    if n_rows is not None and n_rows * n_centroids >= min_nk:
         return "arrow"
     return "fold"
 
@@ -1896,6 +1913,119 @@ def _keep_first_in_cells(assigned: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def _arrow_fine_assign(v2c: DataFrame, f2c: DataFrame) -> DataFrame:
+    """(vec_id, v, vn, cell): the Arrow twin of
+    :func:`semantic_dedup_hier`'s FINE assignment stage — each vector
+    scores only its winning coarse group's fine centroids, map-only,
+    with the per-group centroid subsets collected once driver-side
+    (K rows total, the same bounded payload the fold broadcasts as C
+    grouped arrays) — the per-group analogue of
+    :func:`_arrow_pq_encode_adc`'s codebook pattern.
+
+    Bit-equal to the fold's ``join(broadcast(fc_arr)) →
+    _argmax_cell(fc)`` on finite inputs, mirrored property by property:
+    scores are the fold's exact IEEE sequence (:func:`_seq_scores`);
+    group columns are cell-ascending so ``np.argmax``'s
+    first-occurrence tie-break equals the strict-> fold over the
+    sorted array; a zero-norm fine centroid is excluded from scoring
+    (the fold NULL-skips it) but still anchors the all-unscorable
+    fallback, which is the group's smallest cell id INCLUDING
+    unscorable entries (the fold's INIT = element_at(arr, 1)); a
+    vector whose coarse group has NO fine members is dropped (the
+    fold's inner join); and a zero-norm vector scores 0.0 everywhere,
+    taking the smallest scorable cell. Same validation divergence as
+    every arrow twin: NULL/ragged/non-finite vectors raise
+    (:func:`_list_matrix`) where the fold NULL-propagates."""
+    import numpy as np
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    rows = f2c.select("ccell", "cell", "cv", "cn").collect()
+    groups: dict[int, tuple[int, object, object]] = {}
+    tmp: dict[int, list] = {}
+    for r in rows:
+        tmp.setdefault(int(r.ccell), []).append(r)
+    for cc, rs in tmp.items():
+        rs.sort(key=lambda r: int(r.cell))
+        fallback = int(rs[0].cell)
+        cells, mats = [], []
+        for r in rs:
+            if r.cn != 0:
+                cells.append(int(r.cell))
+                mats.append(
+                    np.asarray(r.cv, dtype=np.float64) / np.float64(r.cn)
+                )
+        mat = np.stack(mats, axis=0) if mats else np.zeros((0, 0))
+        if mat.size and not np.isfinite(mat).all():
+            raise ValueError(
+                "arrow assignment: non-finite centroid components are "
+                "not supported (see _list_matrix's NaN-ordering note)"
+                + _FOLD_ESCAPE
+            )
+        groups[cc] = (fallback, np.asarray(cells, dtype=np.int64), mat)
+    bc = v2c.sparkSession.sparkContext.broadcast(groups)
+
+    out_schema = StructType(
+        [
+            StructField("vec_id", v2c.schema["vec_id"].dataType),
+            StructField("v", ArrayType(DoubleType())),
+            StructField("vn", DoubleType()),
+            StructField("cell", LongType()),
+        ]
+    )
+
+    def run(batches):
+        import pyarrow as pa
+
+        gs = bc.value
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
+                continue
+            # columns: vec_id, v, vn, ccell (select below fixes order)
+            vm = _list_matrix(batch.column(1))
+            ccells = batch.column(3).to_numpy(zero_copy_only=False)
+            out = np.empty(n, np.int64)
+            keep = np.ones(n, bool)
+            for cc in np.unique(ccells):
+                idx = np.nonzero(ccells == cc)[0]
+                grp = gs.get(int(cc))
+                if grp is None:
+                    # coarse group with no fine members: the fold's
+                    # inner join drops these vectors — mirror exactly
+                    keep[idx] = False
+                    continue
+                fallback, cells, mat = grp
+                if mat.size == 0:
+                    out[idx] = fallback
+                    continue
+                if vm.shape[1] != mat.shape[1]:
+                    raise ValueError(
+                        f"arrow assignment: vector dims {vm.shape[1]} != "
+                        f"centroid dims {mat.shape[1]}" + _FOLD_ESCAPE
+                    )
+                scores = _seq_scores(vm[idx], mat)
+                out[idx] = cells[np.argmax(scores, axis=1)]
+            take = pa.array(np.nonzero(keep)[0])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0).take(take),
+                    batch.column(1).take(take),
+                    batch.column(2).take(take),
+                    pa.array(out[keep]),
+                ],
+                names=["vec_id", "v", "vn", "cell"],
+            )
+
+    return v2c.select("vec_id", "v", "vn", "ccell").mapInArrow(run, out_schema)
+
+
 def semantic_dedup_hier(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -1903,6 +2033,8 @@ def semantic_dedup_hier(
     n_centroids: int = 16,
     coarse_cells: int = 4,
     threshold: float = 0.95,
+    n_rows: int | None = None,
+    assign: str = "auto",
 ) -> DataFrame:
     """SemDeDup with TWO-LEVEL (coarse→fine) centroid quantization —
     the assignment-cost escape for :func:`semantic_dedup` (which warns
@@ -1927,7 +2059,31 @@ def semantic_dedup_hier(
 
     Returns (vec_id, cell, kept, dup_of) exactly like
     :func:`semantic_dedup`; ``cell`` is the fine cell id.
+
+    ``assign``/``n_rows`` (round 16): same contract as
+    :func:`semantic_dedup` — ``"auto"`` (default) resolves via
+    :func:`_resolve_assign` on the measured nK crossover, where the
+    per-row dot count here is ``coarse_cells + n_centroids /
+    coarse_cells`` (the two-level scoring envelope), not K; without a
+    stat auto stays on the fold (the verbatim pre-round-16 plan).
+    ``"arrow"`` runs both assignment stages as the bit-equal vectorized
+    twins (:func:`_arrow_assign` for the coarse stage — the C-centroid
+    fold IS :func:`_fold_assign` with renamed fields — and
+    :func:`_arrow_fine_assign` for the per-group fine stage); the
+    keep-first tail is shared. Arrow validates its inputs (NULL/ragged/
+    non-finite raise) where the fold NULL-propagates — force
+    ``assign="fold"`` for dirty corpora.
     """
+    if assign not in ("fold", "arrow", "auto"):
+        raise ValueError(
+            f"assign must be 'fold', 'arrow' or 'auto', got {assign!r}"
+        )
+    assign = _resolve_assign(
+        assign,
+        n_rows,
+        coarse_cells + max(1, n_centroids // max(coarse_cells, 1)),
+        min_nk=_AUTO_ARROW_MIN_NK_HIER,
+    )
     if n_centroids < 1:
         raise ValueError(
             f"semantic_dedup_hier: n_centroids must be >= 1, got {n_centroids}"
@@ -1984,35 +2140,48 @@ def semantic_dedup_hier(
     #
     # vector → coarse group: fold over the C pre-normalized coarse
     # centroids
-    cc_arr = ccents.select(
-        "ccell",
-        F.transform("ccv", lambda x: F.try_divide(x, F.col("ccn"))).alias(
-            "ccvu"
-        ),
-    ).agg(F.sort_array(F.collect_list(F.struct("ccell", "ccvu"))).alias("cc"))
-    v2c = base.crossJoin(F.broadcast(cc_arr)).select(
-        "vec_id",
-        "v",
-        "vn",
-        _argmax_cell(F.col("cc"), "ccell", "ccvu").alias("ccell"),
-    )
+    if assign == "arrow":
+        v2c = _arrow_assign(
+            base,
+            ccents.select(
+                F.col("ccell").alias("cell"),
+                F.col("ccv").alias("cv"),
+                F.col("ccn").alias("cn"),
+            ),
+        ).select("vec_id", "v", "vn", F.col("cell").alias("ccell"))
+    else:
+        cc_arr = ccents.select(
+            "ccell",
+            F.transform("ccv", lambda x: F.try_divide(x, F.col("ccn"))).alias(
+                "ccvu"
+            ),
+        ).agg(F.sort_array(F.collect_list(F.struct("ccell", "ccvu"))).alias("cc"))
+        v2c = base.crossJoin(F.broadcast(cc_arr)).select(
+            "vec_id",
+            "v",
+            "vn",
+            _argmax_cell(F.col("cc"), "ccell", "ccvu").alias("ccell"),
+        )
     # vector → fine cell WITHIN its coarse group: the K pre-normalized
     # fine centroids grouped into C broadcast arrays (~K/C structs
     # each); the join key is the coarse id, the fold scores only that
     # group's centroids
-    fc_arr = (
-        f2c.select(
-            F.col("ccell").cast("long").alias("ccell"),
-            "cell",
-            F.transform("cv", lambda x: F.try_divide(x, F.col("cn"))).alias("cvu"),
+    if assign == "arrow":
+        assigned = _arrow_fine_assign(v2c, f2c)
+    else:
+        fc_arr = (
+            f2c.select(
+                F.col("ccell").cast("long").alias("ccell"),
+                "cell",
+                F.transform("cv", lambda x: F.try_divide(x, F.col("cn"))).alias("cvu"),
+            )
+            .groupBy("ccell")
+            .agg(F.sort_array(F.collect_list(F.struct("cell", "cvu"))).alias("fc"))
         )
-        .groupBy("ccell")
-        .agg(F.sort_array(F.collect_list(F.struct("cell", "cvu"))).alias("fc"))
-    )
-    assigned = v2c.join(F.broadcast(fc_arr), "ccell").select(
-        "vec_id",
-        "v",
-        "vn",
-        _argmax_cell(F.col("fc"), "cell", "cvu").alias("cell"),
-    )
+        assigned = v2c.join(F.broadcast(fc_arr), "ccell").select(
+            "vec_id",
+            "v",
+            "vn",
+            _argmax_cell(F.col("fc"), "cell", "cvu").alias("cell"),
+        )
     return _keep_first_in_cells(assigned, threshold)
