@@ -153,3 +153,34 @@ def test_fine_twin_edges_match_fold_mirror(spark):
         (4, 7),   # all-unscorable -> INIT fallback (min cell incl. zero-norm)
         (6, 4),   # tie -> smallest cell
     }  # vec 5 dropped: memberless coarse group
+
+
+def test_hier_random_corpus_parity(spark):
+    """Seeded random corpus engineered for edge pressure (the r15
+    random-parity precedent): duplicate directions (exact score ties),
+    zero vectors, and near-identical vectors across coarse borders.
+    Full fold/arrow equality of the final dedup output."""
+    import numpy as np
+
+    rng = np.random.default_rng(1606)
+    rows = []
+    for i in range(400):
+        if i % 37 == 0:
+            v = [0.0, 0.0, 0.0, 0.0]          # zero vectors
+        elif i % 11 == 0:
+            v = [1.0, 2.0, -1.0, 0.5]          # one repeated direction
+        elif i % 13 == 0:
+            v = [float(x) for x in 2.5 * np.asarray([1.0, 2.0, -1.0, 0.5])]  # scaled twin
+        else:
+            v = [float(x) for x in rng.normal(size=4)]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {}
+    for mode in ("fold", "arrow"):
+        res = semantic_dedup_hier(
+            df, "vec_id", "embedding", n_centroids=12, coarse_cells=3,
+            threshold=0.8, assign=mode,
+        ).collect()
+        out[mode] = sorted((r.vec_id, r.cell, r.kept, r.dup_of) for r in res)
+    assert out["arrow"] == out["fold"]
+    assert len(out["fold"]) == 400
