@@ -198,3 +198,83 @@ def test_posix_backend_layout_is_legacy_compatible(tmp_path):
     with pytest.raises(FileNotFoundError):
         be.delete_version_path(published, strict=True)
     be.delete_version_path(published, strict=False)
+
+
+class RacingCASBackend(PosixManifestBackend):
+    """CAS-enforcing backend that injects a competing commit INSIDE the
+    re-read→swap gap — the residual lost-update window the POSIX
+    detector documents but cannot close. On the first guarded swap it
+    first lands a competitor's manifest change (simulating another
+    writer committing between this merge's re-read and its put), then
+    enforces the conditional-put precondition; the caller's commit must
+    fail without touching the stored manifest.
+
+    Note the semantics this pins: a whole-manifest compare rejects ANY
+    concurrent commit — even to disjoint buckets — where the protocol's
+    own detector only rejects touched-bucket advances. That is the
+    serialization trade a conditional put makes (a Delta-style backend
+    would retry the commit from the new snapshot)."""
+
+    def __init__(self, compete):
+        self.compete = compete  # current manifest -> competitor's manifest
+        self.raced = False
+
+    def swap_manifest(self, root, manifest, expected=None):
+        if expected is not None and not self.raced:
+            self.raced = True
+            super().swap_manifest(root, self.compete(self.read_manifest(root)))
+        if expected is not None and self.read_manifest(root) != expected:
+            raise RuntimeError(
+                "conditional put failed: manifest generation changed"
+            )
+        super().swap_manifest(root, manifest, expected=expected)
+
+
+def test_cas_backend_closes_the_reread_swap_window(spark, tmp_path, monkeypatch):
+    """End-to-end through the REAL merge path: a competitor committing
+    inside the re-read→swap gap makes the CAS put fail loudly, the
+    stored manifest keeps the competitor's state, the loser's staged
+    version dirs remain as sweepable orphans, and a rerun converges."""
+    target = str(tmp_path / "tbl")
+    U.merge_into_partitioned(
+        target,
+        spark.createDataFrame(_mk_rows([(k, k, 1) for k in range(20)]), SCHEMA),
+        keys=["key"], order_by=["ts", "seq"], num_buckets=4, commit="manifest",
+    )
+
+    def compete(current):
+        # the competitor drops the highest bucket (a compaction-style
+        # commit): reads stay resolvable, and the caller's re-read
+        # snapshot is stale the moment this lands
+        out = dict(current)
+        out.pop(max(out), None)
+        return out
+
+    be = RacingCASBackend(compete)
+    monkeypatch.setattr(U, "_COMMIT_BACKEND", be)
+    with pytest.raises(RuntimeError, match="conditional put failed"):
+        U.merge_into_partitioned(
+            target,
+            spark.createDataFrame(_mk_rows([(5, 999, 7)]), SCHEMA),
+            keys=["key"], order_by=["ts", "seq"], num_buckets=4,
+            commit="manifest",
+        )
+    # competitor's commit survived; the loser changed NOTHING: the
+    # dropped bucket's keys are gone and key 5 (if its bucket survived)
+    # still carries its pre-merge timestamp, not the failed batch's 999
+    rows = {r.key: int((r.ts - BASE).total_seconds() // 60)
+            for r in U.read_partitioned(spark, target).collect()}
+    assert len(rows) < 20  # the competitor's bucket drop is visible
+    if 5 in rows:
+        assert rows[5] == 5
+    orphans = U.sweep_orphans(target)
+    assert orphans, "the failed merge's staged version dirs should be orphans"
+    # race spent: the rerun commits cleanly and converges
+    out = U.merge_into_partitioned(
+        target,
+        spark.createDataFrame(_mk_rows([(5, 999, 7)]), SCHEMA),
+        keys=["key"], order_by=["ts", "seq"], num_buckets=4, commit="manifest",
+    )
+    rows = {r.key: int((r.ts - BASE).total_seconds() // 60)
+            for r in out.collect()}
+    assert rows[5] == 999
