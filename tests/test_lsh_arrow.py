@@ -1,0 +1,131 @@
+"""The dark int64-matmul LSH bucket twin (round 16, continuing the r15
+vectorization rule: sign-LSH's per-plane interpreted long folds are the
+last corpus-vs-broadcast NUMERIC stage without an Arrow escape).
+
+The twin consumes the SAME JVM-side exact quantization
+(``quantize_vec``) and replaces only the fold arithmetic with one
+int64 matmul — integer addition is associative, so no evaluation order
+can flip a sign (the property the DECIMAL quantization protects).
+Dark: the executed default (and the headline demo) keeps the verbatim
+expression plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from transit_efficiency_analysis_spark.operators.similarity import (
+    _arrow_lsh_base,
+    lsh_bucket_expr,
+    lsh_topk,
+    quantize_vec,
+)
+
+
+def _embeddings(spark, sf_dir):
+    from transit_efficiency_analysis_spark.sources.registry import load_table
+
+    return load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+
+def test_bucket_ids_bit_equal_real_corpus(spark, sf_dir):
+    d = _embeddings(spark, sf_dir)
+    expr = {
+        (r.vec_id, r.bucket)
+        for r in d.select(
+            "vec_id", quantize_vec(F.col("embedding")).alias("__q")
+        )
+        .select("vec_id", lsh_bucket_expr(F.col("__q"), 8, 64).alias("bucket"))
+        .collect()
+    }
+    arrow = {
+        (r.vec_id, r.bucket)
+        for r in _arrow_lsh_base(d, "vec_id", "embedding", 8, 64)
+        .select("vec_id", "bucket")
+        .collect()
+    }
+    assert arrow == expr
+    assert arrow, "no buckets produced"
+
+
+def test_bucket_ids_bit_equal_near_zero_projections(spark):
+    """Adversarial vectors whose projections sit at 0 or ±1 quantized
+    unit: the sign decision is exactly where a float re-sum could
+    diverge, so the int64 path must match the fold bit-for-bit —
+    including proj == 0, which is NOT positive (bit 0)."""
+    import numpy as np
+
+    from transit_efficiency_analysis_spark.functions.vectors import plane_sign
+
+    dims, planes = 8, 4
+    rows = []
+    # vector aligned with plane 0's signs -> proj strictly positive;
+    # anti-aligned -> negative; and a vector engineered so plane 1's
+    # projection is EXACTLY zero (pair up opposing signs)
+    s0 = [plane_sign(0, d) for d in range(dims)]
+    rows.append((1, [float(x) * 1e-9 for x in s0]))            # +1 ulps
+    rows.append((2, [float(-x) * 1e-9 for x in s0]))           # -1 ulps
+    s1 = [plane_sign(1, d) for d in range(dims)]
+    z = [0.0] * dims
+    # plane-1 projection = s1[0]*q0 + s1[1]*q1 with q0 = s1[0] (one
+    # quantized unit aligned) — choose q1 = -s1[1] so it cancels to
+    # EXACTLY zero: 1 + (-1) = 0
+    z[0], z[1] = float(s1[0]) * 1e-9, float(-s1[1]) * 1e-9
+    rows.append((3, z))
+    rng = np.random.default_rng(7)
+    for i in range(4, 40):
+        rows.append((i, [float(x) for x in rng.normal(scale=1e-6, size=dims)]))
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    expr = {
+        (r.vec_id, r.bucket)
+        for r in d.select("vec_id", quantize_vec(F.col("embedding")).alias("__q"))
+        .select("vec_id", lsh_bucket_expr(F.col("__q"), planes, dims).alias("bucket"))
+        .collect()
+    }
+    arrow = {
+        (r.vec_id, r.bucket)
+        for r in _arrow_lsh_base(d, "vec_id", "embedding", planes, dims)
+        .select("vec_id", "bucket")
+        .collect()
+    }
+    assert arrow == expr
+    # plane-1-zero vector: bit 1 must be 0 in both (0 is not > 0)
+    b3 = dict(expr)[3]
+    assert not (b3 >> 1) & 1
+
+
+def test_lsh_topk_arrow_equals_expr(spark, sf_dir):
+    d = _embeddings(spark, sf_dir)
+    got = {}
+    for mode in ("expr", "arrow"):
+        rows = lsh_topk(d, planes=8, k=3, bucket_assign=mode).collect()
+        got[mode] = sorted(map(tuple, rows))
+    assert got["arrow"] == got["expr"]
+
+
+def test_default_is_dark_and_invalid_rejected(spark, sf_dir):
+    d = _embeddings(spark, sf_dir)
+    plan = (
+        lsh_topk(d, planes=8, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInArrow" not in plan and "Python" not in plan
+    with pytest.raises(ValueError, match="bucket_assign must be"):
+        lsh_topk(d, planes=8, k=3, bucket_assign="bogus")
+
+
+def test_twin_guards(spark):
+    bad_width = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [0.5, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="declared dims"):
+        _arrow_lsh_base(bad_width, "vec_id", "embedding", 4, 8).collect()
+    nulls = spark.createDataFrame(
+        [(1, [1.0, None, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="NULL vector components"):
+        _arrow_lsh_base(nulls, "vec_id", "embedding", 4, 4).collect()

@@ -422,6 +422,51 @@ def main() -> int:
               f"-> {copies}x {tn:.1f}s ({rn} dups, {_mode(nn)}), "
               f"ratio {tn/t1:.1f}", file=sys.stderr)
 
+    if want("lsh_bucket_ab"):
+        # Round-16 A/B for the int64-matmul LSH bucket twin: BUCKET
+        # ASSIGNMENT ONLY (the per-plane interpreted long folds vs one
+        # exact matmul per batch), derived plane count, checksum-
+        # compared arms (sum(bucket) identical = bit-equal ids).
+        from transit_efficiency_analysis_spark.operators.similarity import (
+            _arrow_lsh_base,
+            derive_planes,
+            lsh_bucket_expr,
+            quantize_vec,
+        )
+
+        n1, nn = embs_1.count(), embs_n.count()
+
+        def _bk_expr(d: DataFrame, n: int) -> DataFrame:
+            pl = derive_planes(n, 64)
+            return d.select(
+                "vec_id", quantize_vec(F.col("embedding")).alias("__q")
+            ).select(
+                "vec_id", lsh_bucket_expr(F.col("__q"), pl, 64).alias("bucket")
+            )
+
+        def _bk_arrow(d: DataFrame, n: int) -> DataFrame:
+            pl = derive_planes(n, 64)
+            return _arrow_lsh_base(d, "vec_id", "embedding", pl, 64).select(
+                "vec_id", "bucket"
+            )
+
+        for mode, fn in (("expr", _bk_expr), ("arrow", _bk_arrow)):
+            t0 = time.time()
+            a1 = fn(embs_1, n1).agg(F.sum("bucket"), F.count("*")).collect()[0]
+            t1 = time.time() - t0
+            t0 = time.time()
+            an = fn(embs_n, nn).agg(F.sum("bucket"), F.count("*")).collect()[0]
+            tn = time.time() - t0
+            results[f"lsh_bucket_{mode}"] = {
+                "t1": round(t1, 2), "tN": round(tn, 2),
+                "ratio": round(tn / t1, 2),
+                "rows1": a1[1], "rowsN": an[1],
+                "sum1": a1[0], "sumN": an[0],
+            }
+            print(f"# lsh_bucket_{mode}: 1x {t1:.1f}s ({a1[1]} rows) -> "
+                  f"{copies}x {tn:.1f}s ({an[1]} rows), ratio {tn/t1:.1f}",
+                  file=sys.stderr)
+
     if want("sim_lsh_topk_derived"):
         # The 100 TB mode: planes derived from corpus size
         # (target_bucket_size=64 -> planes = ceil(log2(n/64))), holding

@@ -172,6 +172,109 @@ def lsh_bucket_assignments(
     )
 
 
+def _arrow_lsh_base(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: int,
+    dims: int,
+) -> DataFrame:
+    """(vec_id, v, vn, bucket): the Arrow twin of ``lsh_topk``'s base
+    projection (round 16, dark behind ``bucket_assign="arrow"``). The
+    DECIMAL quantization stays JVM-side (``quantize_vec`` — exact,
+    codegen'd, one pass); the twin replaces only the ``planes``
+    interpreted long folds per row with ONE exact int64 matmul per
+    Arrow batch against the ±1 sign matrix (``plane_sign`` — the same
+    md5-derived constants the expression form folds in).
+
+    BIT-EQUAL by arithmetic, not by luck: every input is already an
+    exact integer, integer addition is associative, so the matmul's
+    order cannot flip a sign the way a float64 re-sum could — the
+    exact property the DECIMAL quantization exists to protect. Guards
+    (validate, don't guess): NULL quantized components raise (the fold
+    NULL-propagates a plane's projection and contributes a 0 bit —
+    silently bucketing dirty vectors at 0), wrong-width vectors raise
+    (the fold's zip_with NULL-pads to the same 0-bucket), and a
+    component magnitude that could overflow the int64 dot raises
+    (Spark's ANSI long arithmetic would throw there too)."""
+    import numpy as np
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from transit_efficiency_analysis_spark.functions.vectors import plane_sign
+
+    smat = np.asarray(
+        [[plane_sign(p, d) for p in range(planes)] for d in range(dims)],
+        dtype=np.int64,
+    )  # (dims, planes)
+    weights = (np.int64(1) << np.arange(planes, dtype=np.int64))
+    limit = (2**63 - 1) // max(dims, 1)
+
+    out_schema = StructType(
+        [
+            StructField("vec_id", df.schema[id_col].dataType),
+            StructField("v", ArrayType(DoubleType())),
+            StructField("vn", DoubleType()),
+            StructField("bucket", LongType()),
+        ]
+    )
+
+    def run(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
+                continue
+            q = batch.column(3)
+            if q.null_count or q.values.null_count:
+                raise ValueError(
+                    "arrow lsh: NULL vector components are not supported"
+                    " — the expression form buckets them at 0;"
+                    " use bucket_assign='expr' or clean the corpus"
+                )
+            offs = q.offsets.to_numpy()
+            widths = np.diff(offs)
+            if len(widths) and (widths != dims).any():
+                raise ValueError(
+                    f"arrow lsh: vector dims {int(widths.min())}.."
+                    f"{int(widths.max())} != declared dims {dims} (the "
+                    "expression form zero-buckets these)"
+                )
+            qm = q.flatten().to_numpy().reshape(n, dims)
+            if qm.size and int(np.abs(qm).max()) > limit:
+                raise ValueError(
+                    "arrow lsh: quantized component magnitude overflows "
+                    "the exact int64 projection (ANSI long arithmetic "
+                    "fails these too)"
+                )
+            proj = qm @ smat  # exact: int64 inputs, bounded by `limit`
+            bucket = ((proj > 0) * weights).sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    batch.column(1),
+                    batch.column(2),
+                    pa.array(bucket.astype(np.int64)),
+                ],
+                names=["vec_id", "v", "vn", "bucket"],
+            )
+
+    prepared = df.select(
+        F.col(id_col).alias("vec_id"),
+        as_double(F.col(vec_col)).alias("v"),
+        norm(as_double(F.col(vec_col))).alias("vn"),
+        quantize_vec(F.col(vec_col)).alias("__q"),
+    )
+    return prepared.mapInArrow(run, out_schema)
+
+
 def lsh_topk(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -182,6 +285,7 @@ def lsh_topk(
     max_bucket_size: int | None = None,
     target_bucket_size: int | None = None,
     n_rows: int | None = None,
+    bucket_assign: str = "expr",
 ) -> DataFrame:
     """Approximate top-k: exact cosine ranking *within* each LSH bucket.
 
@@ -210,17 +314,29 @@ def lsh_topk(
         )
     if planes is None:
         raise ValueError("pass planes or target_bucket_size")
-    base = df.select(
-        F.col(id_col).alias("vec_id"),
-        as_double(F.col(vec_col)).alias("v"),
-        norm(as_double(F.col(vec_col))).alias("vn"),
-        quantize_vec(F.col(vec_col)).alias("__q"),
-    ).select(
-        "vec_id",
-        "v",
-        "vn",
-        lsh_bucket_expr(F.col("__q"), planes, dims).alias("bucket"),
-    )
+    if bucket_assign not in ("expr", "arrow"):
+        raise ValueError(
+            f"bucket_assign must be 'expr' or 'arrow', got {bucket_assign!r}"
+        )
+    # `bucket_assign="arrow"` (round 16, dark — the executed default is
+    # the verbatim expression form): the base projection's bucket ids
+    # come from _arrow_lsh_base's exact int64 matmul instead of
+    # `planes` interpreted long folds per row; everything downstream
+    # (cap, candidate join, exact cosine rank) is identical.
+    if bucket_assign == "arrow":
+        base = _arrow_lsh_base(df, id_col, vec_col, planes, dims)
+    else:
+        base = df.select(
+            F.col(id_col).alias("vec_id"),
+            as_double(F.col(vec_col)).alias("v"),
+            norm(as_double(F.col(vec_col))).alias("vn"),
+            quantize_vec(F.col(vec_col)).alias("__q"),
+        ).select(
+            "vec_id",
+            "v",
+            "vn",
+            lsh_bucket_expr(F.col("__q"), planes, dims).alias("bucket"),
+        )
     a = base.select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("vn").alias("qn"), "bucket"
     )
