@@ -129,3 +129,36 @@ def test_twin_guards(spark):
     )
     with pytest.raises(Exception, match="NULL vector components"):
         _arrow_lsh_base(nulls, "vec_id", "embedding", 4, 4).collect()
+
+
+def test_multiprobe_arrow_equals_expr(spark, sf_dir):
+    """bucket AND flip-plane choice bit-equal: the full multiprobe
+    output (both probes' candidates, exact cosine ranks) must match."""
+    from transit_efficiency_analysis_spark.operators.similarity import (
+        multiprobe_lsh_topk,
+    )
+
+    d = _embeddings(spark, sf_dir)
+    got = {}
+    for mode in ("expr", "arrow"):
+        rows = multiprobe_lsh_topk(d, planes=8, k=3, bucket_assign=mode).collect()
+        got[mode] = sorted(map(tuple, rows))
+    assert got["arrow"] == got["expr"]
+    assert got["expr"], "multiprobe returned no rows"
+
+
+def test_multiprobe_default_is_dark(spark, sf_dir):
+    from transit_efficiency_analysis_spark.operators.similarity import (
+        multiprobe_lsh_topk,
+    )
+
+    d = _embeddings(spark, sf_dir)
+    plan = (
+        multiprobe_lsh_topk(d, planes=8, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInArrow" not in plan and "Python" not in plan
+    with pytest.raises(ValueError, match="bucket_assign must be"):
+        multiprobe_lsh_topk(d, planes=8, k=3, bucket_assign="bogus")

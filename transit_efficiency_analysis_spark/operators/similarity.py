@@ -178,6 +178,7 @@ def _arrow_lsh_base(
     vec_col: str,
     planes: int,
     dims: int,
+    with_flip: bool = False,
 ) -> DataFrame:
     """(vec_id, v, vn, bucket): the Arrow twin of ``lsh_topk``'s base
     projection (round 16, dark behind ``bucket_assign="arrow"``). The
@@ -196,7 +197,13 @@ def _arrow_lsh_base(
     silently bucketing dirty vectors at 0), wrong-width vectors raise
     (the fold's zip_with NULL-pads to the same 0-bucket), and a
     component magnitude that could overflow the int64 dot raises
-    (Spark's ANSI long arithmetic would throw there too)."""
+    (Spark's ANSI long arithmetic would throw there too).
+
+    ``with_flip=True`` additionally emits multiprobe's flip plane — the
+    argmin of (|projection|, plane) — as an int column. numpy's
+    first-occurrence ``argmin`` over plane-ascending columns IS the
+    fold's lexicographic ``array_min`` over (|a|, p) structs, and the
+    margins are exact integers, so probe choice is bit-equal too."""
     import numpy as np
 
     from pyspark.sql.types import (
@@ -216,14 +223,15 @@ def _arrow_lsh_base(
     weights = (np.int64(1) << np.arange(planes, dtype=np.int64))
     limit = (2**63 - 1) // max(dims, 1)
 
-    out_schema = StructType(
-        [
-            StructField("vec_id", df.schema[id_col].dataType),
-            StructField("v", ArrayType(DoubleType())),
-            StructField("vn", DoubleType()),
-            StructField("bucket", LongType()),
-        ]
-    )
+    from pyspark.sql.types import IntegerType
+
+    out_fields = [
+        StructField("vec_id", df.schema[id_col].dataType),
+        StructField("v", ArrayType(DoubleType())),
+        StructField("vn", DoubleType()),
+        StructField("bucket", LongType()),
+    ] + ([StructField("flip", IntegerType())] if with_flip else [])
+    out_schema = StructType(out_fields)
 
     def run(batches):
         import pyarrow as pa
@@ -256,14 +264,17 @@ def _arrow_lsh_base(
                 )
             proj = qm @ smat  # exact: int64 inputs, bounded by `limit`
             bucket = ((proj > 0) * weights).sum(axis=1)
+            arrays = [
+                batch.column(0),
+                batch.column(1),
+                batch.column(2),
+                pa.array(bucket.astype(np.int64)),
+            ]
+            if with_flip:
+                flip = np.argmin(np.abs(proj), axis=1)
+                arrays.append(pa.array(flip.astype(np.int32)))
             yield pa.RecordBatch.from_arrays(
-                [
-                    batch.column(0),
-                    batch.column(1),
-                    batch.column(2),
-                    pa.array(bucket.astype(np.int64)),
-                ],
-                names=["vec_id", "v", "vn", "bucket"],
+                arrays, names=[f.name for f in out_fields]
             )
 
     prepared = df.select(
@@ -379,6 +390,7 @@ def multiprobe_lsh_topk(
     k: int = 3,
     target_bucket_size: int | None = None,
     n_rows: int | None = None,
+    bucket_assign: str = "expr",
 ) -> DataFrame:
     """Multi-probe sign-LSH top-k (Lv et al.): each query probes its own
     bucket AND the bucket reached by flipping the plane it is closest to
@@ -408,6 +420,10 @@ def multiprobe_lsh_topk(
         )
     if planes is None:
         raise ValueError("pass planes or target_bucket_size")
+    if bucket_assign not in ("expr", "arrow"):
+        raise ValueError(
+            f"bucket_assign must be 'expr' or 'arrow', got {bucket_assign!r}"
+        )
     projs = lsh_projection_exprs(F.col("__q"), planes, dims)
     bucket = F.lit(0).cast("long")
     for p, proj in enumerate(projs):
@@ -426,18 +442,27 @@ def multiprobe_lsh_topk(
     )["p"]
     # 2^flip is exact in double for flip < 2^53's range (planes <= 30)
     probe = F.col("bucket").bitwiseXOR(F.pow(F.lit(2.0), F.col("flip")).cast("long"))
-    base = df.select(
-        F.col(id_col).alias("vec_id"),
-        as_double(F.col(vec_col)).alias("v"),
-        norm(as_double(F.col(vec_col))).alias("vn"),
-        quantize_vec(F.col(vec_col)).alias("__q"),
-    ).select(
-        "vec_id",
-        "v",
-        "vn",
-        bucket.alias("bucket"),
-        margin.alias("flip"),
-    )
+    # bucket_assign="arrow" (round 16, dark): bucket AND flip plane from
+    # the int64-matmul twin — margins are exact integers and numpy's
+    # first-occurrence argmin is the fold's (|a|, p) lexicographic min,
+    # so probe choice is bit-equal. Default keeps the expression plan.
+    if bucket_assign == "arrow":
+        base = _arrow_lsh_base(
+            df, id_col, vec_col, planes, dims, with_flip=True
+        )
+    else:
+        base = df.select(
+            F.col(id_col).alias("vec_id"),
+            as_double(F.col(vec_col)).alias("v"),
+            norm(as_double(F.col(vec_col))).alias("vn"),
+            quantize_vec(F.col(vec_col)).alias("__q"),
+        ).select(
+            "vec_id",
+            "v",
+            "vn",
+            bucket.alias("bucket"),
+            margin.alias("flip"),
+        )
     q0 = base.select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("vn").alias("qn"), "bucket"
     )
