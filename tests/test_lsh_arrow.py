@@ -162,3 +162,11 @@ def test_multiprobe_default_is_dark(spark, sf_dir):
     assert "MapInArrow" not in plan and "Python" not in plan
     with pytest.raises(ValueError, match="bucket_assign must be"):
         multiprobe_lsh_topk(d, planes=8, k=3, bucket_assign="bogus")
+
+
+def test_twin_rejects_plane_overflow(spark):
+    d = spark.createDataFrame(
+        [(1, [1.0] * 4)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="max 62"):
+        _arrow_lsh_base(d, "vec_id", "embedding", 63, 4)

@@ -216,6 +216,15 @@ def _arrow_lsh_base(
 
     from transit_efficiency_analysis_spark.functions.vectors import plane_sign
 
+    if planes > 62:
+        # 2^63 overflows the long bucket id — the expression form fails
+        # loudly under ANSI arithmetic there; numpy would wrap silently
+        # (derive_planes clamps to 30, so only an explicit caller hits
+        # this)
+        raise ValueError(
+            f"arrow lsh: planes={planes} overflows the long bucket id "
+            "(max 62)"
+        )
     smat = np.asarray(
         [[plane_sign(p, d) for p in range(planes)] for d in range(dims)],
         dtype=np.int64,
