@@ -145,7 +145,11 @@ def _arrow_minhash_sig(
             if not n:
                 continue
             sh = batch.column(1)
-            if sh.null_count or sh.values.null_count:
+            # element NULLs via flatten() (slice-aware), not .values
+            # (the UNSLICED child — counts NULLs outside a sliced
+            # batch's window and false-positives on clean rows,
+            # ADVICE r16 #1)
+            if sh.null_count or sh.flatten().null_count:
                 raise ValueError(
                     "arrow minhash: NULL shingle arrays/elements are "
                     "not supported — signature='set' NULL-propagates"

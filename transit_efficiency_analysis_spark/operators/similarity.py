@@ -250,7 +250,9 @@ def _arrow_lsh_base(
             if not n:
                 continue
             q = batch.column(3)
-            if q.null_count or q.values.null_count:
+            # flatten() is slice-aware; .values is the UNSLICED child
+            # (counts NULLs outside a sliced batch, ADVICE r16 #1)
+            if q.null_count or q.flatten().null_count:
                 raise ValueError(
                     "arrow lsh: NULL vector components are not supported"
                     " — the expression form buckets them at 0;"
@@ -506,18 +508,23 @@ def multiprobe_lsh_topk(
 
 def _const_key(df: DataFrame, id_col: str, alias: str):
     """Constant-by-construction, non-foldable window partition key over
-    the aliased id column: numeric ids keep the original
+    the aliased id column: INTEGRAL ids keep the original
     ``pmod(id, 1)`` expression VERBATIM (always 0; Catalyst keeps the
-    partition spec because the column is non-foldable), while
-    non-numeric ids — string document keys are routine in dedup/ANN
-    corpora — go through ``pmod(length(cast(id as string)), 1)``
-    (also always 0). The old unconditional ``pmod(id, 1)`` ANSI-cast
-    string ids to BIGINT and crashed BOTH assign modes at the seeding
-    stage (found extending ADVICE r15 #2's string-id fix: the arrow
-    schema pin was the second of two string-id breaks on this path)."""
-    from pyspark.sql.types import NumericType
+    partition spec because the column is non-foldable), while every
+    other id type — string document keys are routine in dedup/ANN
+    corpora, and fractional ids (double/decimal) make ``pmod(id, 1)``
+    NON-constant (pmod(2.5, 1) = 0.5), which would split the
+    single-partition seed window and collide the row_number-derived
+    cell/code ids (ADVICE r16 #2) — goes through
+    ``pmod(length(cast(id as string)), 1)`` (always 0 for any type
+    with a string form). The old unconditional ``pmod(id, 1)``
+    ANSI-cast string ids to BIGINT and crashed BOTH assign modes at
+    the seeding stage (found extending ADVICE r15 #2's string-id fix:
+    the arrow schema pin was the second of two string-id breaks on
+    this path)."""
+    from pyspark.sql.types import IntegralType
 
-    if isinstance(df.schema[id_col].dataType, NumericType):
+    if isinstance(df.schema[id_col].dataType, IntegralType):
         return F.pmod(F.col(alias), F.lit(1))
     return F.pmod(F.length(F.col(alias).cast("string")), F.lit(1))
 
@@ -978,10 +985,13 @@ def _list_matrix(col):
             "arrow assignment: NULL vectors are not supported"
             + _FOLD_ESCAPE
         )
-    if col.values.null_count:
+    if col.flatten().null_count:
         # an element-level NULL would silently convert to NaN in the
         # flat-buffer view (the fold NULL-propagates instead) — raise,
-        # don't let the two modes diverge silently (review r15)
+        # don't let the two modes diverge silently (review r15).
+        # flatten(), not .values: .values is the UNSLICED child array,
+        # so on a sliced batch it counts NULLs outside this batch's
+        # window and rejects clean in-window rows (ADVICE r16 #1)
         raise ValueError(
             "arrow assignment: NULL vector COMPONENTS are not supported"
             + _FOLD_ESCAPE
@@ -1039,10 +1049,11 @@ def _sq9_hazard(y):
     than the exact decimal computation, so the element must recompute
     through the per-element Decimal loop.
 
-    The tolerance is ``max(1e-6, y·1e-15)`` — more than 4× the true
-    float64 error bound (repr-vs-binary ≤ 0.5 ulp plus the ×1e9
-    multiply's ≤ 0.5 ulp ⇒ |y_float − y_exact| ≤ ~2.3e-16·y, and the
-    ``+ 0.5`` rounding adds ≤ ~1.1e-16·y more), yet it only saturates
+    The tolerance is ``max(1e-6, y·1e-15)`` — ≈3× the true float64
+    error bound (repr-vs-binary ≤ 0.5 ulp plus the ×1e9 multiply's
+    ≤ 0.5 ulp ⇒ |y_float − y_exact| ≤ ~2.3e-16·y, and the ``+ 0.5``
+    rounding adds ≤ ~1.1e-16·y more ⇒ ~3.4e-16·y total; ADVICE r16 #3
+    corrected the earlier "4×" claim), yet it only saturates
     the 0.5 maximum possible boundary distance at y ≈ 5e14. The
     previous ``y·1e-12`` slope crossed 0.5 at y = 5e11, silently
     routing EVERY element with squared diff ≥ ~500 through the Python
@@ -1065,7 +1076,7 @@ def _quantize_sq9(sq):
     within float-rounding distance of a ``k + 0.5`` decision boundary
     (or past 2^51, where float64 loses integer resolution); those
     elements — rare under :func:`_sq9_hazard`'s tolerance, which sits
-    ≥4× above the real float64 error without saturating until y≈5e14
+    ≈3× above the real float64 error without saturating until y≈5e14
     — recompute exactly through ``Decimal(repr(x))`` (Python's repr is
     the same shortest-round-trip value as Java's ``Double.toString``).
 
