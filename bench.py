@@ -31,6 +31,15 @@ retry starts clean it becomes the figure of record and the loaded
 attempt is kept alongside (never hidden) as "first_attempt". A box
 that stays busy past both waits records the single loaded run exactly
 as before — measure-and-say-so, never block forever.
+
+Post-run flag (round 17, ADVICE r16 #4): the pre-battery gate can't
+see a load spike that STARTS mid-battery, and loadavg sampled after
+the run can't either (our own 32-thread battery saturates the box).
+The timed region instead measures co-tenant CPU directly — /proc/stat
+box-busy delta minus this process tree's own CPU delta, divided by
+wall time — and flags "load_contaminated_post": true when that
+external concurrency exceeds the same gate. "external_cpu" in the
+stderr detail carries the measured average.
 """
 
 from __future__ import annotations
@@ -157,6 +166,72 @@ def _wait_for_idle(gate: float, budget_s: float) -> float:
     return waited
 
 
+def _cpu_snapshot() -> tuple[float, float] | None:
+    """(box_busy_cpu_seconds, self_tree_cpu_seconds) from /proc — the
+    two counters whose deltas across the timed battery estimate
+    EXTERNAL CPU concurrency (ADVICE r16 #4: a load spike starting
+    mid-battery left load_contaminated=false on the figure of record).
+    The naive fix — compare env_after's loadavg to the gate — would
+    flag EVERY run: our own 32-thread battery saturates the box, so
+    post-run loadavg always exceeds the gate from self-load alone.
+    Subtracting our own process tree's CPU isolates the co-tenant
+    signal instead.
+
+    box busy = /proc/stat's cpu line minus idle+iowait. self tree =
+    utime+stime over this process and every live descendant (the Spark
+    JVM and its python workers), plus cutime+cstime (reaped children —
+    counted exactly once: a reaped child is no longer in the live
+    walk). Returns None off-Linux (the artifact then simply carries no
+    post-run flag — same degradation as the loadavg fields)."""
+    try:
+        tick = os.sysconf("SC_CLK_TCK")
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        busy = (sum(vals) - vals[3] - (vals[4] if len(vals) > 4 else 0)) / tick
+        stats: dict[int, tuple[int, float]] = {}
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as f:
+                    line = f.read()
+            except OSError:  # process exited mid-walk
+                continue
+            # comm may contain spaces/parens — split after the LAST ')'
+            rest = line.rsplit(")", 1)[1].split()
+            # rest[0]=state, [1]=ppid, [11..14]=utime stime cutime cstime
+            cpu = sum(int(rest[i]) for i in (11, 12, 13, 14)) / tick
+            stats[int(pid)] = (int(rest[1]), cpu)
+        children: dict[int, list[int]] = {}
+        for pid, (ppid, _) in stats.items():
+            children.setdefault(ppid, []).append(pid)
+        own = 0.0
+        frontier = [os.getpid()]
+        while frontier:
+            pid = frontier.pop()
+            if pid not in stats:
+                continue
+            own += stats[pid][1]
+            frontier.extend(children.get(pid, ()))
+        return busy, own
+    except (OSError, ValueError, IndexError):  # pragma: no cover
+        return None
+
+
+def _external_cpu_cores(
+    before: tuple[float, float] | None,
+    after: tuple[float, float] | None,
+    wall_s: float,
+) -> float | None:
+    """Average co-tenant CPU concurrency (in cores, the same unit as
+    loadavg's run-queue length) over a timed region: (box busy delta −
+    own tree delta) / wall. None when either snapshot failed."""
+    if before is None or after is None or wall_s <= 0:
+        return None
+    return max(0.0, (after[0] - before[0]) - (after[1] - before[1])) / wall_s
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -251,7 +326,12 @@ def main() -> None:
     def _timed_passes(tag: str = ""):
         """One full timed battery: `runs` interleaved headline passes,
         then `runs` interleaved TPC-H passes. Re-runnable — the load
-        retry calls it a second time on a box that went idle."""
+        retry calls it a second time on a box that went idle. Also
+        returns the battery's external-CPU estimate (ADVICE r16 #4:
+        contamination STARTING mid-battery must flag the artifact, and
+        pre-battery loadavg can't see it)."""
+        cpu_before = _cpu_snapshot()
+        battery_t0 = time.time()
         samples: dict[str, list[float]] = {n: [] for n in fns}
         for r in range(runs):
             for name in samples:
@@ -275,14 +355,17 @@ def main() -> None:
                     f"# {name} battery {tag}run{r}: {n_rows} rows in {dt}s",
                     file=sys.stderr,
                 )
-        return samples, tpch_samples
+        ext_cores = _external_cpu_cores(
+            cpu_before, _cpu_snapshot(), time.time() - battery_t0
+        )
+        return samples, tpch_samples, ext_cores
 
     def median(xs: list[float]) -> float:
         s = sorted(xs)
         mid = len(s) // 2
         return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
 
-    samples, tpch_samples = _timed_passes()
+    samples, tpch_samples, ext_cores = _timed_passes()
     first_attempt = None
     retried = False
     if load_contaminated and load_wait > 0:
@@ -310,6 +393,9 @@ def main() -> None:
                 # (env_before is about to be replaced by the clean
                 # retry's) — never hide the loaded run
                 "env_before": env_before,
+                "external_cpu_cores": (
+                    round(ext_cores, 2) if ext_cores is not None else None
+                ),
             }
             print(
                 f"# load retry: box idle (loadavg_1m "
@@ -322,13 +408,23 @@ def main() -> None:
             env_before = env_retry
             load_1m = env_retry["loadavg_1m"]
             load_contaminated = False
-            samples, tpch_samples = _timed_passes(tag="retry-")
+            samples, tpch_samples, ext_cores = _timed_passes(tag="retry-")
         else:
             print(
                 "# load retry: box still busy after the bounded wait — "
                 "keeping the single loaded run (measure-and-say-so)",
                 file=sys.stderr,
             )
+
+    load_contaminated_post = ext_cores is not None and ext_cores > load_gate
+    if load_contaminated_post:
+        print(
+            f"# WARNING: external CPU concurrency averaged "
+            f"{ext_cores:.2f} cores across the timed battery (gate "
+            f"{load_gate}) — co-tenant work ran DURING the figure of "
+            f"record",
+            file=sys.stderr,
+        )
 
     all_t = {n: round(median(xs), 3) for n, xs in samples.items()}
     all_s = {n: round(max(xs) - min(xs), 3) for n, xs in samples.items()}
@@ -364,6 +460,15 @@ def main() -> None:
         "load_contaminated": load_contaminated,
         "load_gate": load_gate,
         "load_retry": {"retried": retried, "first_attempt": first_attempt},
+        # post-run contamination (ADVICE r16 #4): co-tenant CPU measured
+        # ACROSS the timed battery of record, not just sampled before it
+        # — loadavg-after can't serve here because our own battery
+        # saturates the box (see _cpu_snapshot)
+        "external_cpu": {
+            "cores_avg": round(ext_cores, 2) if ext_cores is not None else None,
+            "contaminated_post": load_contaminated_post,
+            "gate": load_gate,
+        },
     }
     print(json.dumps(detail), file=sys.stderr)
     print(
@@ -378,6 +483,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "tpch_total": detail["tpch_battery"]["total"],
                 "load_contaminated": load_contaminated,
+                "load_contaminated_post": load_contaminated_post,
                 "loadavg_1m": load_1m,
                 **(
                     {"retried_after_load": True, "first_attempt": first_attempt}
