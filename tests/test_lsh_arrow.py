@@ -103,7 +103,11 @@ def test_lsh_topk_arrow_equals_expr(spark, sf_dir):
     assert got["arrow"] == got["expr"]
 
 
-def test_default_is_dark_and_invalid_rejected(spark, sf_dir):
+def test_statless_auto_keeps_expression_plan(spark, sf_dir):
+    """The round-17 default is ``bucket_assign="auto"``: with no corpus
+    stat offered it must NEVER count and must keep the verbatim
+    JVM-expression plan (zero Python nodes) — the same stat-less
+    contract as the IVF ``assign="auto"``."""
     d = _embeddings(spark, sf_dir)
     plan = (
         lsh_topk(d, planes=8, k=3)
@@ -114,6 +118,71 @@ def test_default_is_dark_and_invalid_rejected(spark, sf_dir):
     assert "MapInArrow" not in plan and "Python" not in plan
     with pytest.raises(ValueError, match="bucket_assign must be"):
         lsh_topk(d, planes=8, k=3, bucket_assign="bogus")
+
+
+def test_resolve_bucket_assign_knee():
+    from transit_efficiency_analysis_spark.operators.similarity import (
+        _AUTO_ARROW_MIN_NP_LSH,
+        _resolve_bucket_assign,
+    )
+
+    # explicit modes pass through untouched, stat or not
+    assert _resolve_bucket_assign("expr", 10**9, 8) == "expr"
+    assert _resolve_bucket_assign("arrow", None, 8) == "arrow"
+    # stat-less auto never counts: expression form
+    assert _resolve_bucket_assign("auto", None, 8) == "expr"
+    # below the measured knee: expression form (the 1x tie point)
+    assert _resolve_bucket_assign("auto", 2_000, 5) == "expr"
+    # at/above the knee: the matmul twin (the 16x proven-win point)
+    assert _resolve_bucket_assign("auto", 32_000, 9) == "arrow"
+    assert (
+        _resolve_bucket_assign("auto", _AUTO_ARROW_MIN_NP_LSH, 1) == "arrow"
+    )
+
+
+def test_auto_resolves_arrow_past_knee_and_stays_bit_equal(spark, sf_dir):
+    """A catalog stat past the knee must flip the physical form to the
+    matmul twin (MapInArrow in the plan) WITHOUT changing any row —
+    bucket ids are bit-equal by integer associativity."""
+    d = _embeddings(spark, sf_dir)
+    auto = lsh_topk(d, planes=8, k=3, n_rows=10**9)
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan
+    expr = lsh_topk(d, planes=8, k=3, bucket_assign="expr")
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, expr.collect())
+    )
+
+
+def test_bucket_assignments_arrow_equals_expr(spark, sf_dir):
+    """lsh_bucket_assignments' bucket-only twin (emit_vectors=False):
+    same (vec_id, bucket) rows, same schema, and the arrow plan really
+    is the mapInArrow form while the stat-less default stays pure JVM."""
+    from transit_efficiency_analysis_spark.operators.similarity import (
+        lsh_bucket_assignments,
+    )
+
+    d = _embeddings(spark, sf_dir)
+    expr = lsh_bucket_assignments(d, planes=8, bucket_assign="expr")
+    arrow = lsh_bucket_assignments(d, planes=8, bucket_assign="arrow")
+    assert [f.name for f in arrow.schema.fields] == ["vec_id", "bucket"]
+    # nullability intentionally differs (mapInArrow outputs are nullable
+    # by convention); names and types must match exactly
+    assert [(f.name, f.dataType) for f in arrow.schema.fields] == [
+        (f.name, f.dataType) for f in expr.schema.fields
+    ]
+    assert sorted(map(tuple, arrow.collect())) == sorted(
+        map(tuple, expr.collect())
+    )
+    plan = (
+        lsh_bucket_assignments(d, planes=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInArrow" not in plan and "Python" not in plan
+    arrow_plan = arrow._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in arrow_plan
 
 
 def test_twin_guards(spark):
@@ -147,7 +216,7 @@ def test_multiprobe_arrow_equals_expr(spark, sf_dir):
     assert got["expr"], "multiprobe returned no rows"
 
 
-def test_multiprobe_default_is_dark(spark, sf_dir):
+def test_multiprobe_statless_auto_keeps_expression_plan(spark, sf_dir):
     from transit_efficiency_analysis_spark.operators.similarity import (
         multiprobe_lsh_topk,
     )
@@ -162,6 +231,47 @@ def test_multiprobe_default_is_dark(spark, sf_dir):
     assert "MapInArrow" not in plan and "Python" not in plan
     with pytest.raises(ValueError, match="bucket_assign must be"):
         multiprobe_lsh_topk(d, planes=8, k=3, bucket_assign="bogus")
+
+
+def test_multiprobe_auto_resolves_arrow_past_knee(spark, sf_dir):
+    from transit_efficiency_analysis_spark.operators.similarity import (
+        multiprobe_lsh_topk,
+    )
+
+    d = _embeddings(spark, sf_dir)
+    auto = multiprobe_lsh_topk(d, planes=8, k=3, n_rows=10**9)
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan
+    expr = multiprobe_lsh_topk(d, planes=8, k=3, bucket_assign="expr")
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, expr.collect())
+    )
+
+
+def test_registered_lsh_demos_plan_pure_jvm_at_gate_scale(spark, sf_dir):
+    """The five LSH demos now thread ``n_rows=parquet_rows(...)`` into
+    their operators; at gate/bench corpus sizes the auto knee must
+    still resolve to the expression form, keeping every registered
+    demo plan free of Python nodes (the same pin pattern as
+    test_registered_ivf_demos_plan_the_fold)."""
+    from transit_efficiency_analysis_spark.demo import load_registry
+
+    registry = load_registry()
+    for name in (
+        "q_sim_lsh_buckets",
+        "q_sim_lsh_topk",
+        "q_sim_lsh_topk_derived",
+        "q_sim_lsh_recall",
+        "q_sim_lsh_multiprobe_topk",
+    ):
+        plan = (
+            registry[name]
+            .fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "MapInArrow" not in plan and "Python" not in plan, name
 
 
 def test_twin_rejects_plane_overflow(spark):

@@ -612,5 +612,6 @@ def q_dedup_semantic_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup_hier(
-        e, "vec_id", "embedding", n_centroids=16, coarse_cells=4, threshold=0.3
+        e, "vec_id", "embedding", n_centroids=16, coarse_cells=4, threshold=0.3,
+        n_rows=parquet_rows(sf_dir, "embeddings"),
     )

@@ -19,7 +19,10 @@ from transit_efficiency_analysis_spark.operators.dedup import (
     dedup_clusters_twophase,
     minhash_lsh_pairs,
 )
-from transit_efficiency_analysis_spark.sources.registry import load_table
+from transit_efficiency_analysis_spark.sources.registry import (
+    load_table,
+    parquet_rows,
+)
 
 # identical fixpoint to q_dedup_clusters: the oracle is the transitive
 # closure as a recursive CTE — algorithm-independent ground truth, so the
@@ -369,7 +372,10 @@ def q_sim_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = load_table(spark, sf_dir, "embeddings")
-    return multiprobe_lsh_topk(e, planes=_PLANES, dims=_DIMS, k=3)
+    return multiprobe_lsh_topk(
+        e, planes=_PLANES, dims=_DIMS, k=3,
+        n_rows=parquet_rows(sf_dir, "embeddings"),
+    )
 
 
 @demo("q_dedup_embedding_lsh", sql=_lsh_blocked_embedding_sql())

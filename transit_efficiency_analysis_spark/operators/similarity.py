@@ -144,10 +144,18 @@ def lsh_bucket_assignments(
     dims: int = 64,
     target_bucket_size: int | None = None,
     n_rows: int | None = None,
+    bucket_assign: str = "auto",
 ) -> DataFrame:
     """(vec_id, bucket) sign-LSH assignments — one map-only projection
     (``lsh_bucket_expr``); same math as
     ``functions.vectors.hyperplane_sign_bucket``.
+
+    ``bucket_assign`` picks the physical form of the projection stage:
+    ``"expr"`` the JVM expression folds, ``"arrow"`` the bit-equal
+    int64-matmul twin (:func:`_arrow_lsh_base`, bucket-only mode — no
+    vectors cross the Arrow boundary), ``"auto"`` (default) resolves on
+    the measured row×plane knee when ``n_rows`` is offered and stays on
+    the expression form otherwise (:func:`_resolve_bucket_assign`).
 
     Pass ``target_bucket_size`` (with ``planes=None``) to size the bucket
     space from the corpus: ``planes = derive_planes(df.count(), target)``.
@@ -158,11 +166,22 @@ def lsh_bucket_assignments(
     count, pass it as ``n_rows`` and no action runs (the
     cached-statistics path)."""
     if target_bucket_size is not None:
-        planes = derive_planes(
-            n_rows if n_rows is not None else df.count(), target_bucket_size
-        )
+        if n_rows is None:
+            # the sizing count doubles as the auto knee's stat — once
+            # paid, never re-derived
+            n_rows = df.count()
+        planes = derive_planes(n_rows, target_bucket_size)
     if planes is None:
         raise ValueError("pass planes or target_bucket_size")
+    if bucket_assign not in ("expr", "arrow", "auto"):
+        raise ValueError(
+            "bucket_assign must be 'expr', 'arrow' or 'auto', got "
+            f"{bucket_assign!r}"
+        )
+    if _resolve_bucket_assign(bucket_assign, n_rows, planes) == "arrow":
+        return _arrow_lsh_base(
+            df, id_col, vec_col, planes, dims, emit_vectors=False
+        )
     return df.select(
         F.col(id_col).alias("vec_id"),
         quantize_vec(F.col(vec_col)).alias("__q"),
@@ -179,6 +198,7 @@ def _arrow_lsh_base(
     planes: int,
     dims: int,
     with_flip: bool = False,
+    emit_vectors: bool = True,
 ) -> DataFrame:
     """(vec_id, v, vn, bucket): the Arrow twin of ``lsh_topk``'s base
     projection (round 16, dark behind ``bucket_assign="arrow"``). The
@@ -203,7 +223,13 @@ def _arrow_lsh_base(
     argmin of (|projection|, plane) — as an int column. numpy's
     first-occurrence ``argmin`` over plane-ascending columns IS the
     fold's lexicographic ``array_min`` over (|a|, p) structs, and the
-    margins are exact integers, so probe choice is bit-equal too."""
+    margins are exact integers, so probe choice is bit-equal too.
+
+    ``emit_vectors=False`` is ``lsh_bucket_assignments``'s mode: only
+    (vec_id, bucket) flow through the Python worker — the double
+    vectors and norms are never computed or Arrow-shipped (column
+    pruning cannot reach inside a mapInArrow body, so the pruning is
+    done here, at the projection the UDF consumes)."""
     import numpy as np
 
     from pyspark.sql.types import (
@@ -234,13 +260,21 @@ def _arrow_lsh_base(
 
     from pyspark.sql.types import IntegerType
 
-    out_fields = [
-        StructField("vec_id", df.schema[id_col].dataType),
-        StructField("v", ArrayType(DoubleType())),
-        StructField("vn", DoubleType()),
-        StructField("bucket", LongType()),
-    ] + ([StructField("flip", IntegerType())] if with_flip else [])
+    out_fields = (
+        [StructField("vec_id", df.schema[id_col].dataType)]
+        + (
+            [
+                StructField("v", ArrayType(DoubleType())),
+                StructField("vn", DoubleType()),
+            ]
+            if emit_vectors
+            else []
+        )
+        + [StructField("bucket", LongType())]
+        + ([StructField("flip", IntegerType())] if with_flip else [])
+    )
     out_schema = StructType(out_fields)
+    n_passthrough = 3 if emit_vectors else 1
 
     def run(batches):
         import pyarrow as pa
@@ -249,7 +283,7 @@ def _arrow_lsh_base(
             n = batch.num_rows
             if not n:
                 continue
-            q = batch.column(3)
+            q = batch.column(n_passthrough)
             # flatten() is slice-aware; .values is the UNSLICED child
             # (counts NULLs outside a sliced batch, ADVICE r16 #1)
             if q.null_count or q.flatten().null_count:
@@ -275,10 +309,7 @@ def _arrow_lsh_base(
                 )
             proj = qm @ smat  # exact: int64 inputs, bounded by `limit`
             bucket = ((proj > 0) * weights).sum(axis=1)
-            arrays = [
-                batch.column(0),
-                batch.column(1),
-                batch.column(2),
+            arrays = [batch.column(i) for i in range(n_passthrough)] + [
                 pa.array(bucket.astype(np.int64)),
             ]
             if with_flip:
@@ -290,8 +321,14 @@ def _arrow_lsh_base(
 
     prepared = df.select(
         F.col(id_col).alias("vec_id"),
-        as_double(F.col(vec_col)).alias("v"),
-        norm(as_double(F.col(vec_col))).alias("vn"),
+        *(
+            [
+                as_double(F.col(vec_col)).alias("v"),
+                norm(as_double(F.col(vec_col))).alias("vn"),
+            ]
+            if emit_vectors
+            else []
+        ),
         quantize_vec(F.col(vec_col)).alias("__q"),
     )
     return prepared.mapInArrow(run, out_schema)
@@ -307,7 +344,7 @@ def lsh_topk(
     max_bucket_size: int | None = None,
     target_bucket_size: int | None = None,
     n_rows: int | None = None,
-    bucket_assign: str = "expr",
+    bucket_assign: str = "auto",
 ) -> DataFrame:
     """Approximate top-k: exact cosine ranking *within* each LSH bucket.
 
@@ -329,23 +366,31 @@ def lsh_topk(
     candidates per bucket. None disables the cap (exact within-bucket
     semantics — the oracle-checked mode). ``n_rows`` is the
     cached-statistics path: when the catalog knows the corpus size,
-    sizing runs with no count() action."""
+    sizing runs with no count() action — and the same stat feeds
+    ``bucket_assign="auto"``'s row×plane knee
+    (:func:`_resolve_bucket_assign`; stat-less auto keeps the
+    expression form)."""
     if target_bucket_size is not None:
-        planes = derive_planes(
-            n_rows if n_rows is not None else df.count(), target_bucket_size
-        )
+        if n_rows is None:
+            # the sizing count doubles as the auto knee's stat — once
+            # paid, never re-derived
+            n_rows = df.count()
+        planes = derive_planes(n_rows, target_bucket_size)
     if planes is None:
         raise ValueError("pass planes or target_bucket_size")
-    if bucket_assign not in ("expr", "arrow"):
+    if bucket_assign not in ("expr", "arrow", "auto"):
         raise ValueError(
-            f"bucket_assign must be 'expr' or 'arrow', got {bucket_assign!r}"
+            "bucket_assign must be 'expr', 'arrow' or 'auto', got "
+            f"{bucket_assign!r}"
         )
-    # `bucket_assign="arrow"` (round 16, dark — the executed default is
-    # the verbatim expression form): the base projection's bucket ids
-    # come from _arrow_lsh_base's exact int64 matmul instead of
-    # `planes` interpreted long folds per row; everything downstream
-    # (cap, candidate join, exact cosine rank) is identical.
-    if bucket_assign == "arrow":
+    # the base projection's PHYSICAL form (round 17 flip of the round-16
+    # dark twin): "arrow" computes bucket ids with _arrow_lsh_base's
+    # exact int64 matmul instead of `planes` interpreted long folds;
+    # "auto" (the default) resolves on the measured row×plane knee when
+    # a catalog stat is offered and keeps the expression form otherwise.
+    # Everything downstream (cap, candidate join, exact cosine rank) is
+    # identical, and bucket ids are bit-equal by integer associativity.
+    if _resolve_bucket_assign(bucket_assign, n_rows, planes) == "arrow":
         base = _arrow_lsh_base(df, id_col, vec_col, planes, dims)
     else:
         base = df.select(
@@ -401,7 +446,7 @@ def multiprobe_lsh_topk(
     k: int = 3,
     target_bucket_size: int | None = None,
     n_rows: int | None = None,
-    bucket_assign: str = "expr",
+    bucket_assign: str = "auto",
 ) -> DataFrame:
     """Multi-probe sign-LSH top-k (Lv et al.): each query probes its own
     bucket AND the bucket reached by flipping the plane it is closest to
@@ -421,20 +466,26 @@ def multiprobe_lsh_topk(
     from the corpus size exactly as in ``lsh_topk`` — the scale mode that
     avoids the measured fixed-plane cliff (docs/SCALE.md §64x stretch);
     ``n_rows`` is the cached-statistics path that skips the sizing
-    count() when a catalog already knows the corpus size.
+    count() when a catalog already knows the corpus size — and feeds
+    ``bucket_assign="auto"``'s row×plane knee
+    (:func:`_resolve_bucket_assign`).
 
     Returns (query_id, neighbor_id, cosine_sim, rank).
     """
     if target_bucket_size is not None:
-        planes = derive_planes(
-            n_rows if n_rows is not None else df.count(), target_bucket_size
-        )
+        if n_rows is None:
+            # the sizing count doubles as the auto knee's stat — once
+            # paid, never re-derived
+            n_rows = df.count()
+        planes = derive_planes(n_rows, target_bucket_size)
     if planes is None:
         raise ValueError("pass planes or target_bucket_size")
-    if bucket_assign not in ("expr", "arrow"):
+    if bucket_assign not in ("expr", "arrow", "auto"):
         raise ValueError(
-            f"bucket_assign must be 'expr' or 'arrow', got {bucket_assign!r}"
+            "bucket_assign must be 'expr', 'arrow' or 'auto', got "
+            f"{bucket_assign!r}"
         )
+    bucket_assign = _resolve_bucket_assign(bucket_assign, n_rows, planes)
     projs = lsh_projection_exprs(F.col("__q"), planes, dims)
     bucket = F.lit(0).cast("long")
     for p, proj in enumerate(projs):
@@ -453,10 +504,11 @@ def multiprobe_lsh_topk(
     )["p"]
     # 2^flip is exact in double for flip < 2^53's range (planes <= 30)
     probe = F.col("bucket").bitwiseXOR(F.pow(F.lit(2.0), F.col("flip")).cast("long"))
-    # bucket_assign="arrow" (round 16, dark): bucket AND flip plane from
-    # the int64-matmul twin — margins are exact integers and numpy's
-    # first-occurrence argmin is the fold's (|a|, p) lexicographic min,
-    # so probe choice is bit-equal. Default keeps the expression plan.
+    # bucket_assign="arrow" (round 16; auto-resolvable since round 17):
+    # bucket AND flip plane from the int64-matmul twin — margins are
+    # exact integers and numpy's first-occurrence argmin is the fold's
+    # (|a|, p) lexicographic min, so probe choice is bit-equal. A
+    # stat-less auto keeps the expression plan.
     if bucket_assign == "arrow":
         base = _arrow_lsh_base(
             df, id_col, vec_col, planes, dims, with_flip=True
@@ -1306,6 +1358,51 @@ _AUTO_ARROW_MIN_NK = 16_000_000
 #: sits at the lowest PROVEN win point (1.4M), same philosophy as the
 #: flat constant — never inside the mixed zone below it.
 _AUTO_ARROW_MIN_NK_HIER = 1_400_000
+
+#: Sign-LSH bucket assignment's crossover, in (row × plane) projection
+#: units — the knee for ``bucket_assign="auto"`` on ``lsh_topk`` /
+#: ``multiprobe_lsh_topk`` / ``lsh_bucket_assignments``. Measured
+#: round 16 (docs/SCALE.md, the ``lsh_bucket_ab`` battery, identical
+#: ``sum(bucket)`` checksums across arms): at 1× (2k rows × 5 planes =
+#: 10k projections) the expression form and the int64-matmul twin TIE
+#: (scan-dominated); at 16× (32k × 9 = 288k) the twin wins 2.3×
+#: (2.74 s → 1.2 s); at 64× (128k × 11 = 1.4M) 2.1× (4.4 s → 2.1 s).
+#: The threshold sits at the lowest PROVEN win point (288k), same
+#: philosophy as the flat/hier nK constants — never inside the mixed
+#: zone. The bench corpus (sf0.1: 2,000 rows × 8 planes = 16k) stays
+#: three-plus decades under it, so every registered demo keeps the
+#: verbatim expression plan; a 100 TB corpus with catalog stats
+#: (10⁹⁺ rows × ~20 planes) crosses it immediately.
+_AUTO_ARROW_MIN_NP_LSH = 288_000
+
+
+def _resolve_bucket_assign(
+    bucket_assign: str,
+    n_rows: int | None,
+    planes: int,
+    min_np: int = _AUTO_ARROW_MIN_NP_LSH,
+) -> str:
+    """Resolve ``bucket_assign="auto"`` to ``"expr"`` or ``"arrow"`` on
+    the measured (row × plane) crossover (:data:`_AUTO_ARROW_MIN_NP_LSH`).
+    Explicit modes pass through untouched. Without ``n_rows`` (no
+    catalog stat offered) auto NEVER counts the corpus — it stays on
+    the expression form, which is plan-shape-safe at any scale (both
+    forms are map-only; the expression form only loses interpreted
+    fold time in the large-corpus regime, never exchange structure).
+    Bucket ids are bit-equal by integer associativity
+    (:func:`_arrow_lsh_base`), so resolution can never change results.
+
+    The same validate-don't-guess asymmetry as :func:`_resolve_assign`
+    applies: the arrow twin REJECTS NULL-component / ragged /
+    overflow-magnitude vectors where the expression form zero-buckets
+    them — a corpus that may carry such vectors should force
+    ``bucket_assign="expr"`` (or clean first) rather than rely on auto
+    past the knee."""
+    if bucket_assign != "auto":
+        return bucket_assign
+    if n_rows is not None and n_rows * planes >= min_np:
+        return "arrow"
+    return "expr"
 
 
 def _resolve_assign(
