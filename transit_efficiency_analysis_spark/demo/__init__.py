@@ -97,23 +97,27 @@ _DEMO_MODULES = [
 # results were just recorded" (grace: newest artifact == window and
 # 50/50 green) from "rotation skipped" (artifacts newer than the
 # window's target round) — the ADVICE r11 medium item.
-_WINDOW_ROUND = 16
+_WINDOW_ROUND = 17
 
-# Round-16 window (docs/ROUND15.md precomputed the arithmetic; VERDICT
-# r15 confirmed it against the artifacts: 46 forced r11-era rows + 4
-# genuinely free slots). Nothing in this window changed implementation
-# this round — round 16's code work (the parquet_rows n_rows threading,
-# the manifest commit-backend interface, the MinHash signature arrow
-# twin, the three ADVICE r15 fixes) is either plan-pinned-identical on
-# the demo path (test_assign_auto's fold pins are the gate the VERDICT
-# names for the threading), scoped to manifest-protocol functions the
-# symlink-protocol demo never executes, or dark behind a non-default
-# parameter (standing dark-ship exemption, ADVICE r13). The demos whose
-# executed Python changed by the n_rows threading (the 3 IVF + 2
-# SemDeDup call sites) are re-verified locally via tools/verify_local.py
-# this round and take 5 of round 17's 8 free slots (precomputed in
-# docs/ROUND16.md) — their plans are pinned unchanged, so the driver
-# re-check is confirmation, not discovery.
+# Round-17 window (docs/ROUND16.md precomputed the arithmetic; VERDICT
+# r16 confirmed it against the artifacts: 42 forced r12-era rows + 8
+# free slots). The 8 free slots:
+# - 4 pre-committed (ROUND16.md §3 / VERDICT r16 #1): the IVF/SemDeDup
+#   demos whose executed Python gained the parquet_rows n_rows
+#   threading in round 16 (plans pinned fold-identical; the driver row
+#   is confirmation, not discovery).
+# - 3 for the sign-LSH auto-knee flip (VERDICT r16 #3): bucket_assign
+#   defaults to "auto" this round and the five LSH demos thread
+#   n_rows; the three demos with the STALEST rows (r14/r15 tiers) take
+#   slots now. The two r16-fresh LSH demos whose executed Python also
+#   changed (q_sim_lsh_topk_derived, q_sim_lsh_recall) are re-verified
+#   locally this round (tools/verify_local.py 6/6) with plan pins
+#   (test_registered_lsh_demos_plan_pure_jvm_at_gate_scale) and are
+#   PRE-COMMITTED to 2 of round 18's 3 free slots (docs/ROUND17.md).
+# - 1 for q_dedup_semantic_hier (VERDICT r16 #4): its demo call site
+#   now passes n_rows=parquet_rows(...); hier auto resolves to the
+#   fold at gate scale (4k envelope dots vs the 1.4M knee), so the
+#   plan is pinned unchanged.
 #
 # Dark-ship exemption (standing policy, ADVICE r13): an engine-side
 # branch shipped behind a non-default parameter whose default takes the
@@ -121,74 +125,69 @@ _WINDOW_ROUND = 16
 # it lands; it takes one the round its DEFAULT flips (the oracle is
 # mirrored then too). Each exemption must be (a) named in ROUNDn.md,
 # (b) re-verified locally via tools/verify_local.py the round it lands,
-# and (c) scheduled for a real slot at its flip. Round 16's exemption:
-# the MinHash signature mapInArrow twin (assign-style opt-in on
-# minhash_signatures; default keeps the expression form verbatim).
+# and (c) scheduled for a real slot at its flip. Round 16's sign-LSH
+# int64-matmul twin takes its slots THIS round (the flip round); the
+# MinHash signature twin's flip was measured and REJECTED (ROUND16.md
+# §5), so no slot is ever owed for it.
 _WINDOW_FRONT = [
-    # The 4 free slots: r12-tier early start (taking 4 now leaves round
-    # 17 at 42 forced + 8 free — incident slack where the r15 red row
-    # showed it's needed). Selection rule: the r12-era rows most
-    # adjacent to files this round touches (similarity.py: ADVICE r15
-    # fixes; dedup.py: the MinHash arrow twin; operators/upsert.py: the
-    # manifest commit-backend interface) so the re-verification also
-    # exercises the changed files' untouched paths.
-    "q_sim_int8_quantize",
-    "q_dedup_minhash_banded",
-    "q_upsert_cond",
-    "q_upsert_ignore",
+    "q_sim_ivf_topk",
+    "q_sim_ivf_lloyd_topk",
+    "q_sim_ivf_pq_topk",
+    "q_dedup_semantic",
+    "q_sim_lsh_buckets",
+    "q_sim_lsh_topk",
+    "q_sim_lsh_multiprobe_topk",
+    "q_dedup_semantic_hier",
 ]
 
 # Prior-green re-verification filler, least-recently-verified first:
-# the 46 r11-era rows (latest driver row CORRECTNESS_r11 — exactly one
-# rotation cycle old at round 16; check_window R3 lists exactly this
-# set, and docs/ROUND15.md precomputed it).
+# the 42 r12-era rows (latest green driver row CORRECTNESS_r12 —
+# exactly one rotation cycle old at round 17; check_window R3 lists
+# exactly this set, and docs/ROUND16.md precomputed it: the 46-row
+# r12 tier minus the 4 rows the round-16 window already refreshed).
 _WINDOW_FILLER: list[str] = [
-    "q_agg_dashboard_materialized",
-    "q_agg_incremental_maintenance",
-    "q_agg_mode",
-    "q_agg_share",
-    "q_approx_distinct",
-    "q_approx_quantiles",
-    "q_approx_topk_cms",
-    "q_clean_mad_outliers",
-    "q_clean_winsorize",
-    "q_corpus_prep_pipeline",
-    "q_events_attribution",
-    "q_events_funnel",
-    "q_events_retention",
-    "q_join_bloom_prefilter",
-    "q_join_incremental_maintenance",
-    "q_join_nullsafe",
-    "q_layout_zorder",
-    "q_multimodal_resize",
-    "q_retrieval_bm25",
-    "q_retrieval_hybrid_rrf",
-    "q_retrieval_tfidf",
-    "q_sample_split",
-    "q_sim_centroid_outliers",
-    "q_sim_lsh_recall",
-    "q_sim_lsh_topk_derived",
-    "q_sink_codec_zstd",
-    "q_sink_dynamic_overwrite",
-    "q_sink_jsonl",
-    "q_sink_schema_evolution",
-    "q_stats_regression",
-    "q_text_bpe_encode",
-    "q_text_bpe_merges",
-    "q_text_collocations",
-    "q_text_dup_span_removal",
-    "q_text_dup_spans",
-    "q_text_novelty",
-    "q_text_pack",
-    "q_text_pack_concat",
-    "q_text_vocab_coverage",
-    "q_topk_per_group",
-    "q_ts_gapfill_ffill",
-    "q_ts_now_audit",
-    "q_upsert_scd2_history",
-    "q_validate_expectations",
-    "q_window_ntile",
-    "q_window_ohlc",
+    "q_agg_dashboard",
+    "q_agg_salted_distinct",
+    "q_case_avg",
+    "q_case_bucket",
+    "q_case_diff",
+    "q_case_null",
+    "q_dedup_clusters_twophase",
+    "q_dedup_simhash_pairs_h3",
+    "q_dedup_window_latest",
+    "q_expr_cast",
+    "q_expr_math",
+    "q_filter_entity",
+    "q_filter_sentinel",
+    "q_graph_pagerank",
+    "q_graph_triangles",
+    "q_join_anti",
+    "q_join_diff",
+    "q_join_outer",
+    "q_join_semi",
+    "q_join_star",
+    "q_limit_topk",
+    "q_proj_concat",
+    "q_proj_rename",
+    "q_proj_select",
+    "q_rebuild_full",
+    "q_sample_temperature",
+    "q_set_except",
+    "q_set_intersect",
+    "q_set_union",
+    "q_stats_drift_tvd",
+    "q_stream_dup_screen",
+    "q_text_dup_spans_incremental",
+    "q_ts_date_parse",
+    "q_ts_dow_name",
+    "q_ts_gtfs_parse",
+    "q_ts_hour_local",
+    "q_ts_tz_localize",
+    "q_ts_unix",
+    "q_window_lag",
+    "q_window_ntile_approx",
+    "q_window_rank",
+    "q_window_running",
 ]
 
 _WINDOW = _WINDOW_FRONT + _WINDOW_FILLER
