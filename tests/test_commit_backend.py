@@ -278,3 +278,244 @@ def test_cas_backend_closes_the_reread_swap_window(spark, tmp_path, monkeypatch)
     rows = {r.key: int((r.ts - BASE).total_seconds() // 60)
             for r in out.collect()}
     assert rows[5] == 999
+
+
+# ---------------------------------------------------------------------------
+# Round 17 (VERDICT r16 #2): the CAS store promoted from test double to
+# shipped implementation — InMemoryCASManifestBackend enforces the
+# conditional-put contract (true rejection under a lock), and the full
+# merge/compaction/sweep battery runs through it.
+# ---------------------------------------------------------------------------
+
+from transit_efficiency_analysis_spark.operators.commit_backend import (  # noqa: E402
+    CommitConflictError,
+    InMemoryCASManifestBackend,
+)
+
+
+def test_shipped_cas_backend_conditional_put_contract(tmp_path):
+    """The S3/GCS conditional-put mapping, enforced: a swap whose
+    ``expected`` is stale raises, the stored manifest and its
+    generation are untouched, and an unconditional create works."""
+    be = InMemoryCASManifestBackend()
+    root = str(tmp_path)
+    assert not be.manifest_exists(root)
+    assert be.read_manifest(root) == {}
+    assert be.generation(root) == 0
+
+    be.swap_manifest(root, {0: 1}, expected=None)  # unconditional create
+    assert be.manifest_exists(root) and be.generation(root) == 1
+    snapshot = be.read_manifest(root)
+
+    # a concurrent writer advances bucket 0 from the same snapshot
+    be.swap_manifest(root, {0: 2}, expected=snapshot)
+    assert be.generation(root) == 2
+
+    # our commit, computed from the now-stale snapshot: TRUE rejection
+    with pytest.raises(CommitConflictError, match="conditional put failed"):
+        be.swap_manifest(root, {0: 3, 1: 1}, expected=snapshot)
+    assert be.read_manifest(root) == {0: 2}
+    assert be.generation(root) == 2  # the loser never advances the ETag
+
+    # matching precondition commits cleanly
+    be.swap_manifest(root, {0: 3}, expected=be.read_manifest(root))
+    assert be.read_manifest(root) == {0: 3} and be.generation(root) == 3
+
+
+def test_shipped_cas_backend_swap_is_atomic_under_threads(tmp_path):
+    """Exactly ONE of N racers sharing a read snapshot may win — the
+    lock makes read-compare-replace a single step (the property POSIX
+    os.replace cannot express and the reason the detector exists)."""
+    import threading
+
+    be = InMemoryCASManifestBackend()
+    root = str(tmp_path)
+    be.swap_manifest(root, {0: 1}, expected=None)
+    snapshot = be.read_manifest(root)
+    outcomes: list[str] = []
+    barrier = threading.Barrier(8)
+
+    def racer(i):
+        barrier.wait()
+        try:
+            be.swap_manifest(root, {0: 100 + i}, expected=snapshot)
+            outcomes.append("won")
+        except CommitConflictError:
+            outcomes.append("lost")
+
+    threads = [threading.Thread(target=racer, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert outcomes.count("won") == 1 and outcomes.count("lost") == 7
+    assert be.generation(root) == 2
+
+
+def test_shipped_cas_backend_is_per_instance_like_a_fake_store(tmp_path):
+    """Two instances are two stores (the fake-object-store scope the
+    docstring declares) — no cross-talk through module globals."""
+    root = str(tmp_path)
+    a, b = InMemoryCASManifestBackend(), InMemoryCASManifestBackend()
+    a.swap_manifest(root, {0: 1}, expected=None)
+    assert a.manifest_exists(root)
+    assert not b.manifest_exists(root)
+
+
+def test_full_protocol_battery_through_shipped_cas_backend(
+    spark, tmp_path, monkeypatch
+):
+    """create → merge → compact → sweep end-to-end with the CAS backend
+    installed: same final state as the POSIX default, every commit
+    carrying its precondition through a backend that would reject a
+    stale one."""
+    state_default, _ = _run_protocol(spark, str(tmp_path / "tbl_posix"))
+    be = InMemoryCASManifestBackend()
+    monkeypatch.setattr(U, "_COMMIT_BACKEND", be)
+    state_cas, _ = _run_protocol(spark, str(tmp_path / "tbl_cas"))
+    assert state_cas == state_default
+    assert state_cas[5] == 999 and 21 not in state_cas
+
+
+def test_merge_vs_merge_disjoint_sequential_both_survive_under_cas(
+    spark, tmp_path, monkeypatch
+):
+    """Sequential disjoint-bucket merges (the common non-racing case)
+    must be unaffected by enforcement: each commit's re-read snapshot
+    matches, both land, both survive."""
+    be = InMemoryCASManifestBackend()
+    monkeypatch.setattr(U, "_COMMIT_BACKEND", be)
+    target = str(tmp_path / "tbl")
+    U.merge_into_partitioned(
+        target,
+        spark.createDataFrame(_mk_rows([(k, k, 1) for k in range(20)]), SCHEMA),
+        keys=["key"], order_by=["ts", "seq"], num_buckets=4, commit="manifest",
+    )
+    gen_after_create = be.generation(target)
+    U.merge_into_partitioned(
+        target, spark.createDataFrame(_mk_rows([(4, 444, 9)]), SCHEMA),
+        keys=["key"], order_by=["ts", "seq"], num_buckets=4, commit="manifest",
+    )
+    U.merge_into_partitioned(
+        target, spark.createDataFrame(_mk_rows([(5, 555, 9)]), SCHEMA),
+        keys=["key"], order_by=["ts", "seq"], num_buckets=4, commit="manifest",
+    )
+    rows = {r.key: int((r.ts - BASE).total_seconds() // 60)
+            for r in U.read_partitioned(spark, target).collect()}
+    assert rows[4] == 444 and rows[5] == 555 and len(rows) == 20
+    assert be.generation(target) == gen_after_create + 2
+
+
+class _RacingCAS(InMemoryCASManifestBackend):
+    """The shipped CAS backend with a competitor injected INSIDE the
+    re-read→swap gap of the first guarded commit — the residual window
+    the POSIX detector documents. Enforcement (not detection) is what
+    rejects the loser here: the competitor's commit lands after the
+    caller's conflict re-read, so the protocol's own detector has
+    already passed."""
+
+    def __init__(self, compete):
+        super().__init__()
+        self.compete = compete
+        self.raced = False
+        self.armed = False  # set True after the table-create merge
+
+    def swap_manifest(self, root, manifest, expected=None):
+        if self.armed and expected is not None and not self.raced:
+            self.raced = True
+            super().swap_manifest(root, self.compete(self.read_manifest(root)))
+        super().swap_manifest(root, manifest, expected=expected)
+
+
+def test_merge_vs_merge_race_true_cas_rejection(spark, tmp_path, monkeypatch):
+    """Merge-vs-merge through the REAL merge path with the SHIPPED CAS
+    backend: a competitor advancing a DIFFERENT bucket inside the
+    re-read→swap gap — invisible to the touched-bucket detector — is
+    rejected by the conditional put, the competitor's state survives,
+    and a rerun converges (carrying the competitor's rows forward)."""
+    target = str(tmp_path / "tbl")
+    b5 = (
+        spark.createDataFrame([(5,)], "key long")
+        .select(U._bucket_expr(["key"], 4).alias("b"))
+        .collect()[0]
+        .b
+    )
+    spare = max(set(range(4)) - {b5})
+
+    def compete(current):
+        # another merge's commit: a REAL new version of the spare
+        # bucket (same rows, next version id), published then committed
+        import shutil
+
+        out = dict(current)
+        v = out.get(spare, 0)
+        src = be.version_path(target, spare, v)
+        shutil.copytree(src, be.version_path(target, spare, v + 1))
+        out[spare] = v + 1
+        return out
+
+    be = _RacingCAS(compete)
+    monkeypatch.setattr(U, "_COMMIT_BACKEND", be)
+    U.merge_into_partitioned(
+        target,
+        spark.createDataFrame(_mk_rows([(k, k, 1) for k in range(20)]), SCHEMA),
+        keys=["key"], order_by=["ts", "seq"], num_buckets=4, commit="manifest",
+    )
+    be.armed = True
+    with pytest.raises(CommitConflictError, match="conditional put failed"):
+        U.merge_into_partitioned(
+            target, spark.createDataFrame(_mk_rows([(5, 999, 7)]), SCHEMA),
+            keys=["key"], order_by=["ts", "seq"], num_buckets=4,
+            commit="manifest",
+        )
+    # the competitor's manifest is the stored one; the loser's staged
+    # dirs are sweepable orphans; the rerun lands cleanly
+    assert be.read_manifest(target)[spare] >= 1
+    out = U.merge_into_partitioned(
+        target, spark.createDataFrame(_mk_rows([(5, 999, 7)]), SCHEMA),
+        keys=["key"], order_by=["ts", "seq"], num_buckets=4, commit="manifest",
+    )
+    rows = {r.key: int((r.ts - BASE).total_seconds() // 60)
+            for r in out.collect()}
+    assert rows[5] == 999
+
+
+def test_merge_vs_compaction_race_true_cas_rejection(
+    spark, tmp_path, monkeypatch
+):
+    """Merge-vs-compaction with the SHIPPED CAS backend: a
+    compaction-style bucket drop landing inside the gap rejects the
+    merge, reads resolve the compacted state, and the rerun converges."""
+    target = str(tmp_path / "tbl")
+
+    def compete(current):
+        out = dict(current)
+        out.pop(max(out), None)  # a compaction dropped its last bucket
+        return out
+
+    be = _RacingCAS(compete)
+    monkeypatch.setattr(U, "_COMMIT_BACKEND", be)
+    U.merge_into_partitioned(
+        target,
+        spark.createDataFrame(_mk_rows([(k, k, 1) for k in range(20)]), SCHEMA),
+        keys=["key"], order_by=["ts", "seq"], num_buckets=4, commit="manifest",
+    )
+    be.armed = True
+    with pytest.raises(CommitConflictError, match="conditional put failed"):
+        U.merge_into_partitioned(
+            target, spark.createDataFrame(_mk_rows([(5, 999, 7)]), SCHEMA),
+            keys=["key"], order_by=["ts", "seq"], num_buckets=4,
+            commit="manifest",
+        )
+    rows = {r.key: int((r.ts - BASE).total_seconds() // 60)
+            for r in U.read_partitioned(spark, target).collect()}
+    assert len(rows) < 20  # the compaction's drop is what reads resolve
+    if 5 in rows:
+        assert rows[5] == 5  # the loser's 999 never landed
+    out = U.merge_into_partitioned(
+        target, spark.createDataFrame(_mk_rows([(5, 999, 7)]), SCHEMA),
+        keys=["key"], order_by=["ts", "seq"], num_buckets=4, commit="manifest",
+    )
+    rows = {r.key: int((r.ts - BASE).total_seconds() // 60)
+            for r in out.collect()}
+    assert rows[5] == 999

