@@ -450,7 +450,23 @@ def main() -> int:
                 "vec_id", "bucket"
             )
 
-        for mode, fn in (("expr", _bk_expr), ("arrow", _bk_arrow)):
+        # round 17: the SHIPPED path — bucket_assign="auto" resolving on
+        # the row×plane knee, through the bucket-only twin
+        # (emit_vectors=False: no vectors cross the Arrow boundary)
+        from transit_efficiency_analysis_spark.operators.similarity import (
+            lsh_bucket_assignments,
+        )
+
+        def _bk_auto(d: DataFrame, n: int) -> DataFrame:
+            return lsh_bucket_assignments(
+                d, planes=None, dims=64, target_bucket_size=64, n_rows=n
+            )
+
+        for mode, fn in (
+            ("expr", _bk_expr),
+            ("arrow", _bk_arrow),
+            ("auto", _bk_auto),
+        ):
             t0 = time.time()
             a1 = fn(embs_1, n1).agg(F.sum("bucket"), F.count("*")).collect()[0]
             t1 = time.time() - t0
@@ -505,6 +521,40 @@ def main() -> int:
         results["derived_planes_occupancy"] = {"target": target, **occ}
         print(f"# derived_planes: target {target} -> mean bucket "
               f"1x {occ['1x']['mean_bucket']} vs {copies}x {occ['Nx']['mean_bucket']}",
+              file=sys.stderr)
+
+    # Round-17 s-curve series (VERDICT r16 #7): rows_per_band r=1 vs
+    # r=2 on the SAME corpus/bands/threshold. r=2 requires BOTH of a
+    # band's families to agree before a pair becomes a candidate —
+    # collision probability s^r per band — slashing low-similarity
+    # candidate mass BEFORE the |candidates| exact-Jaccard verify join.
+    # Recorded per arm: wall time, verified pair count, and the actual
+    # pair SET so the arms' agreement above threshold is a measured
+    # fact, not theory (near-dup corpora sit far above s=0.5, where
+    # 1-(1-s^r)^b keeps recall ~1; threshold-boundary pairs are where
+    # r=2 may trade recall — any difference prints).
+    if want("minhash_scurve"):
+        sc_sets: dict[int, set] = {}
+        for r in (1, 2):
+            t0 = time.time()
+            got = minhash_lsh_pairs(
+                docs_n, "doc_id", "text", threshold=0.5, rows_per_band=r
+            ).collect()
+            tr = time.time() - t0
+            sc_sets[r] = {(row.doc_a, row.doc_b) for row in got}
+            results[f"minhash_scurve_r{r}"] = {
+                "t": round(tr, 2), "pairs": len(sc_sets[r]),
+            }
+            print(f"# minhash_scurve_r{r}: {copies}x {tr:.1f}s "
+                  f"({len(sc_sets[r])} pairs)", file=sys.stderr)
+            spark.catalog.clearCache()  # drop the reuse persist between arms
+        only1, only2 = sc_sets[1] - sc_sets[2], sc_sets[2] - sc_sets[1]
+        results["minhash_scurve_agreement"] = {
+            "common": len(sc_sets[1] & sc_sets[2]),
+            "only_r1": len(only1), "only_r2": len(only2),
+        }
+        print(f"# minhash_scurve agreement: {len(sc_sets[1] & sc_sets[2])} "
+              f"common, {len(only1)} only-r1, {len(only2)} only-r2",
               file=sys.stderr)
 
     # Boilerplate-storm scenario: a shared marker shingle in EVERY doc
