@@ -519,3 +519,133 @@ def test_merge_vs_compaction_race_true_cas_rejection(
     rows = {r.key: int((r.ts - BASE).total_seconds() // 60)
             for r in out.collect()}
     assert rows[5] == 999
+
+
+# ---------------------------------------------------------------------------
+# Round 17: merge_with_retry — Delta-style optimistic concurrency over
+# both conflict flavors (protocol detector + CAS conditional put).
+# ---------------------------------------------------------------------------
+
+
+class _ConflictNTimesCAS(InMemoryCASManifestBackend):
+    """Shipped CAS backend that loses the race exactly ``n`` times:
+    each of the first n guarded swaps is preceded by a competitor
+    commit (a real published version dir), then the race clears."""
+
+    def __init__(self, n, target):
+        super().__init__()
+        self.n = n
+        self.target = target
+        self.armed = False
+        self.conflicts_injected = 0
+
+    def swap_manifest(self, root, manifest, expected=None):
+        if self.armed and expected is not None and self.conflicts_injected < self.n:
+            import shutil
+
+            self.conflicts_injected += 1
+            current = self.read_manifest(root)
+            b = max(current)
+            v = current[b]
+            shutil.copytree(
+                self.version_path(self.target, b, v),
+                self.version_path(self.target, b, v + 1),
+            )
+            current[b] = v + 1
+            super().swap_manifest(root, current)
+        super().swap_manifest(root, manifest, expected=expected)
+
+
+def test_merge_with_retry_converges_after_cas_conflicts(
+    spark, tmp_path, monkeypatch
+):
+    """Two injected CAS losses, then convergence: the third attempt's
+    recompute sees the winners' state and lands the batch — bounded
+    retries, correct final rows, orphans sweepable."""
+    target = str(tmp_path / "tbl")
+    U.merge_into_partitioned(
+        target,
+        spark.createDataFrame(_mk_rows([(k, k, 1) for k in range(20)]), SCHEMA),
+        keys=["key"], order_by=["ts", "seq"], num_buckets=4, commit="manifest",
+    )
+    be = _ConflictNTimesCAS(2, target)
+    monkeypatch.setattr(U, "_COMMIT_BACKEND", be)
+    # seed the CAS store with the POSIX-committed state so reads resolve
+    be.swap_manifest(target, PosixManifestBackend().read_manifest(target))
+    be.armed = True
+    out = U.merge_with_retry(
+        target, spark.createDataFrame(_mk_rows([(5, 999, 7)]), SCHEMA),
+        keys=["key"], order_by=["ts", "seq"], num_buckets=4, commit="manifest",
+    )
+    rows = {r.key: int((r.ts - BASE).total_seconds() // 60)
+            for r in out.collect()}
+    assert rows[5] == 999 and len(rows) == 20
+    assert be.conflicts_injected == 2
+    assert U.sweep_orphans(target), "failed attempts should leave orphans"
+
+
+def test_merge_with_retry_bounded_then_raises(spark, tmp_path, monkeypatch):
+    """A persistently-hot table exhausts the bounded retries and the
+    last conflict propagates (never an infinite loop)."""
+    target = str(tmp_path / "tbl")
+    U.merge_into_partitioned(
+        target,
+        spark.createDataFrame(_mk_rows([(k, k, 1) for k in range(20)]), SCHEMA),
+        keys=["key"], order_by=["ts", "seq"], num_buckets=4, commit="manifest",
+    )
+    be = _ConflictNTimesCAS(99, target)
+    monkeypatch.setattr(U, "_COMMIT_BACKEND", be)
+    be.swap_manifest(target, PosixManifestBackend().read_manifest(target))
+    be.armed = True
+    with pytest.raises(CommitConflictError, match="conditional put failed"):
+        U.merge_with_retry(
+            target, spark.createDataFrame(_mk_rows([(5, 999, 7)]), SCHEMA),
+            keys=["key"], order_by=["ts", "seq"], num_buckets=4,
+            commit="manifest", retries=2,
+        )
+    assert be.conflicts_injected == 3  # initial attempt + 2 retries
+
+
+def test_merge_with_retry_covers_detector_conflicts(spark, tmp_path):
+    """The protocol's own touched-bucket detector (POSIX backend, no
+    CAS) raises ConcurrentWriteError; merge_with_retry recomputes and
+    converges carrying BOTH writers' rows."""
+    target = str(tmp_path / "tbl")
+    U.merge_into_partitioned(
+        target,
+        spark.createDataFrame(_mk_rows([(k, k, 1) for k in range(20)]), SCHEMA),
+        keys=["key"], order_by=["ts", "seq"], num_buckets=4, commit="manifest",
+    )
+    # the competitor must write to the SAME bucket the loser touches,
+    # else the touched-bucket detector (correctly) lets both commits land
+    buckets = {
+        r.key: r.b
+        for r in spark.createDataFrame([(k,) for k in range(20)], "key long")
+        .select("key", U._bucket_expr(["key"], 4).alias("b"))
+        .collect()
+    }
+    rival = next(k for k in range(20) if k != 6 and buckets[k] == buckets[6])
+    attempts = []
+
+    def competing_commit():
+        # a real competing merge to the same bucket lands inside the
+        # loser's merge window (before its conflict re-read) — the
+        # detector, not CAS, rejects; fires only on the first attempt
+        attempts.append(1)
+        if len(attempts) == 1:
+            U.merge_into_partitioned(
+                target,
+                spark.createDataFrame(_mk_rows([(rival, 555, 6)]), SCHEMA),
+                keys=["key"], order_by=["ts", "seq"], num_buckets=4,
+                commit="manifest",
+            )
+
+    out = U.merge_with_retry(
+        target, spark.createDataFrame(_mk_rows([(6, 666, 7)]), SCHEMA),
+        keys=["key"], order_by=["ts", "seq"], num_buckets=4,
+        commit="manifest", _before_commit=competing_commit,
+    )
+    rows = {r.key: int((r.ts - BASE).total_seconds() // 60)
+            for r in out.collect()}
+    assert len(attempts) == 2  # first attempt lost to the detector
+    assert rows[6] == 666 and rows[rival] == 555  # both writers survive
