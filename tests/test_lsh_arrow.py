@@ -6,8 +6,10 @@ The twin consumes the SAME JVM-side exact quantization
 (``quantize_vec``) and replaces only the fold arithmetic with one
 int64 matmul — integer addition is associative, so no evaluation order
 can flip a sign (the property the DECIMAL quantization protects).
-Dark: the executed default (and the headline demo) keeps the verbatim
-expression plan."""
+Round 17 flipped the default to ``bucket_assign="auto"``: stat-less
+callers (and every registered demo at gate/bench corpus sizes) keep
+the verbatim expression plan; a corpus stat past the measured 288k
+row-plane knee resolves to the twin (``_resolve_bucket_assign``)."""
 
 from __future__ import annotations
 
@@ -280,3 +282,28 @@ def test_twin_rejects_plane_overflow(spark):
     )
     with pytest.raises(ValueError, match="max 62"):
         _arrow_lsh_base(d, "vec_id", "embedding", 63, 4)
+
+
+def test_derived_mode_sizing_count_feeds_the_knee(spark):
+    """A stat-less derived-planes caller pays one sizing count(); that
+    count doubles as the auto knee's stat, so a corpus past the knee
+    plans the matmul twin WITHOUT the caller ever passing n_rows (the
+    production path bench_scale's 16x/64x derived cells measure).
+    Plan-only — nothing is collected."""
+    from pyspark.sql import functions as F
+
+    # 32,000 rows x derive_planes(32000, 64) = 9 planes = 288k row-planes
+    # — exactly the knee (the 16x proven-win point)
+    d = spark.range(32_000).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") % (i + 3)).cast("double") for i in range(8)]).alias(
+            "embedding"
+        ),
+    )
+    df = lsh_topk(d, planes=None, dims=8, k=3, target_bucket_size=64)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan
+    # same corpus, explicit stat BELOW the knee: expression form
+    df2 = lsh_topk(d, planes=8, dims=8, k=3, n_rows=2_000)
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" not in plan2 and "Python" not in plan2
