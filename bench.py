@@ -188,7 +188,15 @@ def _cpu_snapshot() -> tuple[float, float] | None:
         with open("/proc/stat") as f:
             parts = f.readline().split()
         vals = [int(x) for x in parts[1:]]
-        busy = (sum(vals) - vals[3] - (vals[4] if len(vals) > 4 else 0)) / tick
+        # busy = everything except idle+iowait, MINUS guest/guest_nice
+        # (fields 9/10): the kernel already folds guest time into
+        # user/nice, so summing them too would double-count a
+        # co-tenant VM's CPU and over-flag contamination (review r17)
+        busy = (
+            sum(vals[:8])  # user nice system idle iowait irq softirq steal
+            - vals[3]
+            - (vals[4] if len(vals) > 4 else 0)
+        ) / tick
         stats: dict[int, tuple[int, float]] = {}
         for pid in os.listdir("/proc"):
             if not pid.isdigit():
@@ -196,13 +204,16 @@ def _cpu_snapshot() -> tuple[float, float] | None:
             try:
                 with open(f"/proc/{pid}/stat") as f:
                     line = f.read()
-            except OSError:  # process exited mid-walk
+                # comm may contain spaces/parens — split after LAST ')'
+                rest = line.rsplit(")", 1)[1].split()
+                # rest[0]=state, [1]=ppid, [11..14]=utime stime cutime cstime
+                cpu = sum(int(rest[i]) for i in (11, 12, 13, 14)) / tick
+                stats[int(pid)] = (int(rest[1]), cpu)
+            except (OSError, IndexError, ValueError):
+                # one torn/truncated entry (teardown race, hidepid)
+                # must not void the whole snapshot — the flag exists
+                # precisely for churning boxes (review r17)
                 continue
-            # comm may contain spaces/parens — split after the LAST ')'
-            rest = line.rsplit(")", 1)[1].split()
-            # rest[0]=state, [1]=ppid, [11..14]=utime stime cutime cstime
-            cpu = sum(int(rest[i]) for i in (11, 12, 13, 14)) / tick
-            stats[int(pid)] = (int(rest[1]), cpu)
         children: dict[int, list[int]] = {}
         for pid, (ppid, _) in stats.items():
             children.setdefault(ppid, []).append(pid)

@@ -307,3 +307,23 @@ def test_derived_mode_sizing_count_feeds_the_knee(spark):
     df2 = lsh_topk(d, planes=8, dims=8, k=3, n_rows=2_000)
     plan2 = df2._jdf.queryExecution().executedPlan().toString()
     assert "MapInArrow" not in plan2 and "Python" not in plan2
+
+
+def test_auto_never_routes_planes_over_62_into_the_twin(spark):
+    """planes=63 works on the expression form (max bucket 2^63-1 fits a
+    signed long) but the twin fail-fasts at its overflow guard; auto
+    with a past-knee stat must therefore keep the expression form —
+    the default flip may never turn a working call into an error
+    (review r17)."""
+    from transit_efficiency_analysis_spark.operators.similarity import (
+        _resolve_bucket_assign,
+    )
+
+    assert _resolve_bucket_assign("auto", 10**9, 63) == "expr"
+    d = spark.createDataFrame(
+        [(1, [1.0] * 4), (2, [0.5] * 4)], "vec_id long, embedding array<double>"
+    )
+    df = lsh_topk(d, planes=63, dims=4, k=1, n_rows=10**9)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" not in plan and "Python" not in plan
+    assert df.count() >= 0  # the expression form executes fine

@@ -547,7 +547,15 @@ def main() -> int:
             }
             print(f"# minhash_scurve_r{r}: {copies}x {tr:.1f}s "
                   f"({len(sc_sets[r])} pairs)", file=sys.stderr)
-            spark.catalog.clearCache()  # drop the reuse persist between arms
+            # drop the reuse persist between arms so r=2 cannot reuse
+            # r=1's cached shingle relation (same canonicalized plan)
+            # — then RE-WARM the module-level docs/embs caches, which
+            # clearCache also dropped: without the re-warm, arm r=2
+            # (and every series after this one) re-reads parquet cold,
+            # biasing the A/B and inflating later families (review r17)
+            spark.catalog.clearCache()
+            docs.cache().count()
+            embs.cache().count()
         only1, only2 = sc_sets[1] - sc_sets[2], sc_sets[2] - sc_sets[1]
         results["minhash_scurve_agreement"] = {
             "common": len(sc_sets[1] & sc_sets[2]),

@@ -225,7 +225,7 @@ def minhash_lsh_pairs(
     instead of paying |candidates| Jaccard computations — the signature
     agg stays one pass (b×r min columns), the shuffle stays one row per
     (doc, band). Measured (round 17, docs/SCALE.md "MinHash s-curve"):
-    r=2 runs 2.2×/2.7× faster end-to-end at 16×/64× corpus scale with
+    r=2 runs 2.5×/3.1× faster end-to-end at 16×/64× corpus scale with
     the verified pair sets essentially identical on a near-dup corpus
     (pair similarity far above the threshold keeps 1-(1-s^r)^b ≈ 1).
 

@@ -136,6 +136,36 @@ def derive_planes(n_rows: int, target_bucket_size: int) -> int:
     return max(1, min(30, math.ceil(math.log2(max(n_rows / max(target_bucket_size, 1), 2.0)))))
 
 
+def _lsh_sizing(
+    df: DataFrame,
+    planes: int | None,
+    target_bucket_size: int | None,
+    n_rows: int | None,
+    bucket_assign: str,
+) -> tuple[int, int | None, str]:
+    """Shared preamble of the three sign-LSH entry points
+    (``lsh_bucket_assignments`` / ``lsh_topk`` / ``multiprobe_lsh_topk``;
+    factored in round 17 when the triplicated copies had to change in
+    lockstep): derive the plane count — paying at most ONE sizing
+    count(), which then doubles as the auto knee's stat — validate
+    ``bucket_assign``, and resolve ``"auto"`` on the row×plane knee.
+    Returns ``(planes, n_rows, resolved_mode)``."""
+    if target_bucket_size is not None:
+        if n_rows is None:
+            # the sizing count doubles as the auto knee's stat — once
+            # paid, never re-derived
+            n_rows = df.count()
+        planes = derive_planes(n_rows, target_bucket_size)
+    if planes is None:
+        raise ValueError("pass planes or target_bucket_size")
+    if bucket_assign not in ("expr", "arrow", "auto"):
+        raise ValueError(
+            "bucket_assign must be 'expr', 'arrow' or 'auto', got "
+            f"{bucket_assign!r}"
+        )
+    return planes, n_rows, _resolve_bucket_assign(bucket_assign, n_rows, planes)
+
+
 def lsh_bucket_assignments(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -165,20 +195,10 @@ def lsh_bucket_assignments(
     being a constant 2^8. When a table catalog already knows the row
     count, pass it as ``n_rows`` and no action runs (the
     cached-statistics path)."""
-    if target_bucket_size is not None:
-        if n_rows is None:
-            # the sizing count doubles as the auto knee's stat — once
-            # paid, never re-derived
-            n_rows = df.count()
-        planes = derive_planes(n_rows, target_bucket_size)
-    if planes is None:
-        raise ValueError("pass planes or target_bucket_size")
-    if bucket_assign not in ("expr", "arrow", "auto"):
-        raise ValueError(
-            "bucket_assign must be 'expr', 'arrow' or 'auto', got "
-            f"{bucket_assign!r}"
-        )
-    if _resolve_bucket_assign(bucket_assign, n_rows, planes) == "arrow":
+    planes, n_rows, bucket_assign = _lsh_sizing(
+        df, planes, target_bucket_size, n_rows, bucket_assign
+    )
+    if bucket_assign == "arrow":
         return _arrow_lsh_base(
             df, id_col, vec_col, planes, dims, emit_vectors=False
         )
@@ -370,19 +390,9 @@ def lsh_topk(
     ``bucket_assign="auto"``'s row×plane knee
     (:func:`_resolve_bucket_assign`; stat-less auto keeps the
     expression form)."""
-    if target_bucket_size is not None:
-        if n_rows is None:
-            # the sizing count doubles as the auto knee's stat — once
-            # paid, never re-derived
-            n_rows = df.count()
-        planes = derive_planes(n_rows, target_bucket_size)
-    if planes is None:
-        raise ValueError("pass planes or target_bucket_size")
-    if bucket_assign not in ("expr", "arrow", "auto"):
-        raise ValueError(
-            "bucket_assign must be 'expr', 'arrow' or 'auto', got "
-            f"{bucket_assign!r}"
-        )
+    planes, n_rows, bucket_assign = _lsh_sizing(
+        df, planes, target_bucket_size, n_rows, bucket_assign
+    )
     # the base projection's PHYSICAL form (round 17 flip of the round-16
     # dark twin): "arrow" computes bucket ids with _arrow_lsh_base's
     # exact int64 matmul instead of `planes` interpreted long folds;
@@ -390,7 +400,7 @@ def lsh_topk(
     # a catalog stat is offered and keeps the expression form otherwise.
     # Everything downstream (cap, candidate join, exact cosine rank) is
     # identical, and bucket ids are bit-equal by integer associativity.
-    if _resolve_bucket_assign(bucket_assign, n_rows, planes) == "arrow":
+    if bucket_assign == "arrow":
         base = _arrow_lsh_base(df, id_col, vec_col, planes, dims)
     else:
         base = df.select(
@@ -472,48 +482,43 @@ def multiprobe_lsh_topk(
 
     Returns (query_id, neighbor_id, cosine_sim, rank).
     """
-    if target_bucket_size is not None:
-        if n_rows is None:
-            # the sizing count doubles as the auto knee's stat — once
-            # paid, never re-derived
-            n_rows = df.count()
-        planes = derive_planes(n_rows, target_bucket_size)
-    if planes is None:
-        raise ValueError("pass planes or target_bucket_size")
-    if bucket_assign not in ("expr", "arrow", "auto"):
-        raise ValueError(
-            "bucket_assign must be 'expr', 'arrow' or 'auto', got "
-            f"{bucket_assign!r}"
-        )
-    bucket_assign = _resolve_bucket_assign(bucket_assign, n_rows, planes)
-    projs = lsh_projection_exprs(F.col("__q"), planes, dims)
-    bucket = F.lit(0).cast("long")
-    for p, proj in enumerate(projs):
-        bucket = bucket + F.when(proj > 0, F.lit(2**p).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    # argmin |projection| with index tiebreak: lexicographic min over
-    # (|proj|, p) structs — exact longs, total order
-    margin = F.array_min(
-        F.array(
-            *[
-                F.struct(F.abs(projs[p]).alias("a"), F.lit(p).cast("int").alias("p"))
-                for p in range(planes)
-            ]
-        )
-    )["p"]
+    planes, n_rows, bucket_assign = _lsh_sizing(
+        df, planes, target_bucket_size, n_rows, bucket_assign
+    )
     # 2^flip is exact in double for flip < 2^53's range (planes <= 30)
     probe = F.col("bucket").bitwiseXOR(F.pow(F.lit(2.0), F.col("flip")).cast("long"))
     # bucket_assign="arrow" (round 16; auto-resolvable since round 17):
     # bucket AND flip plane from the int64-matmul twin — margins are
     # exact integers and numpy's first-occurrence argmin is the fold's
     # (|a|, p) lexicographic min, so probe choice is bit-equal. A
-    # stat-less auto keeps the expression plan.
+    # stat-less auto keeps the expression plan. The per-plane fold
+    # expressions are built ONLY on the expr branch — planes × dims
+    # literal sign constants are dead work on the arrow path
+    # (review r17).
     if bucket_assign == "arrow":
         base = _arrow_lsh_base(
             df, id_col, vec_col, planes, dims, with_flip=True
         )
     else:
+        projs = lsh_projection_exprs(F.col("__q"), planes, dims)
+        bucket = F.lit(0).cast("long")
+        for p, proj in enumerate(projs):
+            bucket = bucket + F.when(
+                proj > 0, F.lit(2**p).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        # argmin |projection| with index tiebreak: lexicographic min
+        # over (|proj|, p) structs — exact longs, total order
+        margin = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        F.abs(projs[p]).alias("a"),
+                        F.lit(p).cast("int").alias("p"),
+                    )
+                    for p in range(planes)
+                ]
+            )
+        )["p"]
         base = df.select(
             F.col(id_col).alias("vec_id"),
             as_double(F.col(vec_col)).alias("v"),
@@ -1369,10 +1374,11 @@ _AUTO_ARROW_MIN_NK_HIER = 1_400_000
 #: (2.74 s → 1.2 s); at 64× (128k × 11 = 1.4M) 2.1× (4.4 s → 2.1 s).
 #: The threshold sits at the lowest PROVEN win point (288k), same
 #: philosophy as the flat/hier nK constants — never inside the mixed
-#: zone. The bench corpus (sf0.1: 2,000 rows × 8 planes = 16k) stays
-#: three-plus decades under it, so every registered demo keeps the
-#: verbatim expression plan; a 100 TB corpus with catalog stats
-#: (10⁹⁺ rows × ~20 planes) crosses it immediately.
+#: zone. The bench corpus (sf0.1: 2,000 rows × 8 planes = 16k) sits
+#: 18× under it (gate scale 4k: 72×), so every registered demo keeps
+#: the verbatim expression plan — note an ~18× corpus growth WOULD
+#: cross the knee, which is the intent: a 100 TB corpus with catalog
+#: stats (10⁹⁺ rows × ~20 planes) crosses it immediately.
 _AUTO_ARROW_MIN_NP_LSH = 288_000
 
 
@@ -1397,9 +1403,17 @@ def _resolve_bucket_assign(
     overflow-magnitude vectors where the expression form zero-buckets
     them — a corpus that may carry such vectors should force
     ``bucket_assign="expr"`` (or clean first) rather than rely on auto
-    past the knee."""
+    past the knee.
+
+    ``planes > 62`` always resolves to the expression form: the twin
+    fail-fasts there (its long-bucket overflow guard,
+    :func:`_arrow_lsh_base`) while the expression form handles such
+    plane counts — auto must never turn a working call into an error
+    (review r17; only an explicit ``"arrow"`` reaches the guard)."""
     if bucket_assign != "auto":
         return bucket_assign
+    if planes > 62:
+        return "expr"
     if n_rows is not None and n_rows * planes >= min_np:
         return "arrow"
     return "expr"
