@@ -289,7 +289,25 @@ def main() -> None:
     # minute doesn't bias all three samples of the same query; the spread
     # (max-min across runs) is reported per query for honesty.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    fns = {n: registry[n].fn for n in HEADLINE if n in registry}
+    # the headline list is FROZEN for round-over-round comparability —
+    # a missing name must be a hard error BEFORE any timed work, never
+    # a silently smaller total that reads as a speedup (review r17);
+    # q_sql_tpch_q1 gets the same treatment because the TPC-H battery
+    # appends it unconditionally below
+    missing = [n for n in (*HEADLINE, "q_sql_tpch_q1") if n not in registry]
+    if missing:
+        raise SystemExit(
+            f"bench: frozen queries missing from the registry: {missing} "
+            "— fix the registry (or consciously amend the frozen list)"
+        )
+    missing_extras = [n for n in EXTRAS if n not in registry]
+    if missing_extras:
+        # extras are reported separately; a drop is loud but not fatal
+        print(
+            f"# WARNING: extras missing from the registry: {missing_extras}",
+            file=sys.stderr,
+        )
+    fns = {n: registry[n].fn for n in HEADLINE}
     fns.update(_extra_fns())
     fns.update({n: registry[n].fn for n in EXTRAS if n in registry})
 

@@ -649,3 +649,51 @@ def test_merge_with_retry_covers_detector_conflicts(spark, tmp_path):
             for r in out.collect()}
     assert len(attempts) == 2  # first attempt lost to the detector
     assert rows[6] == 666 and rows[rival] == 555  # both writers survive
+
+
+def test_symlink_empty_batch_into_fresh_table_returns_typed_empty(spark, tmp_path):
+    """The SYMLINK twin of the manifest mode's ADVICE r14 guard (review
+    r17): an empty first batch leaves only the dot-file meta, so the
+    final read must return a typed empty relation instead of failing
+    parquet schema inference — and a later real batch must still
+    create the table cleanly."""
+    target = str(tmp_path / "tbl")
+    out = U.merge_into_partitioned(
+        target, spark.createDataFrame([], SCHEMA),
+        keys=["key"], order_by=["ts", "seq"], num_buckets=4,
+    )
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "key", "ts", "value", "seq"
+    ]
+    real = U.merge_into_partitioned(
+        target, spark.createDataFrame(_mk_rows([(1, 1, 1)]), SCHEMA),
+        keys=["key"], order_by=["ts", "seq"], num_buckets=4,
+    )
+    assert real.count() == 1
+
+
+def test_symlink_compaction_conflict_is_typed(spark, tmp_path):
+    """The symlink-mode compaction detector must raise the round-17
+    ConcurrentWriteError (review r17: the manifest detectors were
+    converted, this one was initially missed) so a retry loop written
+    against the typed contract covers the default commit mode too."""
+    from pyspark.sql import functions as F
+
+    target = str(tmp_path / "tbl")
+    U.merge_into_partitioned(
+        target,
+        spark.createDataFrame(_mk_rows([(k, k, 1) for k in range(8)]), SCHEMA),
+        keys=["key"], order_by=["ts", "seq"], num_buckets=4,
+    )
+
+    def competing_merge():
+        U.merge_into_partitioned(
+            target, spark.createDataFrame(_mk_rows([(1, 99, 9)]), SCHEMA),
+            keys=["key"], order_by=["ts", "seq"], num_buckets=4,
+        )
+
+    with pytest.raises(U.ConcurrentWriteError, match="concurrent merge"):
+        U.filter_partitioned(
+            spark, target, F.col("key") >= 0, _before_commit=competing_merge
+        )

@@ -141,12 +141,15 @@ class ManifestCommitBackend:
 
 
 class PosixManifestBackend(ManifestCommitBackend):
-    """The default backend: local/POSIX filesystem, byte-identical to
-    the pre-interface round-14/15 inline implementation. Atomicity
-    comes from ``os.replace`` (manifest swap) and same-filesystem
-    ``os.rename`` (version publish); ``expected`` on the swap is
-    ignored — POSIX has no conditional replace, so the protocol's
-    re-read→swap detector is the concurrency story here."""
+    """The default backend: local/POSIX filesystem, layout-identical to
+    the pre-interface round-14/15 inline implementation (same manifest
+    name, same ``.v/b<b>_v<v>`` dirs — existing tables keep resolving).
+    Atomicity comes from ``os.replace`` (manifest swap) and
+    same-filesystem ``os.rename`` (version publish); round 17 added
+    DURABILITY to the swap (file + directory fsync — see
+    :meth:`swap_manifest`). ``expected`` on the swap is ignored —
+    POSIX has no conditional replace, so the protocol's re-read→swap
+    detector is the concurrency story here."""
 
     def manifest_exists(self, root: str) -> bool:
         return os.path.exists(os.path.join(root, _MANIFEST_NAME))
@@ -164,10 +167,33 @@ class PosixManifestBackend(ManifestCommitBackend):
         manifest: dict[int, int],
         expected: dict[int, int] | None = None,
     ) -> None:
+        # THE commit point: atomic vs readers by os.replace, durable vs
+        # power loss by fsync of BOTH the file contents (before the
+        # rename — ext4/xfs may otherwise persist the rename with empty
+        # contents and brick every subsequent read_manifest) and the
+        # parent directory (the rename itself). A failed write cleans
+        # its temp file instead of leaking it (review r17).
         tmp = os.path.join(root, f".manifest_{uuid.uuid4().hex[:12]}.tmp")
-        with open(tmp, "w") as f:
-            json.dump({str(b): v for b, v in sorted(manifest.items())}, f)
-        os.replace(tmp, os.path.join(root, _MANIFEST_NAME))
+        try:
+            with open(tmp, "w") as f:
+                json.dump({str(b): v for b, v in sorted(manifest.items())}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, os.path.join(root, _MANIFEST_NAME))
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
+        try:
+            dfd = os.open(root, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+        except OSError:  # pragma: no cover - platform without dir fsync
+            pass
 
     def publish_version(
         self, root: str, staged_dir: str, bucket: int, version: int

@@ -463,7 +463,35 @@ def _bucket_expr(keys: list[str], num_buckets: int) -> Column:
     )
 
 
+def _all_bucket_versions(vroot: str) -> dict[int, list[tuple[int, str]]]:
+    """ONE listdir of ``.v`` parsed into {bucket: [(version, path)] asc}
+    — the O(entries) form of per-bucket directory scans (review r17:
+    compaction's ``_latest_versions`` ran num_buckets listdir+regex
+    passes per snapshot, O(buckets × entries) driver work at the
+    docstring's 4096-bucket sizing). Deliberately NOT routed through
+    the commit backend: the symlink protocol is POSIX-only by
+    construction (see the round-16 design note on ``_COMMIT_BACKEND``),
+    so it keeps self-contained primitives."""
+    import os
+    import re
+
+    out: dict[int, list[tuple[int, str]]] = {}
+    if os.path.isdir(vroot):
+        pat = re.compile(r"^b(\d+)_v(\d+)$")
+        for name in os.listdir(vroot):
+            m = pat.match(name)
+            if m:
+                out.setdefault(int(m.group(1)), []).append(
+                    (int(m.group(2)), os.path.join(vroot, name))
+                )
+    for versions in out.values():
+        versions.sort()
+    return out
+
+
 def _bucket_versions(vroot: str, bucket: int) -> list[tuple[int, str]]:
+    """Single-bucket view of :func:`_all_bucket_versions` — used where a
+    FRESH re-read of one bucket is the point (the drop-path race check)."""
     import os
     import re
 
@@ -1209,6 +1237,14 @@ def merge_into_partitioned(
             .drop(_BUCKET_COL)
             .select(*out_cols)
         )
+    if not any(
+        name.startswith(f"{_BUCKET_COL}=") for name in os.listdir(local)
+    ):
+        # empty-batch merge into a fresh (or compaction-emptied) SYMLINK
+        # table: no partition dirs exist, so a parquet read can't infer
+        # a schema — return the typed empty relation, mirroring the
+        # manifest twin's ADVICE r14 guard (review r17)
+        return spark.createDataFrame([], collapsed.schema).select(*out_cols)
     return spark.read.parquet(local).drop(_BUCKET_COL).select(*out_cols)
 
 
@@ -1356,9 +1392,9 @@ def filter_partitioned(
         )
 
     def _latest_versions() -> dict[int, int]:
+        allv = _all_bucket_versions(vroot)  # one listdir, all buckets
         return {
-            b: (_bucket_versions(vroot, b) or [(0, "")])[-1][0]
-            for b in existing_buckets
+            b: (allv.get(b) or [(0, "")])[-1][0] for b in existing_buckets
         }
 
     versions_at_read = _latest_versions()
@@ -1384,7 +1420,7 @@ def filter_partitioned(
             if v != versions_at_read[b]
         }
         if moved:
-            raise RuntimeError(
+            raise ConcurrentWriteError(
                 "filter_partitioned: concurrent merge detected — bucket "
                 f"version(s) advanced during compaction ({sorted(moved)}); "
                 "the table is untouched, rerun the compaction"
