@@ -463,6 +463,42 @@ def _bucket_expr(keys: list[str], num_buckets: int) -> Column:
     )
 
 
+def _write_meta_once(
+    local: str,
+    num_buckets: int,
+    keys: list[str],
+    order_by: list[str],
+    schema_json: dict,
+    commit: str | None,
+) -> None:
+    """Atomically write a fresh table's ``.merge_meta.json`` (tmp +
+    ``os.replace``). One implementation for both commit modes (review
+    r17: the block was copy-pasted between the manifest and symlink
+    bodies with only the ``commit`` key differing). The stored-row
+    schema (no p_bucket) lets the empty-table paths return a typed
+    empty relation instead of failing schema inference on a
+    partitionless parquet dir (round-13 review). Meta is written FIRST:
+    a crash before any data commit leaves meta-only, which both modes'
+    existence probes treat as "first batch" — the next merge recreates
+    the table cleanly."""
+    import json
+    import os
+    import uuid
+
+    meta: dict = {
+        "num_buckets": num_buckets,
+        "keys": keys,
+        "order_by": order_by,
+        "schema": schema_json,
+    }
+    if commit is not None:
+        meta["commit"] = commit
+    tmp_meta = os.path.join(local, f".merge_meta_{uuid.uuid4().hex[:12]}.tmp")
+    with open(tmp_meta, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp_meta, os.path.join(local, _META_NAME))
+
+
 def _all_bucket_versions(vroot: str) -> dict[int, list[tuple[int, str]]]:
     """ONE listdir of ``.v`` parsed into {bucket: [(version, path)] asc}
     — the O(entries) form of per-bucket directory scans (review r17:
@@ -786,21 +822,10 @@ def _merge_into_partitioned_manifest(
         # the manifest swap leaves meta-only and the next merge simply
         # recreates the table.
         if not exists:
-            tmp_meta = os.path.join(
-                local, f".merge_meta_{uuid.uuid4().hex[:12]}.tmp"
+            _write_meta_once(
+                local, num_buckets, keys, order_by,
+                collapsed.schema.jsonValue(), commit="manifest",
             )
-            with open(tmp_meta, "w") as f:
-                json.dump(
-                    {
-                        "num_buckets": num_buckets,
-                        "keys": keys,
-                        "order_by": order_by,
-                        "schema": collapsed.schema.jsonValue(),
-                        "commit": "manifest",
-                    },
-                    f,
-                )
-            os.replace(tmp_meta, meta_path)
 
         be = _backend()
         ours: dict[int, int] = {}
@@ -1188,25 +1213,10 @@ def merge_into_partitioned(
         # _target_exists treats as absent (no data files) — the next
         # merge simply recreates it.
         if not exists:
-            tmp_meta = os.path.join(
-                local, f".merge_meta_{uuid.uuid4().hex[:12]}.tmp"
+            _write_meta_once(
+                local, num_buckets, keys, order_by,
+                collapsed.schema.jsonValue(), commit=None,
             )
-            with open(tmp_meta, "w") as f:
-                json.dump(
-                    {
-                        "num_buckets": num_buckets,
-                        "keys": keys,
-                        "order_by": order_by,
-                        # the stored-row schema (no p_bucket): lets
-                        # filter_partitioned return a typed empty
-                        # relation for a legitimately-emptied table
-                        # instead of failing schema inference on a
-                        # partitionless parquet dir (round-13 review)
-                        "schema": collapsed.schema.jsonValue(),
-                    },
-                    f,
-                )
-            os.replace(tmp_meta, meta_path)
 
         try:
             for b in touched:
