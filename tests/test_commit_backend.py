@@ -697,3 +697,31 @@ def test_symlink_compaction_conflict_is_typed(spark, tmp_path):
         U.filter_partitioned(
             spark, target, F.col("key") >= 0, _before_commit=competing_merge
         )
+
+
+def test_meta_json_shape_is_mode_tagged_and_legacy_compatible(spark, tmp_path):
+    """_write_meta_once (the round-17 extraction of the copy-pasted
+    first-batch meta writes) must keep the pre-refactor on-disk shape:
+    symlink tables carry NO "commit" key (the legacy round-13 dialect),
+    manifest tables carry "commit": "manifest", and both store the
+    p_bucket-free row schema the typed-empty paths rebuild from."""
+    import json
+    import os
+
+    for mode, commit_kw in (("sym", {}), ("man", {"commit": "manifest"})):
+        target = str(tmp_path / f"tbl_{mode}")
+        U.merge_into_partitioned(
+            target,
+            spark.createDataFrame(_mk_rows([(1, 1, 1)]), SCHEMA),
+            keys=["key"], order_by=["ts", "seq"], num_buckets=2, **commit_kw,
+        )
+        with open(os.path.join(target, ".merge_meta.json")) as f:
+            meta = json.load(f)
+        assert meta["num_buckets"] == 2 and meta["keys"] == ["key"]
+        assert meta["order_by"] == ["ts", "seq"]
+        field_names = [fld["name"] for fld in meta["schema"]["fields"]]
+        assert field_names == ["key", "ts", "value", "seq"]  # no p_bucket
+        if mode == "man":
+            assert meta.get("commit") == "manifest"
+        else:
+            assert "commit" not in meta
