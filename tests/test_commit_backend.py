@@ -725,3 +725,85 @@ def test_meta_json_shape_is_mode_tagged_and_legacy_compatible(spark, tmp_path):
             assert meta.get("commit") == "manifest"
         else:
             assert "commit" not in meta
+
+
+# ---------------------------------------------------------------------------
+# Round 18: q_upsert_merge_retry — the commit-retry story as a REGISTERED
+# demo (VERDICT r17 ask #2): the staged two-writer race must converge to
+# the keep-newest oracle, re-arm idempotently, and leave no backend
+# installed afterwards.
+# ---------------------------------------------------------------------------
+
+
+def test_merge_retry_demo_converges_and_is_fixed_point(spark):
+    """The demo's final table state equals keep-newest-per-key over ALL
+    events (the oracle), and a re-invocation — which re-arms and re-runs
+    the staged race on the SAME cached backend — returns the identical
+    state (idempotent within a process, like q_upsert_merge_parquet)."""
+    from transit_efficiency_analysis_spark.demo import load_registry
+
+    sf = "/root/testdata/sf0.001"
+    fn = load_registry()["q_upsert_merge_retry"].fn
+    out1 = {(r.user_id, r.event_type): (r.event_id, r.ts, r.value)
+            for r in fn(spark, sf).collect()}
+    events = spark.read.parquet(f"{sf}/events.parquet").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    expected = {
+        (r.user_id, r.event_type): (r.event_id, r.ts, r.value)
+        for r in U.upsert_keep_newest(
+            events, keys=["user_id", "event_type"], order_by=["ts", "event_id"]
+        ).collect()
+    }
+    assert out1 == expected
+    out2 = {(r.user_id, r.event_type): (r.event_id, r.ts, r.value)
+            for r in fn(spark, sf).collect()}
+    assert out2 == out1
+
+
+def test_merge_retry_demo_race_executes_and_restores_backend(spark):
+    """Each invocation advances the CAS generation by exactly 3 (batch-0
+    re-merge + rival's injected commit + the loser's retried commit; the
+    REJECTED conditional put contributes nothing), proving the race and
+    the retry genuinely execute rather than degenerating to a clean
+    merge — and the module-level backend seam is restored afterwards."""
+    from transit_efficiency_analysis_spark.demo import load_registry
+    from transit_efficiency_analysis_spark.demo import upsert as demo_upsert
+
+    sf = "/root/testdata/sf0.001"
+    fn = load_registry()["q_upsert_merge_retry"].fn
+    before = U._COMMIT_BACKEND
+    fn(spark, sf).count()
+    key = f"upsert_merge_retry_{sf.strip('/').replace('/', '_')}"
+    be = demo_upsert._RETRY_BACKENDS[key]
+    g1 = max(gen for gen, _ in be._store.values())
+    fn(spark, sf).count()
+    g2 = max(gen for gen, _ in be._store.values())
+    assert g2 == g1 + 3
+    assert U._COMMIT_BACKEND is before
+
+
+def test_write_meta_once_fsyncs_and_cleans_tmp(tmp_path, monkeypatch):
+    """ADVICE r17 medium: the meta write must mirror swap_manifest's
+    durability — fsync file contents before the rename and the parent
+    dir after it (a power loss persisting the rename with empty
+    contents bricks the table on json.load) — and clean its temp file
+    when the write fails."""
+    import json
+    import os
+
+    local = str(tmp_path)
+    synced = []
+    real_fsync = os.fsync
+    monkeypatch.setattr(os, "fsync", lambda fd: (synced.append(fd), real_fsync(fd)))
+    U._write_meta_once(local, 4, ["key"], ["ts"], {"fields": []}, commit="manifest")
+    assert len(synced) >= 2  # file contents + parent directory
+    with open(os.path.join(local, ".merge_meta.json")) as f:
+        assert json.load(f)["commit"] == "manifest"
+    assert not [p for p in os.listdir(local) if p.endswith(".tmp")]
+
+    # a failed dump must not leak its temp file
+    monkeypatch.setattr(json, "dump", lambda *a, **k: (_ for _ in ()).throw(OSError("disk full")))
+    with pytest.raises(OSError, match="disk full"):
+        U._write_meta_once(local, 4, ["key"], ["ts"], {"fields": []}, commit=None)
+    assert not [p for p in os.listdir(local) if p.endswith(".tmp")]

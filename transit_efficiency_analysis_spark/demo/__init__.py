@@ -97,27 +97,20 @@ _DEMO_MODULES = [
 # results were just recorded" (grace: newest artifact == window and
 # 50/50 green) from "rotation skipped" (artifacts newer than the
 # window's target round) — the ADVICE r11 medium item.
-_WINDOW_ROUND = 17
+_WINDOW_ROUND = 18
 
-# Round-17 window (docs/ROUND16.md precomputed the arithmetic; VERDICT
-# r16 confirmed it against the artifacts: 42 forced r12-era rows + 8
-# free slots). The 8 free slots:
-# - 4 pre-committed (ROUND16.md §3 / VERDICT r16 #1): the IVF/SemDeDup
-#   demos whose executed Python gained the parquet_rows n_rows
-#   threading in round 16 (plans pinned fold-identical; the driver row
-#   is confirmation, not discovery).
-# - 3 for the sign-LSH auto-knee flip (VERDICT r16 #3): bucket_assign
-#   defaults to "auto" this round and the five LSH demos thread
-#   n_rows; the three demos with the STALEST rows (r14/r15 tiers) take
-#   slots now. The two r16-fresh LSH demos whose executed Python also
-#   changed (q_sim_lsh_topk_derived, q_sim_lsh_recall) are re-verified
-#   locally this round (tools/verify_local.py 6/6) with plan pins
-#   (test_registered_lsh_demos_plan_pure_jvm_at_gate_scale) and are
-#   PRE-COMMITTED to 2 of round 18's 3 free slots (docs/ROUND17.md).
-# - 1 for q_dedup_semantic_hier (VERDICT r16 #4): its demo call site
-#   now passes n_rows=parquet_rows(...); hier auto resolves to the
-#   fold at gate scale (4k envelope dots vs the 1.4M knee), so the
-#   plan is pinned unchanged.
+# Round-18 window (docs/ROUND17.md §10 precomputed the arithmetic;
+# VERDICT r17 confirmed it against the artifacts: 47 forced r13-era
+# rows + 3 free slots). The 3 free slots:
+# - 1 NEW registry entry (VERDICT r17 ask #2): q_upsert_merge_retry —
+#   the round-17 CAS backend + merge_with_retry commit-retry story
+#   under the driver's hash check (check_window R1 forces any new
+#   demo into the window the round it lands).
+# - 2 pre-committed since ROUND17.md §1/§10: q_sim_lsh_topk_derived
+#   and q_sim_lsh_recall, the two r16-fresh LSH demos whose executed
+#   Python changed in round 17's auto flip (plans pinned
+#   expression-identical at gate scale; locally 6/6 green then) —
+#   the driver row is confirmation, not discovery.
 #
 # Dark-ship exemption (standing policy, ADVICE r13): an engine-side
 # branch shipped behind a non-default parameter whose default takes the
@@ -125,69 +118,67 @@ _WINDOW_ROUND = 17
 # it lands; it takes one the round its DEFAULT flips (the oracle is
 # mirrored then too). Each exemption must be (a) named in ROUNDn.md,
 # (b) re-verified locally via tools/verify_local.py the round it lands,
-# and (c) scheduled for a real slot at its flip. Round 16's sign-LSH
-# int64-matmul twin takes its slots THIS round (the flip round); the
-# MinHash signature twin's flip was measured and REJECTED (ROUND16.md
-# §5), so no slot is ever owed for it.
+# and (c) scheduled for a real slot at its flip. No exemptions are
+# outstanding entering round 18.
 _WINDOW_FRONT = [
-    "q_sim_ivf_topk",
-    "q_sim_ivf_lloyd_topk",
-    "q_sim_ivf_pq_topk",
-    "q_dedup_semantic",
-    "q_sim_lsh_buckets",
-    "q_sim_lsh_topk",
-    "q_sim_lsh_multiprobe_topk",
-    "q_dedup_semantic_hier",
+    "q_upsert_merge_retry",
+    "q_sim_lsh_topk_derived",
+    "q_sim_lsh_recall",
 ]
 
 # Prior-green re-verification filler, least-recently-verified first:
-# the 42 r12-era rows (latest green driver row CORRECTNESS_r12 —
-# exactly one rotation cycle old at round 17; check_window R3 lists
-# exactly this set, and docs/ROUND16.md precomputed it: the 46-row
-# r12 tier minus the 4 rows the round-16 window already refreshed).
+# the 47 r13-era rows (latest green driver row CORRECTNESS_r13 —
+# exactly one rotation cycle old at round 18; check_window R3 lists
+# exactly this set, and docs/ROUND17.md §10 precomputed it — VERDICT
+# r17 re-derived the same 47 from the artifacts).
 _WINDOW_FILLER: list[str] = [
-    "q_agg_dashboard",
-    "q_agg_salted_distinct",
-    "q_case_avg",
-    "q_case_bucket",
-    "q_case_diff",
-    "q_case_null",
-    "q_dedup_clusters_twophase",
-    "q_dedup_simhash_pairs_h3",
-    "q_dedup_window_latest",
-    "q_expr_cast",
-    "q_expr_math",
-    "q_filter_entity",
-    "q_filter_sentinel",
-    "q_graph_pagerank",
-    "q_graph_triangles",
-    "q_join_anti",
-    "q_join_diff",
-    "q_join_outer",
-    "q_join_semi",
-    "q_join_star",
-    "q_limit_topk",
-    "q_proj_concat",
-    "q_proj_rename",
-    "q_proj_select",
-    "q_rebuild_full",
-    "q_sample_temperature",
-    "q_set_except",
-    "q_set_intersect",
-    "q_set_union",
-    "q_stats_drift_tvd",
-    "q_stream_dup_screen",
-    "q_text_dup_spans_incremental",
-    "q_ts_date_parse",
-    "q_ts_dow_name",
-    "q_ts_gtfs_parse",
-    "q_ts_hour_local",
-    "q_ts_tz_localize",
-    "q_ts_unix",
-    "q_window_lag",
-    "q_window_ntile_approx",
-    "q_window_rank",
-    "q_window_running",
+    "q_agg_cube",
+    "q_agg_dashboard_weather",
+    "q_agg_listagg",
+    "q_agg_pivot",
+    "q_agg_rollup",
+    "q_agg_stats",
+    "q_approx_sketch_union",
+    "q_approx_top_k",
+    "q_arrow_udf_scalar",
+    "q_dedup_clusters",
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_distinct_agg",
+    "q_jdbc_roundtrip",
+    "q_join_asof",
+    "q_join_lateral_topk",
+    "q_map_in_arrow",
+    "q_multimodal_features",
+    "q_null_surface",
+    "q_observe_metrics",
+    "q_retrieval_rerank",
+    "q_semi_variant",
+    "q_semi_xml_parse",
+    "q_sim_bruteforce_topk",
+    "q_sink_compaction",
+    "q_sink_xml_roundtrip",
+    "q_sql_parameterized",
+    "q_sql_pipe_q1",
+    "q_sql_recursive_bfs",
+    "q_sql_table_udf",
+    "q_sql_udf",
+    "q_sql_unpivot",
+    "q_src_binary_files",
+    "q_src_python_datasource",
+    "q_stream_dedup_append",
+    "q_stream_sessionize_append",
+    "q_text_fingerprint",
+    "q_text_langid",
+    "q_text_lm_score",
+    "q_text_quality",
+    "q_text_tokens",
+    "q_ts_epoch",
+    "q_ts_sub_min",
+    "q_upsert_merge_parquet",
+    "q_upsert_replay",
+    "q_window_pctrank",
+    "q_window_session_native",
 ]
 
 _WINDOW = _WINDOW_FRONT + _WINDOW_FILLER

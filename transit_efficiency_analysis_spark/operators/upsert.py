@@ -480,7 +480,15 @@ def _write_meta_once(
     partitionless parquet dir (round-13 review). Meta is written FIRST:
     a crash before any data commit leaves meta-only, which both modes'
     existence probes treat as "first batch" — the next merge recreates
-    the table cleanly."""
+    the table cleanly.
+
+    Durability mirrors ``PosixManifestBackend.swap_manifest`` (ADVICE
+    r17): fsync the file contents BEFORE the rename (ext4/xfs may
+    otherwise persist the rename with empty contents after power loss —
+    a torn meta next to committed partitions makes every subsequent
+    merge/filter/read fail on ``json.load`` with no recovery path) and
+    the parent directory AFTER it; a failed write cleans its temp file
+    instead of leaking it."""
     import json
     import os
     import uuid
@@ -494,9 +502,26 @@ def _write_meta_once(
     if commit is not None:
         meta["commit"] = commit
     tmp_meta = os.path.join(local, f".merge_meta_{uuid.uuid4().hex[:12]}.tmp")
-    with open(tmp_meta, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp_meta, os.path.join(local, _META_NAME))
+    try:
+        with open(tmp_meta, "w") as f:
+            json.dump(meta, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp_meta, os.path.join(local, _META_NAME))
+    except BaseException:
+        try:
+            os.unlink(tmp_meta)
+        except OSError:
+            pass
+        raise
+    try:
+        dfd = os.open(local, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:  # pragma: no cover - platform without dir fsync
+        pass
 
 
 def _all_bucket_versions(vroot: str) -> dict[int, list[tuple[int, str]]]:
