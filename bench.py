@@ -182,7 +182,16 @@ def _cpu_snapshot() -> tuple[float, float] | None:
     JVM and its python workers), plus cutime+cstime (reaped children —
     counted exactly once: a reaped child is no longer in the live
     walk). Returns None off-Linux (the artifact then simply carries no
-    post-run flag — same degradation as the loadavg fields)."""
+    post-run flag — same degradation as the loadavg fields).
+
+    Known limitation (ADVICE r17): "own tree" is a live ppid walk, so a
+    descendant that REPARENTS — a double-forked daemon, or a worker
+    orphaned when its intermediate parent exits before reaping — leaves
+    the tree and its CPU counts as external, which can false-flag
+    load_contaminated_post on a clean run. Spark's local-mode children
+    (the JVM, python workers, daemon.py) stay parented for the battery's
+    lifetime, so the figure of record is unaffected; treat the flag as
+    advisory if a custom query spawns detaching subprocesses."""
     try:
         tick = os.sysconf("SC_CLK_TCK")
         with open("/proc/stat") as f:

@@ -53,9 +53,9 @@ class CountingBackend(PosixManifestBackend):
         self.calls.append(("read_manifest",))
         return super().read_manifest(root)
 
-    def swap_manifest(self, root, manifest, expected=None):
+    def swap_manifest(self, root, manifest, expected=None, token=None):
         self.calls.append(("swap_manifest", expected))
-        return super().swap_manifest(root, manifest, expected=expected)
+        return super().swap_manifest(root, manifest, expected=expected, token=token)
 
     def publish_version(self, root, staged_dir, bucket, version):
         self.calls.append(("publish_version", bucket, version))
@@ -143,7 +143,7 @@ class FakeCASStore(ManifestCommitBackend):
     def read_manifest(self, root):
         return dict(self.stored or {})
 
-    def swap_manifest(self, root, manifest, expected=None):
+    def swap_manifest(self, root, manifest, expected=None, token=None):
         current = dict(self.stored or {})
         if expected is not None and current != expected:
             raise RuntimeError(
@@ -219,7 +219,7 @@ class RacingCASBackend(PosixManifestBackend):
         self.compete = compete  # current manifest -> competitor's manifest
         self.raced = False
 
-    def swap_manifest(self, root, manifest, expected=None):
+    def swap_manifest(self, root, manifest, expected=None, token=None):
         if expected is not None and not self.raced:
             self.raced = True
             super().swap_manifest(root, self.compete(self.read_manifest(root)))
@@ -227,7 +227,7 @@ class RacingCASBackend(PosixManifestBackend):
             raise RuntimeError(
                 "conditional put failed: manifest generation changed"
             )
-        super().swap_manifest(root, manifest, expected=expected)
+        super().swap_manifest(root, manifest, expected=expected, token=token)
 
 
 def test_cas_backend_closes_the_reread_swap_window(spark, tmp_path, monkeypatch):
@@ -420,11 +420,11 @@ class _RacingCAS(InMemoryCASManifestBackend):
         self.raced = False
         self.armed = False  # set True after the table-create merge
 
-    def swap_manifest(self, root, manifest, expected=None):
+    def swap_manifest(self, root, manifest, expected=None, token=None):
         if self.armed and expected is not None and not self.raced:
             self.raced = True
             super().swap_manifest(root, self.compete(self.read_manifest(root)))
-        super().swap_manifest(root, manifest, expected=expected)
+        super().swap_manifest(root, manifest, expected=expected, token=token)
 
 
 def test_merge_vs_merge_race_true_cas_rejection(spark, tmp_path, monkeypatch):
@@ -539,7 +539,7 @@ class _ConflictNTimesCAS(InMemoryCASManifestBackend):
         self.armed = False
         self.conflicts_injected = 0
 
-    def swap_manifest(self, root, manifest, expected=None):
+    def swap_manifest(self, root, manifest, expected=None, token=None):
         if self.armed and expected is not None and self.conflicts_injected < self.n:
             import shutil
 
@@ -553,7 +553,7 @@ class _ConflictNTimesCAS(InMemoryCASManifestBackend):
             )
             current[b] = v + 1
             super().swap_manifest(root, current)
-        super().swap_manifest(root, manifest, expected=expected)
+        super().swap_manifest(root, manifest, expected=expected, token=token)
 
 
 def test_merge_with_retry_converges_after_cas_conflicts(
@@ -807,3 +807,168 @@ def test_write_meta_once_fsyncs_and_cleans_tmp(tmp_path, monkeypatch):
     with pytest.raises(OSError, match="disk full"):
         U._write_meta_once(local, 4, ["key"], ["ts"], {"fields": []}, commit=None)
     assert not [p for p in os.listdir(local) if p.endswith(".tmp")]
+
+
+# ---------------------------------------------------------------------------
+# Round 18: ObjectStoreCASBackend (VERDICT r17 ask #3) — the manifest as
+# a conditional-put object, committed with If-Match on the ETag retained
+# by read_snapshot (If-None-Match: * for creation), against the
+# in-process store fake. Plus the token-CAS upgrade of the in-memory
+# backend (ADVICE r17: value-compare CAS is ABA-prone).
+# ---------------------------------------------------------------------------
+
+from transit_efficiency_analysis_spark.operators.commit_backend import (  # noqa: E402
+    InMemoryObjectStore,
+    ObjectStoreCASBackend,
+    StorePreconditionFailed,
+)
+
+
+def test_object_store_fake_preconditioned_puts():
+    """The store fake enforces both preconditions atomically: creation
+    (If-None-Match: *) rejects an existing key, update (If-Match)
+    rejects a stale ETag, and a rejected put never changes the object
+    or its ETag."""
+    st = InMemoryObjectStore()
+    assert st.get("k") is None
+    e1 = st.put("k", b"v1", if_none_match=True)
+    with pytest.raises(StorePreconditionFailed, match="already exists"):
+        st.put("k", b"other", if_none_match=True)
+    assert st.get("k") == (b"v1", e1)
+
+    e2 = st.put("k", b"v2", if_match=e1)
+    assert e2 != e1
+    with pytest.raises(StorePreconditionFailed, match="precondition required"):
+        st.put("k", b"v3", if_match=e1)  # stale ETag
+    assert st.get("k") == (b"v2", e2)
+    st.put("unconditional", b"x")  # no precondition: plain put works
+
+
+def test_object_store_backend_conditional_put_contract(tmp_path):
+    """The adapter's swap maps read_snapshot's ETag to If-Match (and
+    the absent-token to If-None-Match): a stale token is rejected as
+    CommitConflictError with the stored manifest untouched, and two
+    racing FIRST commits also serialize (creation precondition)."""
+    st = InMemoryObjectStore()
+    be = ObjectStoreCASBackend(st)
+    root = str(tmp_path)
+    t0, m0 = be.read_snapshot(root)
+    assert m0 == {} and not be.manifest_exists(root)
+
+    be.swap_manifest(root, {0: 1}, expected=m0, token=t0)
+    assert be.manifest_exists(root)
+    assert be.read_manifest(root) == {0: 1}
+
+    # racing first commit from the same absent snapshot: creation
+    # precondition rejects (If-None-Match: * on an existing key)
+    with pytest.raises(CommitConflictError, match="conditional put failed"):
+        be.swap_manifest(root, {0: 7}, expected=m0, token=t0)
+
+    t1, m1 = be.read_snapshot(root)
+    be.swap_manifest(root, {0: 2}, expected=m1, token=t1)  # clean update
+    with pytest.raises(CommitConflictError, match="conditional put failed"):
+        be.swap_manifest(root, {0: 9}, expected=m1, token=t1)  # stale
+    assert be.read_manifest(root) == {0: 2}
+
+
+@pytest.mark.parametrize("which", ["inmemory", "objectstore"])
+def test_token_cas_rejects_aba_content_restoration(tmp_path, which):
+    """ADVICE r17: value-compare CAS accepts an ABA sequence whose
+    intervening commits restore the expected CONTENT; token (ETag/
+    generation) comparison — what S3 If-Match actually does — rejects
+    it. Pin both: the commit path's token form rejects, the legacy
+    value form (read_manifest callers) accepts, documented."""
+    be = (
+        InMemoryCASManifestBackend()
+        if which == "inmemory"
+        else ObjectStoreCASBackend(InMemoryObjectStore())
+    )
+    root = str(tmp_path)
+    be.swap_manifest(root, {0: 1})
+    t0, m0 = be.read_snapshot(root)
+
+    be.swap_manifest(root, {0: 2})  # A -> B
+    be.swap_manifest(root, {0: 1})  # B -> A: content restored
+
+    # legacy value-compare: content matches, the swap lands (the
+    # documented residual; unreachable in the protocol because bucket
+    # versions are monotonic — content never genuinely restores)
+    be.swap_manifest(root, {0: 5}, expected=m0)
+    assert be.read_manifest(root) == {0: 5}
+
+    # token form: identity changed even where content had not
+    with pytest.raises(CommitConflictError, match="conditional put failed"):
+        be.swap_manifest(root, {0: 9}, expected=m0, token=t0)
+    assert be.read_manifest(root) == {0: 5}
+
+
+def test_full_protocol_battery_through_object_store_backend(
+    spark, tmp_path, monkeypatch
+):
+    """create → merge → compact → sweep end-to-end with the manifest in
+    the object store: same final state as the POSIX default, every
+    commit a preconditioned put (creation included)."""
+    state_default, _ = _run_protocol(spark, str(tmp_path / "tbl_posix"))
+    st = InMemoryObjectStore()
+    be = ObjectStoreCASBackend(st)
+    monkeypatch.setattr(U, "_COMMIT_BACKEND", be)
+    state_obj, _ = _run_protocol(spark, str(tmp_path / "tbl_obj"))
+    assert state_obj == state_default
+    assert state_obj[5] == 999 and 21 not in state_obj
+    # the one mutable object is the manifest key; everything else on disk
+    assert [k for k in st._objects] == [
+        be._manifest_key(str(tmp_path / "tbl_obj"))
+    ]
+
+
+class _ObjectStoreLoseOnce(ObjectStoreCASBackend):
+    """Adapter that hands the race to a rival exactly once: the first
+    token-guarded swap gets the rival's commit landed ahead of it, so
+    the store rejects the original If-Match."""
+
+    def __init__(self, client):
+        super().__init__(client)
+        self._rival = None  # armed by the test AFTER table creation
+
+    def swap_manifest(self, root, manifest, expected=None, token=None):
+        if token is not None and self._rival is not None:
+            rival, self._rival = self._rival, None
+            rival()
+        super().swap_manifest(root, manifest, expected=expected, token=token)
+
+
+def test_merge_with_retry_converges_through_object_store_backend(
+    spark, tmp_path, monkeypatch
+):
+    """The full commit-retry loop with the manifest in the object
+    store: the loser's If-Match put is rejected by the STORE, surfaces
+    as CommitConflictError, and merge_with_retry recomputes on the
+    rival's committed rows — both writers' updates survive."""
+    target = str(tmp_path / "tbl")
+    st = InMemoryObjectStore()
+    be = _ObjectStoreLoseOnce(st)
+    monkeypatch.setattr(U, "_COMMIT_BACKEND", be)
+    U.merge_into_partitioned(
+        target,
+        spark.createDataFrame(_mk_rows([(k, k, 1) for k in range(20)]), SCHEMA),
+        keys=["key"], order_by=["ts", "seq"], num_buckets=4, commit="manifest",
+    )
+
+    def rival():
+        U.merge_into_partitioned(
+            target,
+            spark.createDataFrame(_mk_rows([(7, 777, 6)]), SCHEMA),
+            keys=["key"], order_by=["ts", "seq"], num_buckets=4,
+            commit="manifest",
+        )
+
+    be._rival = rival
+    out = U.merge_with_retry(
+        target, spark.createDataFrame(_mk_rows([(6, 666, 7)]), SCHEMA),
+        keys=["key"], order_by=["ts", "seq"], num_buckets=4, commit="manifest",
+    )
+    rows = {r.key: int((r.ts - BASE).total_seconds() // 60)
+            for r in out.collect()}
+    assert rows[6] == 666 and rows[7] == 777 and len(rows) == 20
+    assert be._rival is None  # the race genuinely ran
+    assert U.sweep_orphans(target), "the rejected attempt leaves orphans"

@@ -327,3 +327,34 @@ def test_auto_never_routes_planes_over_62_into_the_twin(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "MapInArrow" not in plan and "Python" not in plan
     assert df.count() >= 0  # the expression form executes fine
+
+
+def test_auto_resolved_guard_errors_are_self_diagnosing(spark):
+    """ADVICE r17: when bucket_assign='auto' picks the Arrow path (corpus
+    past the knee) and the corpus carries dirty vectors, the rejection
+    must say auto chose the path and name the expr escape hatch — below
+    the knee the same call silently zero-buckets, so the failure would
+    otherwise surface with no visible cause as the corpus grows. An
+    EXPLICIT bucket_assign='arrow' keeps the plain message (the caller
+    asked for the twin; no resolution to explain)."""
+    import pytest as _pytest
+
+    from transit_efficiency_analysis_spark.operators.similarity import (
+        lsh_bucket_assignments,
+    )
+
+    nulls = spark.createDataFrame(
+        [(1, [1.0, None, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(Exception, match="auto.*selected this Arrow path"):
+        # n_rows far past the knee forces auto -> arrow with no count()
+        lsh_bucket_assignments(
+            nulls, planes=4, dims=4, n_rows=10_000_000, bucket_assign="auto"
+        ).collect()
+    with _pytest.raises(Exception) as exc:
+        lsh_bucket_assignments(
+            nulls, planes=4, dims=4, bucket_assign="arrow"
+        ).collect()
+    assert "selected this Arrow path" not in str(exc.value)
+    assert "NULL vector components" in str(exc.value)

