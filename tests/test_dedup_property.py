@@ -355,3 +355,40 @@ def test_incremental_simhash_equals_full_restricted_to_cross_pairs(spark, sf_dir
         for r in inc.collect()
     }
     assert got == want
+
+
+def test_minhash_recall_sweep_reports_loss_against_r1(spark):
+    """minhash_recall_sweep (round 18, VERDICT r17 #5): one row per r;
+    the r=1 arm is its own baseline (zero loss, full overlap), every
+    arm's counts partition its pair set against r=1, and any pair a
+    higher r loses is located on the s-curve (min_jaccard_lost is only
+    present when n_only_r1 > 0 and always >= the verify threshold —
+    both arms verify exactly, so a 'lost' pair was a real pair)."""
+    from transit_efficiency_analysis_spark.operators.dedup import (
+        minhash_recall_sweep,
+    )
+    from transit_efficiency_analysis_spark.sources.registry import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    rows = {
+        r["rows_per_band"]: r
+        for r in minhash_recall_sweep(
+            docs, "doc_id", "text", threshold=0.5, rs=(1, 2, 3)
+        ).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    r1 = rows[1]
+    assert r1["n_pairs"] > 0
+    assert r1["n_only_r1"] == 0 and r1["n_only_r"] == 0
+    assert r1["n_common_r1"] == r1["n_pairs"]
+    assert r1["min_jaccard_lost"] is None
+    for r in (2, 3):
+        row = rows[r]
+        assert row["n_common_r1"] + row["n_only_r"] == row["n_pairs"]
+        assert row["n_common_r1"] + row["n_only_r1"] == r1["n_pairs"]
+        if row["n_only_r1"]:
+            assert row["min_jaccard_lost"] >= 0.5
+        else:
+            assert row["min_jaccard_lost"] is None

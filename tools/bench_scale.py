@@ -565,6 +565,40 @@ def main() -> int:
               f"common, {len(only1)} only-r1, {len(only2)} only-r2",
               file=sys.stderr)
 
+    # Round-18 (VERDICT r17 #5): the shipped decision tool for the r
+    # knob — minhash_recall_sweep runs all arms in ONE call (shared
+    # shingle persist, one full-outer join per arm) and reports the
+    # recall ledger. Measured here so its cost relative to the two
+    # separate scurve arms above is a recorded fact: the sweep should
+    # land near the SUM of its arms minus the shared shingle work.
+    if want("minhash_recall_sweep"):
+        from transit_efficiency_analysis_spark.operators.dedup import (
+            minhash_recall_sweep,
+        )
+
+        t0 = time.time()
+        ledger = {
+            int(row["rows_per_band"]): row.asDict()
+            for row in minhash_recall_sweep(
+                docs_n, "doc_id", "text", threshold=0.5, rs=(1, 2)
+            ).collect()
+        }
+        tr = time.time() - t0
+        results["minhash_recall_sweep"] = {
+            "t": round(tr, 2),
+            "r1_pairs": ledger[1]["n_pairs"],
+            "r2_pairs": ledger[2]["n_pairs"],
+            "r2_only_r1": ledger[2]["n_only_r1"],
+            "r2_min_jaccard_lost": ledger[2]["min_jaccard_lost"],
+        }
+        print(f"# minhash_recall_sweep: {copies}x {tr:.1f}s — r1 "
+              f"{ledger[1]['n_pairs']} pairs, r2 {ledger[2]['n_pairs']} "
+              f"(lost {ledger[2]['n_only_r1']}, min sim lost "
+              f"{ledger[2]['min_jaccard_lost']})", file=sys.stderr)
+        spark.catalog.clearCache()
+        docs.cache().count()
+        embs.cache().count()
+
     # Boilerplate-storm scenario: a shared marker shingle in EVERY doc
     # collapses a large corpus fraction into one minhash bucket per band
     # (the gap-interleaved-marker failure that went disk-full uncapped —
