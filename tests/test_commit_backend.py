@@ -972,3 +972,142 @@ def test_merge_with_retry_converges_through_object_store_backend(
     assert rows[6] == 666 and rows[7] == 777 and len(rows) == 20
     assert be._rival is None  # the race genuinely ran
     assert U.sweep_orphans(target), "the rejected attempt leaves orphans"
+
+
+# ---------------------------------------------------------------------------
+# Round 18: the real-store client bindings — S3 (boto3 surface) and GCS
+# (google-cloud-storage surface) translations of the conditional-put
+# client contract, tested against injected fakes (no network, no
+# credentials, no SDK needed: both bindings are duck-typed).
+# ---------------------------------------------------------------------------
+
+from transit_efficiency_analysis_spark.operators.commit_backend import (  # noqa: E402
+    GCSConditionalPutClient,
+    S3ConditionalPutClient,
+)
+
+
+class _FakeBoto3S3:
+    """Duck-typed boto3 S3 client over an InMemoryObjectStore: same
+    response shapes, same error envelope (an exception carrying the
+    boto3 ClientError ``response`` dict)."""
+
+    def __init__(self, store):
+        self.store = store
+
+    @staticmethod
+    def _err(code):
+        e = RuntimeError(code)
+        e.response = {"Error": {"Code": code}}
+        return e
+
+    def get_object(self, Bucket, Key):
+        hit = self.store.get(f"{Bucket}/{Key}")
+        if hit is None:
+            raise self._err("NoSuchKey")
+        body, etag = hit
+
+        class _Body:
+            def read(self_inner):
+                return body
+
+        return {"Body": _Body(), "ETag": f'"{etag}"'}
+
+    def put_object(self, Bucket, Key, Body, IfMatch=None, IfNoneMatch=None):
+        try:
+            etag = self.store.put(
+                f"{Bucket}/{Key}", Body,
+                if_match=IfMatch, if_none_match=IfNoneMatch == "*",
+            )
+        except StorePreconditionFailed:
+            raise self._err("PreconditionFailed") from None
+        return {"ETag": f'"{etag}"'}
+
+
+def test_s3_binding_translates_conditional_puts(tmp_path):
+    """The boto3 translation: quoted ETags round-trip unquoted through
+    the token, NoSuchKey maps to absent, IfNoneMatch='*'/IfMatch map to
+    the surface's preconditions, and a 412 surfaces as
+    StorePreconditionFailed — so ObjectStoreCASBackend drives the
+    binding identically to the in-process store."""
+    cl = S3ConditionalPutClient("bkt", client=_FakeBoto3S3(InMemoryObjectStore()))
+    assert cl.get("m") is None
+    e1 = cl.put("m", b"v1", if_none_match=True)
+    assert cl.get("m") == (b"v1", e1) and '"' not in e1
+    with pytest.raises(StorePreconditionFailed):
+        cl.put("m", b"x", if_none_match=True)
+    e2 = cl.put("m", b"v2", if_match=e1)
+    with pytest.raises(StorePreconditionFailed):
+        cl.put("m", b"y", if_match=e1)
+    assert cl.get("m") == (b"v2", e2)
+
+    # the full commit contract through the binding
+    be = ObjectStoreCASBackend(cl)
+    root = str(tmp_path)
+    t0, m0 = be.read_snapshot(root)
+    be.swap_manifest(root, {0: 1}, expected=m0, token=t0)
+    with pytest.raises(CommitConflictError):
+        be.swap_manifest(root, {0: 9}, expected=m0, token=t0)
+    assert be.read_manifest(root) == {0: 1}
+
+
+class _FakeGcsBlob:
+    def __init__(self, store, key):
+        self.store, self.key = store, key
+        self.generation = None
+
+    def download_as_bytes(self):
+        hit = self.store.get(self.key)
+        if hit is None:
+            e = RuntimeError("not found")
+            e.code = 404
+            raise e
+        body, etag = hit
+        self.generation = int(etag.lstrip("g"))  # fake etags are g<N>
+        return body
+
+    def upload_from_string(self, body, if_generation_match=None):
+        hit = self.store.get(self.key)
+        current_gen = int(hit[1].lstrip("g")) if hit else 0
+        if if_generation_match is not None and if_generation_match != current_gen:
+            e = RuntimeError("precondition failed")
+            e.code = 412
+            raise e
+        etag = self.store.put(self.key, body)
+        self.generation = int(etag.lstrip("g"))
+
+
+class _FakeGcsBucket:
+    def __init__(self, store):
+        self.store = store
+
+    def blob(self, key):
+        return _FakeGcsBlob(self.store, key)
+
+
+def test_gcs_binding_translates_generation_preconditions(tmp_path):
+    """The GCS translation: the token is the stringified generation,
+    creation maps to if_generation_match=0, a stale generation raises
+    StorePreconditionFailed, and the commit contract holds through
+    ObjectStoreCASBackend."""
+    cl = GCSConditionalPutClient(_FakeGcsBucket(InMemoryObjectStore()))
+    assert cl.get("m") is None
+    g1 = cl.put("m", b"v1", if_none_match=True)  # if_generation_match=0
+    assert cl.get("m") == (b"v1", g1)
+    with pytest.raises(StorePreconditionFailed):
+        cl.put("m", b"x", if_none_match=True)
+    g2 = cl.put("m", b"v2", if_match=g1)
+    with pytest.raises(StorePreconditionFailed):
+        cl.put("m", b"y", if_match=g1)
+    assert cl.get("m") == (b"v2", g2)
+
+    be = ObjectStoreCASBackend(cl)
+    root = str(tmp_path)
+    t0, m0 = be.read_snapshot(root)
+    be.swap_manifest(root, {3: 7}, expected=m0, token=t0)
+    t1, m1 = be.read_snapshot(root)
+    assert m1 == {3: 7}
+    with pytest.raises(CommitConflictError):
+        be.swap_manifest(root, {3: 9}, expected=m0, token=t0)
+    be.swap_manifest(root, {3: 8}, expected=m1, token=t1)
+    assert be.read_manifest(root) == {3: 8}

@@ -501,4 +501,158 @@ class ObjectStoreCASBackend(PosixManifestBackend):
             ) from e
 
 
+class S3ConditionalPutClient:
+    """boto3 binding of the :class:`InMemoryObjectStore` surface (round
+    18): manifest keys live in one S3 bucket and the preconditions map
+    to S3's conditional writes — ``IfMatch`` (the retained ETag) for
+    updates, ``IfNoneMatch='*'`` for creation — both public S3 API
+    parameters. A 412 ``PreconditionFailed`` (or the 409
+    ``ConditionalRequestConflict`` S3 returns when concurrent
+    conditional writers collide mid-flight) translates to
+    :class:`StorePreconditionFailed`, which
+    :class:`ObjectStoreCASBackend` surfaces as the protocol's
+    :class:`CommitConflictError`.
+
+    ``client`` is injectable (any object with boto3 S3's
+    ``get_object``/``put_object`` surface), so the translation layer is
+    fully testable without network or credentials; omit it to construct
+    a real ``boto3.client("s3")`` (import-gated — this sandbox has no
+    boto3, and CI never talks to a live store)."""
+
+    def __init__(self, bucket: str, client=None) -> None:
+        if client is None:
+            try:
+                import boto3  # type: ignore[import-not-found]
+            except ImportError as e:  # pragma: no cover - env-dependent
+                raise ImportError(
+                    "S3ConditionalPutClient needs boto3 (or an injected "
+                    "client with the get_object/put_object surface)"
+                ) from e
+            client = boto3.client("s3")
+        self._bucket = bucket
+        self._s3 = client
+
+    def get(self, key: str) -> tuple[bytes, str] | None:
+        try:
+            resp = self._s3.get_object(Bucket=self._bucket, Key=key)
+        except Exception as e:
+            if _aws_error_code(e) in ("NoSuchKey", "404"):
+                return None
+            raise
+        # S3 quotes ETags; strip so the token round-trips IfMatch cleanly
+        return resp["Body"].read(), str(resp["ETag"]).strip('"')
+
+    def put(
+        self,
+        key: str,
+        body: bytes,
+        if_match: str | None = None,
+        if_none_match: bool = False,
+    ) -> str:
+        kwargs: dict = {"Bucket": self._bucket, "Key": key, "Body": body}
+        if if_none_match:
+            kwargs["IfNoneMatch"] = "*"
+        if if_match is not None:
+            kwargs["IfMatch"] = if_match
+        try:
+            resp = self._s3.put_object(**kwargs)
+        except Exception as e:
+            if _aws_error_code(e) in (
+                "PreconditionFailed",
+                "ConditionalRequestConflict",
+                "412",
+                "409",
+            ):
+                raise StorePreconditionFailed(
+                    f"s3 conditional put rejected for {key!r}: {e}"
+                ) from e
+            raise
+        return str(resp["ETag"]).strip('"')
+
+
+def _aws_error_code(e: Exception) -> str:
+    """The S3 error code of a botocore ClientError ('' otherwise) —
+    duck-typed on the public ``response`` shape so the translation is
+    testable with a fake client raising plain exceptions."""
+    resp = getattr(e, "response", None)
+    if isinstance(resp, dict):
+        return str(resp.get("Error", {}).get("Code", ""))
+    return ""
+
+
+class GCSConditionalPutClient:
+    """google-cloud-storage binding of the :class:`InMemoryObjectStore`
+    surface (round 18): the token is the object GENERATION (stringified
+    — the surface's ETag slot), preconditions map to
+    ``if_generation_match`` — the retained generation for updates,
+    ``0`` for creation ("object must not exist", GCS's documented
+    spelling of If-None-Match) — and the 412 ``PreconditionFailed`` the
+    service raises translates to :class:`StorePreconditionFailed`.
+
+    ``bucket`` is injectable (any object with the
+    ``google.cloud.storage.Bucket.blob`` surface) for the same
+    no-network testability as the S3 binding; pass a bucket name to
+    construct the real client (import-gated)."""
+
+    def __init__(self, bucket) -> None:
+        if isinstance(bucket, str):
+            try:
+                from google.cloud import storage  # type: ignore[import-not-found]
+            except ImportError as e:  # pragma: no cover - env-dependent
+                raise ImportError(
+                    "GCSConditionalPutClient needs google-cloud-storage "
+                    "(or an injected bucket with the blob surface)"
+                ) from e
+            bucket = storage.Client().bucket(bucket)
+        self._bucket = bucket
+
+    def get(self, key: str) -> tuple[bytes, str] | None:
+        blob = self._bucket.blob(key)
+        try:
+            body = blob.download_as_bytes()
+        except Exception as e:
+            if _gcs_is_not_found(e):
+                return None
+            raise
+        # the download response's own x-goog-generation header populates
+        # blob.generation — reading it is race-free, unlike a reload()
+        # that could observe a NEWER generation than the body we hold
+        return body, str(blob.generation)
+
+    def put(
+        self,
+        key: str,
+        body: bytes,
+        if_match: str | None = None,
+        if_none_match: bool = False,
+    ) -> str:
+        blob = self._bucket.blob(key)
+        gen = 0 if if_none_match else (int(if_match) if if_match else None)
+        try:
+            blob.upload_from_string(body, if_generation_match=gen)
+        except Exception as e:
+            if _gcs_is_precondition(e):
+                raise StorePreconditionFailed(
+                    f"gcs conditional put rejected for {key!r}: {e}"
+                ) from e
+            raise
+        # the upload response populates blob.generation with the
+        # generation THIS write created — race-free, where a reload()
+        # could return a concurrent writer's newer one
+        return str(blob.generation)
+
+
+def _gcs_is_not_found(e: Exception) -> bool:
+    return getattr(e, "code", None) == 404 or type(e).__name__ == "NotFound"
+
+
+def _gcs_is_precondition(e: Exception) -> bool:
+    """412 from google-api-core — duck-typed on the public ``code``
+    attribute (or class name) so fakes need not import the library."""
+    return (
+        getattr(e, "code", None) == 412
+        or type(e).__name__ == "PreconditionFailed"
+    )
+
+
 POSIX_BACKEND = PosixManifestBackend()
