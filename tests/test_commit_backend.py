@@ -1111,3 +1111,70 @@ def test_gcs_binding_translates_generation_preconditions(tmp_path):
         be.swap_manifest(root, {3: 9}, expected=m0, token=t0)
     be.swap_manifest(root, {3: 8}, expected=m1, token=t1)
     assert be.read_manifest(root) == {3: 8}
+
+
+def test_filter_with_retry_converges_after_detector_conflict(spark, tmp_path):
+    """filter_with_retry (round 18): a merge landing inside the
+    compaction's window trips the detector; the retry re-applies the
+    condition to the ADVANCED state, so the winner's rows are subject
+    to the same filter — never silently overwritten, never resurrected."""
+    from pyspark.sql import functions as F
+
+    target = str(tmp_path / "tbl")
+    U.merge_into_partitioned(
+        target,
+        spark.createDataFrame(_mk_rows([(k, k, 1) for k in range(20)]), SCHEMA),
+        keys=["key"], order_by=["ts", "seq"], num_buckets=4, commit="manifest",
+    )
+    attempts = []
+
+    def competing_merge():
+        attempts.append(1)
+        if len(attempts) == 1:
+            # one surviving row (key 3 < 10) and one the filter must
+            # also drop (key 25 >= 10) — both committed mid-compaction
+            U.merge_into_partitioned(
+                target,
+                spark.createDataFrame(_mk_rows([(3, 333, 5), (25, 25, 5)]), SCHEMA),
+                keys=["key"], order_by=["ts", "seq"], num_buckets=4,
+                commit="manifest",
+            )
+
+    out = U.filter_with_retry(
+        spark, target, F.col("key") < 10, _before_commit=competing_merge,
+    )
+    rows = {r.key: int((r.ts - BASE).total_seconds() // 60)
+            for r in out.collect()}
+    assert len(attempts) == 2  # first compaction attempt lost, retried
+    assert set(rows) == set(range(10))  # 10..19 and 25 filtered away
+    assert rows[3] == 333  # the winner's surviving update is present
+
+
+def test_filter_with_retry_bounded_then_raises(spark, tmp_path):
+    """Persistent interleaving exhausts the bounded retries and the
+    typed conflict propagates."""
+    from pyspark.sql import functions as F
+
+    target = str(tmp_path / "tbl")
+    U.merge_into_partitioned(
+        target,
+        spark.createDataFrame(_mk_rows([(k, k, 1) for k in range(8)]), SCHEMA),
+        keys=["key"], order_by=["ts", "seq"], num_buckets=2, commit="manifest",
+    )
+    calls = []
+
+    def always_competing():
+        calls.append(1)
+        U.merge_into_partitioned(
+            target,
+            spark.createDataFrame(_mk_rows([(1, 100 + len(calls), 5)]), SCHEMA),
+            keys=["key"], order_by=["ts", "seq"], num_buckets=2,
+            commit="manifest",
+        )
+
+    with pytest.raises(U.ConcurrentWriteError):
+        U.filter_with_retry(
+            spark, target, F.col("key") < 4, retries=1,
+            _before_commit=always_competing,
+        )
+    assert len(calls) == 2  # initial attempt + 1 retry, both lost

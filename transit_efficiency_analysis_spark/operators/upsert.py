@@ -1344,6 +1344,40 @@ def merge_with_retry(
                 raise
 
 
+def filter_with_retry(
+    spark,
+    target: str,
+    condition: Column,
+    retries: int = 3,
+    **kwargs,
+) -> DataFrame:
+    """:func:`merge_with_retry`'s compaction twin (round 18, completing
+    the commit story's writer surface): when a concurrent merge wins
+    the race against a :func:`filter_partitioned` compaction — the
+    protocol detector (``ConcurrentWriteError``) or a CAS backend's
+    conditional put (``CommitConflictError``) — rerun the compaction
+    from a fresh snapshot. Semantically safe by construction: a
+    compaction is just a filter, so re-applying ``condition`` to the
+    ADVANCED table state (the winner's rows included) is exactly the
+    intended result; the failed attempt's staged version dirs are
+    sweepable orphans, same as a lost merge. Bounded like the merge
+    form: after ``retries`` conflicts the last error propagates —
+    compaction racing merges persistently should move to a maintenance
+    window, not a longer loop."""
+    from transit_efficiency_analysis_spark.operators.commit_backend import (
+        CommitConflictError,
+    )
+
+    attempt = 0
+    while True:
+        try:
+            return filter_partitioned(spark, target, condition, **kwargs)
+        except (ConcurrentWriteError, CommitConflictError):
+            attempt += 1
+            if attempt > retries:
+                raise
+
+
 def filter_partitioned(
     spark,
     target: str,
