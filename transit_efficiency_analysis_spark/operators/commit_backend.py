@@ -439,7 +439,14 @@ class ObjectStoreCASBackend(PosixManifestBackend):
     boto3/google-cloud-storage calls in that surface with no change
     here. A lost race surfaces as :class:`CommitConflictError` — the
     same exception, recovery, and orphan story as the in-memory CAS
-    backend, so ``merge_with_retry`` drives this backend unchanged."""
+    backend, so ``merge_with_retry`` drives this backend unchanged.
+
+    Every swap is preconditioned: a caller without a retained token
+    gets one derived from a fresh read inside :meth:`swap_manifest`,
+    so even a nominally unconditional overwrite can lose to a writer
+    landing in that get→put gap (and should simply retry) — there is
+    deliberately NO precondition-free write path to reintroduce the
+    lost-update window this backend exists to close."""
 
     def __init__(self, client) -> None:
         self._client = client
@@ -448,6 +455,9 @@ class ObjectStoreCASBackend(PosixManifestBackend):
         return os.path.abspath(root) + "/" + _MANIFEST_NAME
 
     def manifest_exists(self, root: str) -> bool:
+        # one GET of a small JSON object; a real binding may map this
+        # to HEAD (S3 HeadObject / GCS blob.exists) via its client —
+        # the backend only needs presence
         return self._client.get(self._manifest_key(root)) is not None
 
     def read_manifest(self, root: str) -> dict[int, int]:
