@@ -24,6 +24,7 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from transit_efficiency_analysis_spark.functions.exprcache import column_memo
 from transit_efficiency_analysis_spark.functions.text import (
     minhash_band,
     word_shingles,
@@ -183,6 +184,50 @@ def _arrow_minhash_sig(
     return shingled.select("doc_id", "shingles").mapInArrow(run, out_schema)
 
 
+@column_memo
+def _minhash_expr_trees(
+    bands: int, rows_per_band: int
+) -> tuple[tuple[Column, ...], tuple[Column, ...], tuple[Column, ...]]:
+    """The constant expression groups of the MinHash signature stage
+    (Kirsch-Mitzenmacher h1/h2 parse, the bands×r min aggregates, the
+    band-key projection), built once per process per (bands, r) — pure
+    py4j-construction memo (``functions.exprcache``), the arithmetic is
+    byte-identical to the former inline form."""
+    hx = F.md5(F.col("s"))
+    hash_cols = (
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(hx, 9, 8), 16, 10).cast("long").alias("h2"),
+    )
+
+    def family(b: int, i: int) -> Column:
+        j = b * rows_per_band + i
+        return F.min((F.col("h1") + F.lit(j) * F.col("h2")) % F.lit(2**32))
+
+    band_aggs = tuple(
+        family(b, i).alias(f"mh_{b}_{i}")
+        for b in range(bands)
+        for i in range(rows_per_band)
+    )
+    if rows_per_band == 1:
+        key_cols = tuple(
+            F.col(f"mh_{b}_0").alias(f"key_{b}") for b in range(bands)
+        )
+    else:
+        key_cols = tuple(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"mh_{b}_{i}").cast("string")
+                        for i in range(rows_per_band)
+                    ],
+                )
+            ).alias(f"key_{b}")
+            for b in range(bands)
+        )
+    return hash_cols, band_aggs, key_cols
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Distinct-set Jaccard over two array columns."""
     return F.size(F.array_intersect(a, b)).cast("double") / F.size(F.array_union(a, b))
@@ -281,44 +326,10 @@ def minhash_lsh_pairs(
     # parse-once/derive-many rewrite that took the simhash vote agg down
     # 4×, docs/SCALE.md round-4). r=1 keys the band by the minimum
     # itself; r>1 hashes the concatenation of the r family minima.
-    hx = F.md5(F.col("s"))
-    hashed = exp.select(
-        "doc_id",
-        F.conv(F.substring(hx, 1, 8), 16, 10).cast("long").alias("h1"),
-        F.conv(F.substring(hx, 9, 8), 16, 10).cast("long").alias("h2"),
-    )
-
-    def family(b: int, i: int) -> Column:
-        j = b * rows_per_band + i
-        return F.min((F.col("h1") + F.lit(j) * F.col("h2")) % F.lit(2**32))
-
-    band_mins = hashed.groupBy("doc_id").agg(
-        *[
-            family(b, i).alias(f"mh_{b}_{i}")
-            for b in range(bands)
-            for i in range(rows_per_band)
-        ]
-    )
-    if rows_per_band == 1:
-        band_keys = band_mins.select(
-            "doc_id", *[F.col(f"mh_{b}_0").alias(f"key_{b}") for b in range(bands)]
-        )
-    else:
-        band_keys = band_mins.select(
-            "doc_id",
-            *[
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.col(f"mh_{b}_{i}").cast("string")
-                            for i in range(rows_per_band)
-                        ],
-                    )
-                ).alias(f"key_{b}")
-                for b in range(bands)
-            ],
-        )
+    hash_cols, band_aggs, key_cols = _minhash_expr_trees(bands, rows_per_band)
+    hashed = exp.select("doc_id", *hash_cols)
+    band_mins = hashed.groupBy("doc_id").agg(*band_aggs)
+    band_keys = band_mins.select("doc_id", *key_cols)
     stack_expr = "stack({n}, {args}) as (band, mh)".format(
         n=bands, args=", ".join(f"{b}, key_{b}" for b in range(bands))
     )
@@ -479,15 +490,24 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     tokens = df.select(
         F.col(id_col).alias("doc_id"), F.explode(words(text_col)).alias("t")
     ).withColumn("h", F.md5("t"))
+    chunk_cols, agg_cols, fold_col = _simhash_expr_trees()
     # hex chars 8k+1..8k+8 → one unsigned 32-bit value per chunk
-    tokens = tokens.select(
-        "doc_id",
-        *[
-            F.conv(F.substring("h", 1 + 8 * k, 8), 16, 10)
-            .cast("long")
-            .alias(f"c{k}")
-            for k in range(4)
-        ],
+    tokens = tokens.select("doc_id", *chunk_cols)
+    votes = tokens.groupBy("doc_id").agg(*agg_cols)
+    return votes.select("doc_id", fold_col)
+
+
+@column_memo
+def _simhash_expr_trees() -> tuple[tuple[Column, ...], tuple[Column, ...], Column]:
+    """The three constant expression groups of ``simhash_fingerprints``
+    (chunk parse, 64+1 aggregates, bit fold), built once per process —
+    the tree is ~70 aggregate/CASE columns and its py4j construction
+    cost (~2-3 s per invocation, measured round 18) dominated the
+    demo's bench time. Pure construction memo; see
+    ``functions.exprcache``."""
+    chunk_cols = tuple(
+        F.conv(F.substring("h", 1 + 8 * k, 8), 16, 10).cast("long").alias(f"c{k}")
+        for k in range(4)
     )
 
     def hit(j: int) -> Column:
@@ -498,9 +518,8 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
         bitpos = 4 * (7 - (p % 8)) + (3 if j < 32 else 2)
         return F.sum(F.shiftright(F.col(f"c{p // 8}"), bitpos).bitwiseAND(F.lit(1)))
 
-    votes = tokens.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tok"),
-        *[hit(j).alias(f"s_{j}") for j in range(64)],
+    agg_cols = (F.count(F.lit(1)).alias("n_tok"),) + tuple(
+        hit(j).alias(f"s_{j}") for j in range(64)
     )
     weight = [2**j if j < 63 else -(2**63) for j in range(64)]
     bits = [
@@ -512,7 +531,40 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     simhash = bits[0]
     for b in bits[1:]:
         simhash = simhash + b
-    return votes.select("doc_id", simhash.alias("simhash"))
+    return chunk_cols, agg_cols, simhash.alias("simhash")
+
+
+@column_memo
+def _simhash_combo_entries(n_blocks: int, block_choose: int) -> Column:
+    """One (combo, key) entry per block subset — the minhash-banding
+    shape: a SINGLE equi-join on (combo, key) replaces C(n_blocks,
+    choose) separate self-joins (one exchange of C×n signature rows
+    instead of C full shuffles; Spark plans one SMJ/SHJ stage).
+    arithmetic shiftright + mask == logical block extract on both
+    engines (two's-complement AND clears the sign-extension bits);
+    the combo key packs the chosen blocks into one non-negative long.
+    Constant per (n_blocks, choose) — built once per process
+    (``functions.exprcache``)."""
+    from itertools import combinations
+
+    bits = 64 // n_blocks
+    mask = F.lit(2**bits - 1)
+
+    def block(i: int) -> Column:
+        return F.shiftright(F.col("simhash"), bits * i).bitwiseAND(mask)
+
+    return F.array(
+        *[
+            F.struct(
+                F.lit(ci).alias("combo"),
+                sum(
+                    (block(i) * F.lit(2 ** (bits * pos)) for pos, i in enumerate(combo)),
+                    F.lit(0).cast("long"),
+                ).alias("bkey"),
+            )
+            for ci, combo in enumerate(combinations(range(n_blocks), block_choose))
+        ]
+    )
 
 
 def simhash_pairs(
@@ -566,31 +618,9 @@ def simhash_pairs(
     if checkpoint:
         fp = fp.persist(StorageLevel.DISK_ONLY)
 
-    # One (combo, key) row per block subset per doc — the minhash-banding
-    # shape: a SINGLE equi-join on (combo, key) replaces C(n_blocks,
-    # choose) separate self-joins (one exchange of C×n signature rows
-    # instead of C full shuffles; Spark plans one SMJ/SHJ stage).
-    # arithmetic shiftright + mask == logical block extract on both
-    # engines (two's-complement AND clears the sign-extension bits);
-    # the combo key packs the chosen blocks into one non-negative long.
-    mask = F.lit(2**bits - 1)
-
-    def block(i: int) -> Column:
-        return F.shiftright(F.col("simhash"), bits * i).bitwiseAND(mask)
-
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(ci).alias("combo"),
-                sum(
-                    (block(i) * F.lit(2 ** (bits * pos)) for pos, i in enumerate(combo)),
-                    F.lit(0).cast("long"),
-                ).alias("bkey"),
-            )
-            for ci, combo in enumerate(combinations(range(n_blocks), block_choose))
-        ]
-    )
-    keyed = fp.select("doc_id", "simhash", F.explode(entries).alias("e")).select(
+    keyed = fp.select(
+        "doc_id", "simhash", F.explode(_simhash_combo_entries(n_blocks, block_choose)).alias("e")
+    ).select(
         "doc_id", "simhash", F.col("e.combo").alias("combo"), F.col("e.bkey").alias("bkey")
     )
     a, b = keyed.alias("a"), keyed.alias("b")

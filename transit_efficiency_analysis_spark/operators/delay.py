@@ -66,17 +66,58 @@ def compute_delays(
     tu = trip_updates.alias("tu")
     gd = gtfs_data.alias("gd")
 
-    tu_arr = F.col("tu.arrival_time")
-    tu_dep = F.col("tu.departure_time")
-    gd_arr = F.col("gd.arrival_time")
-    gd_dep = F.col("gd.departure_time")
-
     join_cond = (
         (F.col("tu.trip_id") == F.col("gd.trip_id"))
         & (F.col("tu.start_date") == F.col("gd.start_date"))
         & (F.col("tu.stop_sequence") == F.col("gd.stop_sequence"))
         & (F.col("tu.stop_id").cast("long") == F.col("gd.stop_id"))
     )
+
+    joined = tu.join(gd, join_cond, "inner")
+    return delays_projection(
+        joined,
+        lambda c: F.col(f"tu.{c}"),
+        lambda c: F.col(f"gd.{c}"),
+        sort=sort,
+        memo_key="tu_gd",
+    )
+
+
+#: (keep_filter, select_cols) per accessor family — the ~200-operator
+#: arithmetic tree costs real py4j construction wall per invocation
+#: (functions/exprcache.py rationale); the tree is constant per accessor
+#: family, so callers that resolve columns the same way every time pass a
+#: ``memo_key`` and the tree is built once per process.
+_DELAY_TREES: dict[str, tuple] = {}
+
+
+def delays_projection(
+    joined: DataFrame, tu, gd, sort: bool = True, memo_key: str | None = None
+) -> DataFrame:
+    """The delay arithmetic over an already-joined relation.
+
+    ``tu`` / ``gd`` are accessors ``name -> Column`` resolving the
+    realtime / schedule side's view columns against ``joined`` — either
+    plain qualified references (``compute_delays``) or the underlying
+    expressions when both sides derive from one shared base relation
+    (``testdata_adapter.delays_fused``: the join then runs on the raw
+    composite key and every derived column is computed ONCE, above the
+    exchange, instead of per side below it — the round-18 shuffle-bytes
+    optimization). One definition of the sentinel/diff/CASE arithmetic
+    so the two physical forms cannot drift. ``memo_key`` (optional)
+    memoizes the constructed tree per accessor family — pass it only
+    when the accessors return identical expressions on every call.
+    """
+    if memo_key is not None and memo_key in _DELAY_TREES:
+        keep, cols = _DELAY_TREES[memo_key]
+        out = joined.where(keep).select(*cols)
+        if sort:
+            out = out.orderBy("trip_id", "stop_sequence", "start_date")
+        return out
+    tu_arr = tu("arrival_time")
+    tu_dep = tu("departure_time")
+    gd_arr = gd("arrival_time")
+    gd_dep = gd("departure_time")
 
     arr_missing = is_epoch0(tu_arr)
     dep_missing = is_epoch0(tu_dep)
@@ -100,17 +141,14 @@ def compute_delays(
         .otherwise(F.lit(None).cast("double"))
     )
 
-    out = (
-        tu.join(gd, join_cond, "inner")
-        .where(keep)
-        .select(
-            F.col("tu.trip_id").alias("trip_id"),
-            F.col("tu.start_date").alias("start_date"),
-            F.col("tu.stop_sequence").alias("stop_sequence"),
-            F.col("tu.stop_id").cast("long").alias("stop_id"),
-            F.col("gd.route_id").alias("route_id"),
-            F.col("gd.stop_name").alias("stop_name"),
-            F.col("gd.route_long_name").alias("route_long_name"),
+    cols = (
+            tu("trip_id").alias("trip_id"),
+            tu("start_date").alias("start_date"),
+            tu("stop_sequence").alias("stop_sequence"),
+            tu("stop_id").cast("long").alias("stop_id"),
+            gd("route_id").alias("route_id"),
+            gd("stop_name").alias("stop_name"),
+            gd("route_long_name").alias("route_long_name"),
             null_if_sentinel(tu_arr).alias("actual_arrival_time"),
             gd_arr.alias("scheduled_arrival_time"),
             arr_diff_min.alias("arrival_time_diff_in_minutes"),
@@ -118,16 +156,18 @@ def compute_delays(
             gd_dep.alias("scheduled_departure_time"),
             dep_diff_min.alias("departure_time_diff_in_minutes"),
             avg_diff.alias("average_diff_in_minutes"),
-            F.col("tu.weather_group").alias("weather_group"),
-            F.col("tu.weather_description").alias("weather_description"),
-            F.col("tu.temperature").alias("temperature"),
+            tu("weather_group").alias("weather_group"),
+            tu("weather_description").alias("weather_description"),
+            tu("temperature").alias("temperature"),
             local_day_name(gd_arr).alias("day_type"),
             local_hour(gd_arr).alias("sudbury_hour_of_day"),
-            F.col("gd.geo_coordinates").alias("geo_coordinates"),
-            F.col("tu.created_at").alias("created_at"),
-            F.col("tu.updated_at").alias("updated_at"),
-        )
+            gd("geo_coordinates").alias("geo_coordinates"),
+            tu("created_at").alias("created_at"),
+            tu("updated_at").alias("updated_at"),
     )
+    if memo_key is not None:
+        _DELAY_TREES[memo_key] = (keep, cols)
+    out = joined.where(keep).select(*cols)
     if sort:
         # display-order only; storage order is immaterial (diff_times.py:107)
         out = out.orderBy("trip_id", "stop_sequence", "start_date")

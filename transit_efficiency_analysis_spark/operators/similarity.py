@@ -21,7 +21,67 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from transit_efficiency_analysis_spark.functions.exprcache import column_memo
 from transit_efficiency_analysis_spark.functions.vectors import as_double, dot, norm
+
+
+@column_memo
+def _vd(name: str) -> Column:
+    """Memoized ``as_double(F.col(name))`` (construction is dims py4j
+    calls via the transform lambda; see ``functions.exprcache``)."""
+    return as_double(F.col(name))
+
+
+@column_memo
+def _vn(name: str) -> Column:
+    """Memoized ``norm(as_double(F.col(name)))``."""
+    return norm(as_double(F.col(name)))
+
+
+@column_memo
+def _q_quantized(name: str) -> Column:
+    """Memoized ``quantize_vec(F.col(name))``."""
+    return quantize_vec(F.col(name))
+
+
+@column_memo
+def _q_projection_exprs(planes: int, dims: int) -> tuple[Column, ...]:
+    """Memoized per-plane projection folds over the ``__q`` column — the
+    planes × dims sign literals cost ~1 s of py4j construction per
+    invocation at planes=8/dims=64 (measured round 18)."""
+    return tuple(lsh_projection_exprs(F.col("__q"), planes, dims))
+
+
+@column_memo
+def _q_bucket_expr(planes: int, dims: int) -> Column:
+    """Memoized ``lsh_bucket_expr(F.col("__q"), planes, dims)``."""
+    return lsh_bucket_expr(F.col("__q"), planes, dims)
+
+
+@column_memo
+def _q_bucket_and_flip(planes: int, dims: int) -> tuple[Column, Column]:
+    """Memoized multiprobe (bucket, flip-plane) pair over ``__q``: the
+    bucket fold plus the argmin-|projection| margin — lexicographic min
+    over (|proj|, p) structs (exact longs, total order, index
+    tiebreak)."""
+    projs = _q_projection_exprs(planes, dims)
+    bucket = F.lit(0).cast("long")
+    for p, proj in enumerate(projs):
+        bucket = bucket + F.when(
+            proj > 0, F.lit(2**p).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    margin = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    F.abs(projs[p]).alias("a"),
+                    F.lit(p).cast("int").alias("p"),
+                )
+                for p in range(planes)
+            ]
+        )
+    )["p"]
+    return bucket, margin
 
 
 def brute_force_topk(
@@ -40,13 +100,13 @@ def brute_force_topk(
     # row instead of one per pair (cosine(a,b) = dot/(|a||b|) exactly)
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        as_double(F.col(vec_col)).alias("qv"),
-        norm(as_double(F.col(vec_col))).alias("qn"),
+        _vd(vec_col).alias("qv"),
+        _vn(vec_col).alias("qn"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        as_double(F.col(vec_col)).alias("cv"),
-        norm(as_double(F.col(vec_col))).alias("cn"),
+        _vd(vec_col).alias("cv"),
+        _vn(vec_col).alias("cn"),
     )
     sim = dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     w = Window.partitionBy("query_id").orderBy(
@@ -206,10 +266,10 @@ def lsh_bucket_assignments(
         )
     return df.select(
         F.col(id_col).alias("vec_id"),
-        quantize_vec(F.col(vec_col)).alias("__q"),
+        _q_quantized(vec_col).alias("__q"),
     ).select(
         "vec_id",
-        lsh_bucket_expr(F.col("__q"), planes, dims).alias("bucket"),
+        _q_bucket_expr(planes, dims).alias("bucket"),
     )
 
 
@@ -360,8 +420,8 @@ def _arrow_lsh_base(
         F.col(id_col).alias("vec_id"),
         *(
             [
-                as_double(F.col(vec_col)).alias("v"),
-                norm(as_double(F.col(vec_col))).alias("vn"),
+                _vd(vec_col).alias("v"),
+                _vn(vec_col).alias("vn"),
             ]
             if emit_vectors
             else []
@@ -425,14 +485,14 @@ def lsh_topk(
     else:
         base = df.select(
             F.col(id_col).alias("vec_id"),
-            as_double(F.col(vec_col)).alias("v"),
-            norm(as_double(F.col(vec_col))).alias("vn"),
-            quantize_vec(F.col(vec_col)).alias("__q"),
+            _vd(vec_col).alias("v"),
+            _vn(vec_col).alias("vn"),
+            _q_quantized(vec_col).alias("__q"),
         ).select(
             "vec_id",
             "v",
             "vn",
-            lsh_bucket_expr(F.col("__q"), planes, dims).alias("bucket"),
+            _q_bucket_expr(planes, dims).alias("bucket"),
         )
     a = base.select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("vn").alias("qn"), "bucket"
@@ -522,30 +582,12 @@ def multiprobe_lsh_topk(
             auto_resolved=was_auto,
         )
     else:
-        projs = lsh_projection_exprs(F.col("__q"), planes, dims)
-        bucket = F.lit(0).cast("long")
-        for p, proj in enumerate(projs):
-            bucket = bucket + F.when(
-                proj > 0, F.lit(2**p).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-        # argmin |projection| with index tiebreak: lexicographic min
-        # over (|proj|, p) structs — exact longs, total order
-        margin = F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        F.abs(projs[p]).alias("a"),
-                        F.lit(p).cast("int").alias("p"),
-                    )
-                    for p in range(planes)
-                ]
-            )
-        )["p"]
+        bucket, margin = _q_bucket_and_flip(planes, dims)
         base = df.select(
             F.col(id_col).alias("vec_id"),
-            as_double(F.col(vec_col)).alias("v"),
-            norm(as_double(F.col(vec_col))).alias("vn"),
-            quantize_vec(F.col(vec_col)).alias("__q"),
+            _vd(vec_col).alias("v"),
+            _vn(vec_col).alias("vn"),
+            _q_quantized(vec_col).alias("__q"),
         ).select(
             "vec_id",
             "v",
@@ -652,7 +694,7 @@ def ivf_centroids(
         )
     assign = _resolve_assign(assign, n_rows, n_centroids)
     seeds = (
-        df.select(F.col(id_col).alias("sid"), as_double(F.col(vec_col)).alias("cv"))
+        df.select(F.col(id_col).alias("sid"), _vd(vec_col).alias("cv"))
         .orderBy(F.md5(F.col("sid").cast("string")), F.col("sid"))
         .limit(n_centroids)
     )
@@ -670,8 +712,8 @@ def ivf_centroids(
     )
     base = df.select(
         F.col(id_col).alias("vec_id"),
-        as_double(F.col(vec_col)).alias("v"),
-        norm(as_double(F.col(vec_col))).alias("vn"),
+        _vd(vec_col).alias("v"),
+        _vn(vec_col).alias("vn"),
     )
     if lloyd_rounds:
         # the per-round O(n x K) assignment compute deserves the same
@@ -1602,8 +1644,8 @@ def ivf_topk(
     )
     base = df.select(
         F.col(id_col).alias("vec_id"),
-        as_double(F.col(vec_col)).alias("v"),
-        norm(as_double(F.col(vec_col))).alias("vn"),
+        _vd(vec_col).alias("v"),
+        _vn(vec_col).alias("vn"),
     )
     if assign == "arrow":
         # auto's large-nK resolution (or forced): the Arrow/BLAS twin
@@ -1680,8 +1722,8 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs within a blocking key."""
     base = df.select(
         F.col(id_col).alias("vec_id"),
-        as_double(F.col(vec_col)).alias("v"),
-        norm(as_double(F.col(vec_col))).alias("vn"),
+        _vd(vec_col).alias("v"),
+        _vn(vec_col).alias("vn"),
         block.alias("blk"),
     )
     a, b = base.alias("a"), base.alias("b")
@@ -1779,8 +1821,8 @@ def ivf_pq_topk(
     cents = ivf_centroids(df, id_col, vec_col, n_centroids)
     base = df.select(
         F.col(id_col).alias("vec_id"),
-        as_double(F.col(vec_col)).alias("v"),
-        norm(as_double(F.col(vec_col))).alias("vn"),
+        _vd(vec_col).alias("v"),
+        _vn(vec_col).alias("vn"),
     )
     if assign in ("fold", "arrow"):
         # "arrow" (dark, round 15): the coarse assignment swaps to the
@@ -2157,8 +2199,8 @@ def semantic_dedup(
     base = _ensure_min_parallelism(
         df.select(
             F.col(id_col).alias("vec_id"),
-            as_double(F.col(vec_col)).alias("v"),
-            norm(as_double(F.col(vec_col))).alias("vn"),
+            _vd(vec_col).alias("v"),
+            _vn(vec_col).alias("vn"),
         )
     )
     assigned = (
@@ -2417,8 +2459,8 @@ def semantic_dedup_hier(
     base = _ensure_min_parallelism(
         df.select(
             F.col(id_col).alias("vec_id"),
-            as_double(F.col(vec_col)).alias("v"),
-            norm(as_double(F.col(vec_col))).alias("vn"),
+            _vd(vec_col).alias("v"),
+            _vn(vec_col).alias("vn"),
         )
     )
     # Assignment is MAP-ONLY (round 11, VERDICT r10 #8): instead of

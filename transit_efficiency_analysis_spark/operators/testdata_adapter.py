@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from transit_efficiency_analysis_spark.functions.exprcache import column_memo
 from transit_efficiency_analysis_spark.functions.weather import weather_group_for_id
 
 #: fixed audit timestamp (ts-now is injected as a constant for determinism)
@@ -30,25 +31,34 @@ def _shift_seconds(ts, secs):
     return F.timestamp_seconds(F.unix_timestamp(ts) + secs)
 
 
+@column_memo
+def gd_exprs(p: str = "") -> dict[str, F.Column]:
+    """The schedule-side view columns as expressions over (possibly
+    prefixed) ``orders ⋈ lineitem`` base columns. ``p`` is a column
+    qualifier prefix (``""`` for the plain view, ``"b."`` in the fused
+    self-join form)."""
+    return {
+        "trip_id": F.col(f"{p}o_orderkey").cast("string"),
+        "start_date": F.to_date(f"{p}o_orderdate"),
+        "stop_sequence": F.col(f"{p}l_linenumber").cast("long"),
+        "stop_id": F.col(f"{p}l_partkey"),
+        "route_id": F.col(f"{p}l_returnflag"),
+        "stop_name": F.concat(F.lit("stop_"), F.col(f"{p}l_suppkey").cast("string")),
+        "route_long_name": F.col(f"{p}o_orderpriority"),
+        "arrival_time": F.col(f"{p}l_shipdate"),
+        "departure_time": _shift_seconds(F.col(f"{p}l_shipdate"), F.lit(300)),
+        "geo_coordinates": F.format_string(
+            "%.4f, %.4f",
+            F.col(f"{p}l_discount") * 1000 - 50,
+            F.col(f"{p}l_tax") * 1000 - 80,
+        ),
+    }
+
+
 def gtfs_data_view(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """Schedule side: orders ⋈ lineitem → ``schemas.GTFS_DATA`` shape."""
     j = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "inner")
-    return j.select(
-        F.col("o_orderkey").cast("string").alias("trip_id"),
-        F.to_date("o_orderdate").alias("start_date"),
-        F.col("l_linenumber").cast("long").alias("stop_sequence"),
-        F.col("l_partkey").alias("stop_id"),
-        F.col("l_returnflag").alias("route_id"),
-        F.concat(F.lit("stop_"), F.col("l_suppkey").cast("string")).alias("stop_name"),
-        F.col("o_orderpriority").alias("route_long_name"),
-        F.col("l_shipdate").alias("arrival_time"),
-        _shift_seconds(F.col("l_shipdate"), F.lit(300)).alias("departure_time"),
-        F.format_string(
-            "%.4f, %.4f",
-            F.col("l_discount") * 1000 - 50,
-            F.col("l_tax") * 1000 - 80,
-        ).alias("geo_coordinates"),
-    )
+    return j.select(*[c.alias(n) for n, c in gd_exprs().items()])
 
 
 GD_SQL = """
@@ -67,31 +77,155 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 """
 
 
+@column_memo
+def tu_exprs(p: str = "") -> dict[str, F.Column]:
+    """The realtime-side view columns (jittered actuals, sentinel
+    injection, weather enrichment) as expressions over (possibly
+    prefixed) ``orders ⋈ lineitem`` base columns."""
+    k = F.col(f"{p}l_orderkey")
+    epoch0 = F.timestamp_seconds(F.lit(0))
+    arr = F.when(k % 11 == 0, epoch0).otherwise(
+        _shift_seconds(F.col(f"{p}l_shipdate"), (k % 13 - 6) * 60)
+    )
+    dep = F.when(k % 7 == 0, epoch0).otherwise(
+        _shift_seconds(F.col(f"{p}l_shipdate"), 300 + (k % 9 - 4) * 60)
+    )
+    weather_id = (F.lit(200) + F.col(f"{p}l_partkey") % 605).cast("int")
+    return {
+        "trip_id": F.col(f"{p}o_orderkey").cast("string"),
+        "start_date": F.to_date(f"{p}o_orderdate"),
+        "stop_sequence": F.col(f"{p}l_linenumber").cast("long"),
+        "stop_id": F.col(f"{p}l_partkey").cast("string"),
+        "arrival_time": arr,
+        "departure_time": dep,
+        "weather_group": weather_group_for_id(weather_id),
+        "weather_description": F.lower(weather_group_for_id(weather_id)),
+        "temperature": F.round(F.col(f"{p}l_quantity") + 280 - 273.15, 2),
+        "created_at": F.to_timestamp(F.lit(CREATED_AT)),
+        "updated_at": F.lit(None).cast("timestamp"),
+    }
+
+
 def trip_updates_view(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """Realtime side: same keys, jittered actuals, sentinel injection,
     weather enrichment → ``schemas.TRIP_UPDATES`` shape (stop_id as STRING)."""
     j = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "inner")
-    k = F.col("l_orderkey")
-    epoch0 = F.timestamp_seconds(F.lit(0))
-    arr = F.when(k % 11 == 0, epoch0).otherwise(
-        _shift_seconds(F.col("l_shipdate"), (k % 13 - 6) * 60)
+    return j.select(*[c.alias(n) for n, c in tu_exprs().items()])
+
+
+#: the orders ⋈ lineitem base columns either view side can need — the fused
+#: forms project this union once and derive both sides' view columns above
+#: the join, so the exchange carries raw numerics instead of per-side
+#: derived strings (weather CASEs, printf coordinates, casts).
+_BASE_LINEITEM_COLS = [
+    "l_orderkey",
+    "l_linenumber",
+    "l_partkey",
+    "l_suppkey",
+    "l_returnflag",
+    "l_shipdate",
+    "l_discount",
+    "l_tax",
+    "l_quantity",
+]
+_BASE_ORDERS_COLS = ["o_orderkey", "o_orderdate", "o_orderpriority"]
+
+
+def _delays_base(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    return lineitem.select(*_BASE_LINEITEM_COLS).join(
+        orders.select(*_BASE_ORDERS_COLS),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "inner",
     )
-    dep = F.when(k % 7 == 0, epoch0).otherwise(
-        _shift_seconds(F.col("l_shipdate"), 300 + (k % 9 - 4) * 60)
-    )
-    weather_id = (F.lit(200) + F.col("l_partkey") % 605).cast("int")
-    return j.select(
-        F.col("o_orderkey").cast("string").alias("trip_id"),
-        F.to_date("o_orderdate").alias("start_date"),
-        F.col("l_linenumber").cast("long").alias("stop_sequence"),
-        F.col("l_partkey").cast("string").alias("stop_id"),
-        arr.alias("arrival_time"),
-        dep.alias("departure_time"),
-        weather_group_for_id(weather_id).alias("weather_group"),
-        F.lower(weather_group_for_id(weather_id)).alias("weather_description"),
-        F.round(F.col("l_quantity") + 280 - 273.15, 2).alias("temperature"),
-        F.to_timestamp(F.lit(CREATED_AT)).alias("created_at"),
-        F.lit(None).cast("timestamp").alias("updated_at"),
+
+
+def delays_fused(
+    orders: DataFrame, lineitem: DataFrame, sort: bool = True, form: str = "join"
+) -> DataFrame:
+    """``compute_delays(trip_updates_view(...), gtfs_data_view(...))`` with
+    the self-join structure made explicit (round-18 optimization).
+
+    Both view sides derive 1:1 from the SAME ``orders ⋈ lineitem`` row set,
+    so the composite-key join of the two views is a self-join of one base
+    relation. Joining the base with itself on the RAW key columns — and
+    computing every derived view column (casts, jitter, weather strings,
+    printf coordinates) ABOVE the join — produces the identical row
+    multiset while the exchange carries only raw base columns.
+
+    Equivalence of the raw-key condition to the view-level condition
+    (holds row-pair-wise, for every input, duplicates and NULLs included):
+
+    - ``tu.trip_id = gd.trip_id`` is ``CAST(a.o_orderkey AS STRING) =
+      CAST(b.o_orderkey AS STRING)`` — long→string is injective and
+      NULL-preserving, so ≡ ``a.o_orderkey = b.o_orderkey`` (which the
+      base join makes ≡ ``a.l_orderkey = b.l_orderkey``).
+    - ``tu.start_date = gd.start_date`` is compared as
+      ``to_date(a.o_orderdate) = to_date(b.o_orderdate)`` verbatim.
+    - ``tu.stop_sequence = gd.stop_sequence`` is an injective widening
+      cast on both sides ≡ ``a.l_linenumber = b.l_linenumber``.
+    - ``CAST(tu.stop_id AS LONG) = gd.stop_id`` — ``tu.stop_id`` is
+      ``CAST(l_partkey AS STRING)`` and the long→string→long round-trip
+      is the identity (canonical decimal strings), so ≡
+      ``a.l_partkey = b.l_partkey``.
+
+    ``form`` picks the physical shape (both bit-identical):
+
+    - ``"join"``: base self-join (SMJ on the raw keys). Two branches over
+      the same base; per-branch column pruning keeps each exchange
+      narrow (the a-side ships 6 raw columns, the b-side 10 — vs the two
+      view-level exchanges shipping every derived string).
+    - ``"group"``: ONE exchange — ``groupBy`` the 4 raw keys,
+      ``collect_list(struct(base columns))``, then explode the group
+      twice to generate exactly the within-group ordered-pair multiset
+      the self-join produces. Equality grouping matches join-equality
+      semantics because rows with a NULL in any key are filtered first
+      (a NULL key never satisfies the join condition; groupBy would
+      otherwise group NULLs together). Group sizes are bounded by the
+      composite key's near-PK cardinality (the testdata carries a
+      handful of deliberate duplicate keys), so the per-group list is
+      O(1) — at 100 TB this halves the heavy-side shuffle vs the
+      self-join at the cost of a per-key memory bound that the
+      self-join does not need.
+    """
+    from transit_efficiency_analysis_spark.operators.delay import delays_projection
+
+    base = _delays_base(orders, lineitem)
+    if form == "join":
+        a, b = base.alias("a"), base.alias("b")
+        cond = (
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.to_date("a.o_orderdate") == F.to_date("b.o_orderdate"))
+            & (F.col("a.l_linenumber") == F.col("b.l_linenumber"))
+            & (F.col("a.l_partkey") == F.col("b.l_partkey"))
+        )
+        joined = a.join(b, cond, "inner")
+        tu, gd = tu_exprs("a."), gd_exprs("b.")
+    elif form == "group":
+        keys = [
+            F.col("l_orderkey"),
+            F.to_date("o_orderdate").alias("__sd"),
+            F.col("l_linenumber"),
+            F.col("l_partkey"),
+        ]
+        rows = F.struct(*_BASE_LINEITEM_COLS, *_BASE_ORDERS_COLS)
+        grouped = (
+            base.where(
+                F.col("l_orderkey").isNotNull()
+                & F.to_date("o_orderdate").isNotNull()
+                & F.col("l_linenumber").isNotNull()
+                & F.col("l_partkey").isNotNull()
+            )
+            .groupBy(*keys)
+            .agg(F.collect_list(rows).alias("__g"))
+        )
+        joined = grouped.select(
+            F.explode("__g").alias("a"), F.col("__g").alias("__g2")
+        ).select("a", F.explode("__g2").alias("b"))
+        tu, gd = tu_exprs("a."), gd_exprs("b.")
+    else:
+        raise ValueError(f"form must be 'join' or 'group', got {form!r}")
+    return delays_projection(
+        joined, lambda c: tu[c], lambda c: gd[c], sort=sort, memo_key="fused_ab"
     )
 
 
