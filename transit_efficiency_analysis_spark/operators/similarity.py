@@ -96,6 +96,10 @@ def brute_force_topk(
     Returns (query_id, neighbor_id, cosine_sim, rank). Self-matches are
     excluded. The query side is broadcast (queries ≪ corpus).
     """
+    # single-small-file corpus inputs otherwise run the whole broadcast
+    # join + per-pair cosine on one core (round 18; no-op at scale —
+    # see _ensure_min_parallelism)
+    corpus = _ensure_min_parallelism(corpus)
     # norms are projected on each side BEFORE the join → one norm fold per
     # row instead of one per pair (cosine(a,b) = dot/(|a||b|) exactly)
     q = queries.select(
@@ -259,6 +263,10 @@ def lsh_bucket_assignments(
     planes, n_rows, bucket_assign = _lsh_sizing(
         df, planes, target_bucket_size, n_rows, bucket_assign
     )
+    # same single-small-file parallelism guard as lsh_topk (round 18):
+    # assignment is map-only, so the scan's partitioning IS its
+    # parallelism; the guard only fires in the small-input regime
+    df = _ensure_min_parallelism(df)
     if bucket_assign == "arrow":
         return _arrow_lsh_base(
             df, id_col, vec_col, planes, dims, emit_vectors=False,
@@ -471,6 +479,13 @@ def lsh_topk(
     planes, n_rows, bucket_assign = _lsh_sizing(
         df, planes, target_bucket_size, n_rows, bucket_assign
     )
+    # single-small-file inputs otherwise drag the whole pipeline onto
+    # one core: the bucket join broadcasts at that scale, so the scan's
+    # inherited partitioning IS the parallelism of the quantize/fold
+    # projection AND the per-pair cosine ranking (round 18 — measured
+    # 2.7 s → sub-second at sf0.1/local[32]; the guard is a no-op on
+    # any input with splits ≥ cores, see its docstring)
+    df = _ensure_min_parallelism(df)
     # the base projection's PHYSICAL form (round 17 flip of the round-16
     # dark twin): "arrow" computes bucket ids with _arrow_lsh_base's
     # exact int64 matmul instead of `planes` interpreted long folds;
@@ -566,6 +581,8 @@ def multiprobe_lsh_topk(
     planes, n_rows, bucket_assign = _lsh_sizing(
         df, planes, target_bucket_size, n_rows, bucket_assign
     )
+    # same single-small-file parallelism guard as lsh_topk (round 18)
+    df = _ensure_min_parallelism(df)
     # 2^flip is exact in double for flip < 2^53's range (planes <= 30)
     probe = F.col("bucket").bitwiseXOR(F.pow(F.lit(2.0), F.col("flip")).cast("long"))
     # bucket_assign="arrow" (round 16; auto-resolvable since round 17):
