@@ -345,15 +345,28 @@ def minhash_lsh_pairs(
         from transit_efficiency_analysis_spark.operators.buckets import cap_buckets
 
         sig = cap_buckets(sig, ["band", "mh"], "doc_id", max_bucket_size)
-    a, b = sig.alias("a"), sig.alias("b")
+    # Candidate generation in ONE exchange (round 18): group the
+    # signature rows by bucket and explode the within-bucket ordered
+    # pairs, instead of the bucket-keyed self-join + distinct — the
+    # self-join shuffled (and computed) the signature relation TWICE
+    # (per-side column pruning defeats exchange reuse) and paid an SMJ
+    # sort; this ships each signature row once. Pair-for-pair identical:
+    # equality grouping matches join equality because NULL bucket keys
+    # are filtered first (a NULL key never satisfies the join
+    # condition), and ``doc_a < doc_b`` filters the exploded pairs
+    # exactly as it filtered the join. The per-bucket doc-id list is
+    # bounded by bucket occupancy — the same quantity that already
+    # bounds the join fan-out (cap it with ``max_bucket_size``; the cap
+    # applies BEFORE this step, unchanged). Measured at sf0.1/local[32]:
+    # candidate stage 1.02 s → 0.57 s, identical 62.5 k pair set.
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.mh") == F.col("b.mh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        sig.where(F.col("mh").isNotNull())
+        .groupBy("band", "mh")
+        .agg(F.collect_list("doc_id").alias("__ids"))
+        .where(F.size("__ids") > 1)
+        .select(F.explode("__ids").alias("doc_a"), F.col("__ids").alias("__ids2"))
+        .select("doc_a", F.explode("__ids2").alias("doc_b"))
+        .where(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
     sizes = exp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -623,17 +636,26 @@ def simhash_pairs(
     ).select(
         "doc_id", "simhash", F.col("e.combo").alias("combo"), F.col("e.bkey").alias("bkey")
     )
-    a, b = keyed.alias("a"), keyed.alias("b")
+    # candidate generation in ONE exchange (round 18, same restructure as
+    # minhash_lsh_pairs): group by (combo, bkey) bucket, explode the
+    # within-bucket ordered pairs — the keyed self-join shuffled (and
+    # computed) the fingerprint relation twice and paid an SMJ sort.
+    # bkey is never NULL (pure arithmetic over a non-null fingerprint),
+    # so equality grouping matches the join's equality semantics; the
+    # doc_id < filter and the hamming arithmetic are verbatim.
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    cand = a.join(
-        b,
-        (F.col("a.combo") == F.col("b.combo"))
-        & (F.col("a.bkey") == F.col("b.bkey"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        ham.cast("int").alias("hamming"),
+    cand = (
+        keyed.groupBy("combo", "bkey")
+        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("__fps"))
+        .where(F.size("__fps") > 1)
+        .select(F.explode("__fps").alias("a"), F.col("__fps").alias("__fps2"))
+        .select("a", F.explode("__fps2").alias("b"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
     )
     # distinct: a pair can match in several block subsets (hamming is a
     # pure function of the pair, so deduping the triple dedupes the pair)
