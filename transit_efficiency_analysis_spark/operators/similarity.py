@@ -824,15 +824,14 @@ def _ensure_min_parallelism(df: DataFrame) -> DataFrame:
     while keeping the fold plan. The guard fires ONLY in the
     small-input regime, where the one exchange it introduces moves a
     relation that is tiny by construction; on any real deployment
-    (splits ≥ cores) it is a no-op and the fold stays exchange-free."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    parts = df.rdd.getNumPartitions()
-    # the second clause keeps single-core sessions (target=1) from a
-    # pure-overhead repartition(1) round trip (review r15)
-    if parts < max(target // 2, 2) and parts < target:
-        return df.repartition(target)
-    return df
+    (splits ≥ cores) it is a no-op and the fold stays exchange-free.
+    Round 18: shared with the text-span operators — this is now a thin
+    alias of ``operators.parallel.ensure_min_parallelism``."""
+    from transit_efficiency_analysis_spark.operators.parallel import (
+        ensure_min_parallelism,
+    )
+
+    return ensure_min_parallelism(df)
 
 
 def _fold_assign(base: DataFrame, cents: DataFrame) -> DataFrame:
