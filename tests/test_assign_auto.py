@@ -175,18 +175,26 @@ def test_registered_ivf_demos_plan_the_fold(spark, sf_dir):
     stat into a demo would silently flip its executed plan to the
     arrow twin — still bit-equal, but the executed-plan claims in the
     demo docstrings and SCALE.md would go stale; this pin makes that
-    flip a deliberate, test-visible act."""
+    flip a deliberate, test-visible act.
+
+    Round 18 made exactly one such deliberate flip: q_sim_ivf_pq_topk
+    (which passes the parquet-footer stat) now crosses the PQ-specific
+    knee (n·m·ks = 500×4×16 = 32k ≥ _AUTO_ARROW_MIN_NMK_PQ) at every
+    fleet scale and plans the arrow twin — measured 1.1-2.8× faster
+    with collect-identical output (see the knee constant's docstring).
+    The pin now asserts BOTH directions: the flat/semantic demos stay
+    on the fold, and the PQ demo stays on arrow."""
     from transit_efficiency_analysis_spark.demo import load_registry
 
     reg = load_registry()
     for name in (
         "q_sim_ivf_topk",
         "q_sim_ivf_lloyd_topk",
-        "q_sim_ivf_pq_topk",
         "q_dedup_semantic",
     ):
         plan = _plan(reg[name].fn(spark, sf_dir))
         assert "MapInArrow" not in plan, name
+    assert "MapInArrow" in _plan(reg["q_sim_ivf_pq_topk"].fn(spark, sf_dir))
 
 
 def test_auto_routes_nonfinite_corpus_into_the_validating_twin(spark):

@@ -1444,6 +1444,23 @@ _AUTO_ARROW_MIN_NK = 16_000_000
 #: flat constant — never inside the mixed zone below it.
 _AUTO_ARROW_MIN_NK_HIER = 1_400_000
 
+#: IVF-PQ's crossover, in ENCODE units (n_rows × m × ks — proportional
+#: to the per-row encode/ADC fold count the arrow twin vectorizes;
+#: dims is a runtime quantity, so the driver-side knee uses the
+#: codebook dimensions it actually knows). Measured separately
+#: (round 18, this box, identical outputs pinned by collect-compare)
+#: because PQ's vectorizable work is NOT the coarse assignment the
+#: flat _AUTO_ARROW_MIN_NK models — it is the encode (n × dims × ks
+#: squared diffs) plus the per-candidate ADC scoring, both interpreted
+#: DECIMAL folds on the fold path, and that work dwarfs the n × K
+#: coarse dots at any m·ks ≥ 16: at n=500/m=4/ks=16 (32k units, dims
+#: 64) arrow wins 12.7→4.6 s (sf0.001's many-split layout) and
+#: 3.08→2.65 s (sf0.01); at n=2000 (128k units) 3.64→3.28 s; fold
+#: still wins at n=200/ks=8 (6.4k units, 2.59 vs 3.09 s) and
+#: n=50 (1.6k units). The knee sits between the highest proven
+#: fold-win (6.4k) and the lowest proven arrow-win (32k).
+_AUTO_ARROW_MIN_NMK_PQ = 20_000
+
 #: Sign-LSH bucket assignment's crossover, in (row × plane) projection
 #: units — the knee for ``bucket_assign="auto"`` on ``lsh_topk`` /
 #: ``multiprobe_lsh_topk`` / ``lsh_bucket_assignments``. Measured
@@ -1833,7 +1850,15 @@ def ivf_pq_topk(
         raise ValueError(
             f"assign must be 'window', 'fold', 'arrow' or 'auto', got {assign!r}"
         )
-    assign = _resolve_assign(assign, n_rows, n_centroids)
+    # PQ resolves auto on its OWN knee (n_rows × m × ks encode units,
+    # :data:`_AUTO_ARROW_MIN_NMK_PQ`): the work the arrow twin
+    # vectorizes here is the encode/ADC DECIMAL folds, which dwarf the
+    # n × K coarse dots the flat knee models — at demo scale the flat
+    # knee left a measured 1.1-2.8× win dark (round 18). Resolution is
+    # still bit-neutral: both arms are exact-DECIMAL/scale-9 mirrors.
+    assign = _resolve_assign(
+        assign, n_rows, m * ks, min_nk=_AUTO_ARROW_MIN_NMK_PQ
+    )
     cents = ivf_centroids(df, id_col, vec_col, n_centroids)
     base = df.select(
         F.col(id_col).alias("vec_id"),
@@ -2091,31 +2116,116 @@ def _pq_rank(enc: DataFrame, adc: DataFrame, k: int) -> DataFrame:
     """Shared ivf_pq_topk tail over any (enc, adc) pair — the encode
     forms (join / fold / arrow) all emit the same schemas and EXACT
     distances, so the candidate scoring and rank are one code path.
-    Explicit aliases make the (s, code) equi-keys unambiguous side
-    references, not self-compares (enc/adc may descend from the same
-    relation)."""
+
+    Round-18 restructure (guide §2.3/§2.4 — shuffle fewer bytes, remove
+    exchanges): the original tail joined the EXPLODED per-subspace rows
+    on ``(qcell, s, code)`` — an ``m×`` fan-out (pairs × m joined rows)
+    into a pairs-keyed hash aggregate and a full per-query rank window
+    over every candidate. At sf0.1 that was 12M joined rows → 3M-key
+    agg → 3M-row window, the single biggest chunk of the query. The
+    tail now pivots both sides back to one row per entity (the encode
+    forms explode per ``s`` anyway, so the pivot just undoes that),
+    packs each cell's neighbors into one array row, and scores every
+    (query, cellmate) pair MAP-SIDE inside an array transform: the ADC
+    value of a neighbor is ``m`` O(1) ``element_at`` lookups into the
+    query's dense (s, code)-indexed table. Each (query, probed-cell)
+    row then keeps only its per-cell top-k in-array, so the final
+    global rank window sees ``queries × n_probe × k`` rows instead of
+    every candidate pair (12k vs 3M at sf0.1). Global top-k over the
+    union of per-cell top-k's is exactly the global top-k (k ≤ the
+    per-cell cut, same (d, neighbor_id) order both levels).
+
+    Exactness: per-pair ``d_exact`` sums the SAME per-subspace DECIMAL
+    ``td`` values the old groupBy summed — decimal addition is exact
+    and order-independent, and the per-step ``decimal(28,9)`` re-cast
+    is the ``_l2sq_decimal`` accumulator pattern (values bounded by
+    the documented scale-validity envelope, so the narrower
+    accumulator never saturates). NULL semantics reproduced
+    bit-for-bit: the old ``SUM(td)`` skipped NULL tds and returned
+    NULL only when ALL m were NULL — the fold below filters NULL
+    lookups first and NULLs out the empty case; NULL ``d_exact``
+    sorts first both in ``array_sort`` (struct ordering: ascending
+    fields, NULLS FIRST) and in the window's ``asc`` (NULLS FIRST),
+    matching the old plan. Parity with the old tail is pinned by
+    tests/test_round18_opt.py on clean AND NULL-scored corpora.
+
+    Scale shape: no broadcast of the encoded corpus — the pack/join
+    key on ``cell`` exactly like the old join; per-cell array rows are
+    bounded by ``target_cell_size`` (the IVF sizing story), the same
+    bound that already caps the old form's per-cell join fan-out."""
     from transit_efficiency_analysis_spark.functions.parity import parity_double
 
-    scored = (
-        enc.alias("enc")
-        .join(
-            adc.alias("adc"),
-            (F.col("adc.qcell") == F.col("enc.cell"))
-            & (F.col("adc.s") == F.col("enc.s"))
-            & (F.col("adc.code") == F.col("enc.code"))
-            & (F.col("adc.query_id") != F.col("enc.vec_id")),
+    # one row per neighbor: its m (s, code) entries, s-ascending
+    enc_p = enc.groupBy("vec_id", "cell").agg(
+        F.array_sort(F.collect_list(F.struct("s", "code"))).alias("codes")
+    )
+    # one row per cell: every member with its codes (bounded by cell size)
+    pack = enc_p.groupBy("cell").agg(
+        F.collect_list(F.struct("vec_id", "codes")).alias("nbrs")
+    )
+    # one row per (query, probed cell): the ADC table pivoted into a
+    # dense s-major array-of-arrays — tds[s+1][code+1] = td, O(1) lookups
+    # (codes are row_number()-dense 0..ks'-1 per subspace by construction,
+    # for all three encode forms)
+    adc_p = adc.groupBy("query_id", "qcell").agg(
+        F.array_sort(F.collect_list(F.struct("s", "code", "td"))).alias("tbl")
+    )
+    max_s = F.element_at(F.col("tbl"), F.size("tbl"))["s"]
+    tds = F.transform(
+        F.sequence(F.lit(0), max_s),
+        lambda s: F.transform(
+            F.filter(F.col("tbl"), lambda e: e["s"] == s), lambda e: e["td"]
+        ),
+    )
+    adc_t = adc_p.select("query_id", "qcell", tds.alias("tds"))
+
+    joined = adc_t.join(pack, F.col("qcell") == F.col("cell"))
+    zero = F.lit(0).cast("decimal(28,9)")
+
+    def _d_exact(codes: Column) -> Column:
+        # evaluate each lookup once, reproduce SUM's skip-NULL/all-NULL
+        looked = F.filter(
+            F.transform(
+                codes,
+                lambda c: F.element_at(
+                    F.element_at(F.col("tds"), c["s"] + 1), c["code"] + 1
+                ),
+            ),
+            lambda t: t.isNotNull(),
         )
-        .groupBy(
-            F.col("adc.query_id").alias("query_id"),
-            F.col("enc.vec_id").alias("neighbor_id"),
+        return F.when(
+            F.size(looked) > 0,
+            F.aggregate(
+                looked, zero, lambda acc, t: (acc + t).cast("decimal(28,9)")
+            ),
         )
-        .agg(F.sum("td").alias("d_exact"))
+
+    scored_arr = F.transform(
+        F.col("nbrs"),
+        lambda n: F.struct(
+            _d_exact(n["codes"]).alias("d_exact"),
+            n["vec_id"].alias("neighbor_id"),
+        ),
+    )
+    topk_arr = F.slice(
+        F.array_sort(
+            F.filter(scored_arr, lambda x: x["neighbor_id"] != F.col("query_id"))
+        ),
+        1,
+        k,
+    )
+    exploded = joined.select(
+        "query_id", F.explode(topk_arr).alias("c")
+    ).select(
+        "query_id",
+        F.col("c.neighbor_id").alias("neighbor_id"),
+        F.col("c.d_exact").alias("d_exact"),
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.col("d_exact").asc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(wq))
+        exploded.withColumn("rank", F.row_number().over(wq))
         .where(F.col("rank") <= k)
         .select(
             "query_id",
