@@ -38,3 +38,33 @@ def ensure_min_parallelism(df: DataFrame) -> DataFrame:
     if parts < max(target // 2, 2) and parts < target:
         return df.repartition(target)
     return df
+
+
+def spread_for_compute(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-repartition ``df`` by ``cols`` with an EXPLICIT partition
+    count, so AQE's byte-based coalescing cannot fold the stage
+    DOWNSTREAM of this exchange onto a handful of cores.
+
+    For an exchange feeding compute whose per-row cost is orders of
+    magnitude above its byte size (interpreted higher-order scoring
+    folds over packed arrays), AQE's advisory sizing measures the bytes
+    it can see, not the compute it cannot (guide §2.5): at bench scale
+    the IVF-PQ ADC-scoring exchange coalesced to 3 of 32 cores,
+    serializing ~6 s of task CPU into a 2.4 s wall stage; at cluster
+    scale a 64 MB advisory partition of ~1 KB/row ADC tables is minutes
+    of scoring per task. The count is scale-adaptive — max(session
+    default parallelism, the plan's pre-shuffle partition count) —
+    never a local-mode constant: on a real deployment the pre-shuffle
+    split count already reflects corpus size, so the explicit count
+    only ever *keeps* parallelism the byte heuristic would discard.
+
+    A downstream ``groupBy`` on the same ``cols`` reuses this exchange
+    (hash partitioning on the grouping keys satisfies the aggregate's
+    ClusteredDistribution), so the call REPLACES the shuffle the
+    aggregate would have inserted rather than adding one.
+    """
+    from pyspark.sql import functions as F
+
+    sc = df.sparkSession.sparkContext
+    p = max(sc.defaultParallelism, df.rdd.getNumPartitions())
+    return df.repartition(p, *[F.col(c) for c in cols])

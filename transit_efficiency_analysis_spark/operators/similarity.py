@@ -2166,8 +2166,20 @@ def _pq_rank(enc: DataFrame, adc: DataFrame, k: int) -> DataFrame:
     # one row per (query, probed cell): the ADC table pivoted into a
     # dense s-major array-of-arrays — tds[s+1][code+1] = td, O(1) lookups
     # (codes are row_number()-dense 0..ks'-1 per subspace by construction,
-    # for all three encode forms)
-    adc_p = adc.groupBy("query_id", "qcell").agg(
+    # for all three encode forms). spread_for_compute: the per-(query,
+    # cell) scoring downstream of THIS exchange costs O(cell_size × m)
+    # interpreted lookups per ~1 KB row — compute AQE's byte-based
+    # coalescing cannot see (guide §2.5; measured: 3-of-32-core stage,
+    # 2.4 s wall for 6 s task CPU at sf0.1). The explicit-count hash
+    # repartition is reused by the groupBy, so the exchange count is
+    # unchanged — only the coalesce is vetoed.
+    from transit_efficiency_analysis_spark.operators.parallel import (
+        spread_for_compute,
+    )
+
+    adc_p = spread_for_compute(adc, "query_id", "qcell").groupBy(
+        "query_id", "qcell"
+    ).agg(
         F.array_sort(F.collect_list(F.struct("s", "code", "td"))).alias("tbl")
     )
     max_s = F.element_at(F.col("tbl"), F.size("tbl"))["s"]
