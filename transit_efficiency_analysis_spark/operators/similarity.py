@@ -1254,154 +1254,296 @@ def _quantize_sq9(sq):
     return k
 
 
-def _arrow_pq_encode_adc(assigned_f, probes_f, cb_row, m):
-    """Vectorized twin of ivf_pq_topk's fold-mode encode/ADC (round 15
-    session 2, ``assign="arrow"``): the n × g × ks × sub_d squared-diff
-    arithmetic runs as numpy tensor ops per Arrow batch instead of
-    interpreted ``_l2sq_decimal`` folds per row — the same
-    corpus-vs-broadcast shape the coarse arrow twin vectorizes, and the
-    dominant share of arrow-mode PQ wall once the coarse stage is
-    vectorized (docs/SCALE.md). BIT-EQUAL to the fold encode/ADC: the
-    residual subtraction and squaring are the same single IEEE ops,
-    each square quantizes through :func:`_quantize_sq9` (the exact
-    mirror of the fold's per-dim DECIMAL(18,9) cast), and sums/argmins
-    compare exact scale-9 integers — order-independent, so plain
-    ``np.sum`` is safe where the score twin needed sequential chunks.
-    Argmin ties take the smallest code (``np.argmin`` first occurrence
-    over ascending-code columns = the fold's ``array_sort`` d ASC,
-    code ASC).
+def _ivf_pq_arrow_fused(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    m: int,
+    ks: int,
+    n_probe: int,
+    k: int,
+    checkpoint: bool,
+) -> DataFrame:
+    """ivf_pq_topk's executed ``assign="arrow"`` pipeline (round 18):
+    ONE ``mapInArrow`` pass computes the coarse assignment, the PQ
+    encode AND the ADC tables per row against driver-built
+    centroid/codebook tensors — where the round-15 stage form ran
+    THREE Python-boundary stages (coarse assign, encode, ADC) plus a
+    plan-time codebook job whose chain re-executed the whole
+    assignment. Guide §4: each Python stage's per-task worker
+    round-trip was the dominant wall at bench scale (~1 s of
+    worker-blocked task time per stage for ~0.1 s of compute); fusing
+    also deletes the separate n × ks encode arithmetic — the crank-1
+    row's ADC table IS the encode input, so argmin over it is free.
 
-    Same contract divergences as every arrow twin: NULL / ragged /
-    non-finite residuals raise (``_list_matrix``), dims < m raises
-    (the fold dies on ANSI division-by-zero there), and building the
-    codebook runs ONE plan-time job (``cb_row.collect()`` — ks × m
-    subvectors, the same bounded payload the fold broadcasts).
-    Returns (enc, adc) with the fold branch's exact schemas:
-    (vec_id, cell, s, code) and (query_id, qcell, s, code,
-    td DECIMAL(28,9) — int64 in Arrow, exactly rescaled Spark-side)."""
+    Plan-time cost is ONE bounded Spark job: the md5-draw pool of
+    ``max(n_centroids, ks)`` rows — the coarse seeds and the PQ code
+    seeds are prefixes of the SAME md5 total order, so one TakeOrdered
+    serves both (the stage form ran two corpus draws, and its executed
+    plan re-ran the seeds chain a third time for the centroid
+    join-back). Cell/code numbering and the centroid norms come back
+    Spark-computed (the row_number window and ``norm`` fold run inside
+    the collected plan), so the driver adds NO arithmetic of its own
+    beyond what the Python workers already ran per batch: the seed
+    assignment uses :func:`_seq_scores` (the fold-exact IEEE
+    sequence), residuals are single float64 subtractions (zip_with's
+    per-element ``a − b``), slices truncate at the array end
+    (``F.slice`` semantics), and every squared diff quantizes through
+    :func:`_quantize_sq9` — the outputs are bit-equal to
+    ``assign="fold"``, pinned by the arrow-vs-fold equality suite
+    (tests/test_pq_arrow_encode.py, tests/test_round15_fixes.py,
+    tests/test_round18_opt.py).
+
+    Output shape: ``n_probe`` rows per input row — (vec_id, cell,
+    crank, codes, td9s), where ``codes`` is the s-ascending positional
+    PQ code array (consumers filter ``crank == 1`` for the encode
+    relation; a crank > 1 row's codes are the encode vs THAT cell's
+    residual, which nothing reads) and ``td9s`` the dense s-major
+    scale-9 int64 ADC table vs the probed cell.
+    :func:`_pq_rank_packed` scores it without any re-pivot — the stage
+    form's explode → groupBy → collect_list round-trips existed only
+    to rebuild exactly these arrays.
+
+    Same contract as every arrow twin: NULL / ragged / non-finite
+    vectors raise (validate, don't guess — the fold NULL-propagates);
+    dims < m raises (the fold dies on ANSI division-by-zero there).
+    """
     import numpy as np
 
     from pyspark.sql.types import (
+        ArrayType,
         IntegerType,
         LongType,
         StructField,
         StructType,
     )
 
-    crows = cb_row.collect()
-    groups = []
-    if crows and crows[0]["cb"] is not None:
-        for g in crows[0]["cb"]:
-            codes_ids = np.asarray([c["code"] for c in g["codes_a"]], np.int32)
-            mat = np.asarray([c["cxs"] for c in g["codes_a"]], np.float64)
-            if mat.size and not np.isfinite(mat).all():
+    pool = (
+        df.select(F.col(id_col).alias("sid"), _vd(vec_col).alias("cv"))
+        .orderBy(F.md5(F.col("sid").cast("string")), F.col("sid"))
+        .limit(max(n_centroids, ks))
+    )
+    wpool = Window.partitionBy(_const_key(df, id_col, "sid")).orderBy(
+        F.md5(F.col("sid").cast("string")), F.col("sid")
+    )
+    prows = sorted(
+        pool.select(
+            (F.row_number().over(wpool) - 1).alias("i"),
+            "sid",
+            "cv",
+            norm(F.col("cv")).alias("cn"),
+        ).collect(),
+        key=lambda r: r.i,
+    )
+    for r in prows:
+        if r.cv is None:
+            raise ValueError(
+                "arrow assignment: NULL vectors are not supported"
+                + _FOLD_ESCAPE
+            )
+        if any(x is None for x in r.cv):
+            raise ValueError(
+                "arrow assignment: NULL vector COMPONENTS are not "
+                "supported" + _FOLD_ESCAPE
+            )
+    crows = prows[:n_centroids]
+    # coarse tensors — the same recipe as _arrow_topk_cells: zero-norm
+    # centroids excluded from scoring, the n_probe smallest cell ids as
+    # the all-unscorable fallback, raw centroids kept per DENSE cell id
+    # (row_number numbering) as the residual base — zero-norm cells
+    # included, exactly like the stage form's cell→cv join-back
+    cells, mats = [], []
+    for r in crows:
+        if r.cn != 0:
+            cells.append(int(r.i))
+            mats.append(np.asarray(r.cv, dtype=np.float64) / np.float64(r.cn))
+    cmat = np.stack(mats, axis=0) if mats else np.zeros((0, 0))
+    if cmat.size and not np.isfinite(cmat).all():
+        raise ValueError(
+            "arrow assignment: non-finite centroid components are not "
+            "supported (see _list_matrix's NaN-ordering note)"
+            + _FOLD_ESCAPE
+        )
+    cell_ids = np.asarray(cells, dtype=np.int64)
+    fallback = np.asarray([int(r.i) for r in crows[:n_probe]], dtype=np.int64)
+    cvraw = (
+        np.stack([np.asarray(r.cv, dtype=np.float64) for r in crows], axis=0)
+        if crows
+        else np.zeros((0, 0))
+    )
+
+    # per-subspace codebooks from the seeds' own residuals, driver-side
+    groups: list = []
+    srows = prows[:ks]
+    if srows:
+        try:
+            svm = np.stack(
+                [np.asarray(r.cv, dtype=np.float64) for r in srows], axis=0
+            )
+        except ValueError as exc:
+            raise ValueError(
+                "arrow assignment: ragged vector dims" + _FOLD_ESCAPE
+            ) from exc
+        if svm.size and not np.isfinite(svm).all():
+            raise ValueError(
+                "arrow assignment: non-finite vector components are not "
+                "supported (the fold ranks NaN scores via Spark's "
+                "NaN-greatest ordering; numpy's differs)" + _FOLD_ESCAPE
+            )
+        if cmat.size:
+            sidx = np.argsort(-_seq_scores(svm, cmat), axis=1, kind="stable")[
+                :, 0
+            ]
+            scells = cell_ids[sidx]
+        else:
+            scells = np.full(len(srows), int(fallback[0]), dtype=np.int64)
+        sres = svm - cvraw[scells]
+        dims = sres.shape[1]
+        sd = dims // m
+        if sd == 0:
+            raise ValueError(
+                f"ivf_pq arrow encode: dims={dims} < m={m} "
+                "(the fold form fails here too: its group "
+                "arithmetic divides by sub_d=0)"
+            )
+        if not np.isfinite(sres).all():
+            raise ValueError(
+                "ivf_pq arrow encode: non-finite codebook components "
+                "are not supported (see _list_matrix's NaN note)"
+                + _FOLD_ESCAPE
+            )
+        code_ids = np.arange(len(srows), dtype=np.int32)
+        for s in range((dims - 1) // sd + 1):
+            lo = s * sd
+            groups.append((s, code_ids, sres[:, lo : lo + sd]))
+    bc = df.sparkSession.sparkContext.broadcast(
+        (cmat, cell_ids, fallback, cvraw, groups, m)
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", df.schema[id_col].dataType),
+            StructField("cell", LongType()),
+            StructField("crank", IntegerType()),
+            StructField("codes", ArrayType(IntegerType())),
+            StructField("td9s", ArrayType(ArrayType(LongType()))),
+        ]
+    )
+
+    def fused(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        cm, cid, fb, cvr, gs, m_ = bc.value
+        k_take = min(n_probe, cm.shape[0])
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
+                continue
+            if not gs:
                 raise ValueError(
-                    "ivf_pq arrow encode: non-finite codebook components "
-                    "are not supported (see _list_matrix's NaN note)"
+                    "ivf_pq arrow encode: empty codebook with a "
+                    "non-empty corpus batch"
+                )
+            vm = _list_matrix(batch.column(batch.schema.get_field_index("v")))
+            if k_take:
+                scores = _seq_scores(vm, cm)
+                idx = np.argsort(-scores, axis=1, kind="stable")[:, :k_take]
+                out_cells = cid[idx].reshape(-1)
+                rep = k_take
+            else:
+                # no scorable centroid anywhere: the fold's fallback —
+                # every vector probes the n_probe smallest cell ids
+                out_cells = np.tile(fb, n)
+                rep = len(fb)
+            cranks = np.tile(np.arange(1, rep + 1, dtype=np.int32), n)
+            take = np.repeat(np.arange(n, dtype=np.int64), rep)
+            try:
+                rm = vm[take] - cvr[out_cells]
+            except ValueError as exc:
+                raise ValueError(
+                    "arrow assignment: ragged vector dims" + _FOLD_ESCAPE
+                ) from exc
+            if rm.size and not np.isfinite(rm).all():
+                raise ValueError(
+                    "arrow assignment: non-finite vector components are "
+                    "not supported (the fold ranks NaN scores via "
+                    "Spark's NaN-greatest ordering; numpy's differs)"
                     + _FOLD_ESCAPE
                 )
-            groups.append((int(g["s"]), codes_ids, mat))
-        groups.sort(key=lambda t: t[0])
-    spark = assigned_f.sparkSession
-    bc = spark.sparkContext.broadcast(groups)
-
-    def stage(rel, idc, cellc, with_td):
-        # id/cell pass through the batch untouched, so their declared
-        # types must be the INPUT relation's — fold mode supports any
-        # id type (string ids join fine), and pinning LongType here
-        # made auto/arrow mode fail on an Arrow schema mismatch for
-        # non-long id_col (ADVICE r15 #2; same derivation as
-        # _arrow_topk_cells' reuse of base.schema.fields).
-        out_fields = [
-            StructField(idc, rel.schema[idc].dataType),
-            StructField(cellc, rel.schema[cellc].dataType),
-            StructField("s", IntegerType()),
-            StructField("code", IntegerType()),
-        ] + ([StructField("td9", LongType())] if with_td else [])
-        schema = StructType(out_fields)
-
-        def run(batches):
-            import pyarrow as pa
-
-            gs = bc.value
-            for batch in batches:
-                n = batch.num_rows
-                if not n:
-                    continue
-                if not gs:
-                    raise ValueError(
-                        "ivf_pq arrow encode: empty codebook with a "
-                        "non-empty corpus batch"
-                    )
-                rm = _list_matrix(batch.column(2))  # residuals (n, dims)
-                dims = rm.shape[1]
-                sd = dims // m
-                if sd == 0:
-                    raise ValueError(
-                        f"ivf_pq arrow encode: dims={dims} < m={m} "
-                        "(the fold form fails here too: its group "
-                        "arithmetic divides by sub_d=0)"
-                    )
-                ids = batch.column(0)
-                cls = batch.column(1)
-                s_out, code_out, td_out, take_idx = [], [], [], []
-                for s, codes_ids, mat in gs:
-                    lo = s * sd
-                    rs = rm[:, lo : lo + sd]
-                    if rs.shape[1] != mat.shape[1]:
-                        raise ValueError(
-                            "ivf_pq arrow encode: residual slice width "
-                            f"{rs.shape[1]} != codebook width "
-                            f"{mat.shape[1]} at s={s} (the fold's "
-                            "_l2sq_decimal raises on the same rows)"
-                        )
-                    d = rs[:, None, :] - mat[None, :, :]
-                    q = _quantize_sq9(d * d)
-                    if q.size and int(q.max()) > (2**62) // max(sd, 1):
-                        raise ValueError(
-                            "ivf_pq arrow encode: squared-diff magnitude "
-                            "overflows the exact int64 accumulator"
-                        )
-                    sums = q.sum(axis=2, dtype=np.int64)  # (n, ks)
-                    if with_td:
-                        ks = len(codes_ids)
-                        take_idx.append(np.repeat(np.arange(n), ks))
-                        s_out.append(np.full(n * ks, s, np.int32))
-                        code_out.append(np.tile(codes_ids, n))
-                        td_out.append(sums.reshape(-1))
-                    else:
-                        take_idx.append(np.arange(n))
-                        s_out.append(np.full(n, s, np.int32))
-                        code_out.append(codes_ids[np.argmin(sums, axis=1)])
-                take = pa.array(np.concatenate(take_idx))
-                arrays = [
-                    ids.take(take),
-                    cls.take(take),
-                    pa.array(np.concatenate(s_out), pa.int32()),
-                    pa.array(np.concatenate(code_out), pa.int32()),
-                ]
-                if with_td:
-                    arrays.append(
-                        pa.array(np.concatenate(td_out), pa.int64())
-                    )
-                yield pa.RecordBatch.from_arrays(
-                    arrays, names=[f.name for f in out_fields]
+            dims = rm.shape[1]
+            sd = dims // m_
+            if sd == 0:
+                raise ValueError(
+                    f"ivf_pq arrow encode: dims={dims} < m={m_} "
+                    "(the fold form fails here too: its group "
+                    "arithmetic divides by sub_d=0)"
                 )
+            nrows = len(take)
+            td_tables, code_cols = [], []
+            for s, codes_ids, mat in gs:
+                lo = s * sd
+                rs = rm[:, lo : lo + sd]
+                if rs.shape[1] != mat.shape[1]:
+                    raise ValueError(
+                        "ivf_pq arrow encode: residual slice width "
+                        f"{rs.shape[1]} != codebook width "
+                        f"{mat.shape[1]} at s={s} (the fold's "
+                        "_l2sq_decimal raises on the same rows)"
+                    )
+                d = rs[:, None, :] - mat[None, :, :]
+                q = _quantize_sq9(d * d)
+                if q.size and int(q.max()) > (2**62) // max(sd, 1):
+                    raise ValueError(
+                        "ivf_pq arrow encode: squared-diff magnitude "
+                        "overflows the exact int64 accumulator"
+                    )
+                sums = q.sum(axis=2, dtype=np.int64)  # (nrows, ks')
+                td_tables.append(sums)
+                # argmin first occurrence over ascending codes — the
+                # fold's array_sort (d ASC, code ASC) tie-break
+                code_cols.append(
+                    codes_ids[np.argmin(sums, axis=1)].astype(np.int32)
+                )
+            g = len(gs)
+            ksz = td_tables[0].shape[1]
+            inner = pa.ListArray.from_arrays(
+                pa.array(np.arange(nrows * g + 1, dtype=np.int64) * ksz,
+                         pa.int32()),
+                pa.array(np.stack(td_tables, axis=1).reshape(-1), pa.int64()),
+            )
+            td9s = pa.ListArray.from_arrays(
+                pa.array(np.arange(nrows + 1, dtype=np.int64) * g,
+                         pa.int32()),
+                inner,
+            )
+            codes = pa.ListArray.from_arrays(
+                pa.array(np.arange(nrows + 1, dtype=np.int64) * g,
+                         pa.int32()),
+                pa.array(np.stack(code_cols, axis=1).reshape(-1), pa.int32()),
+            )
+            ids = batch.column(0).take(pa.array(take))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(out_cells, pa.int64()),
+                    pa.array(cranks, pa.int32()),
+                    codes,
+                    td9s,
+                ],
+                names=["vec_id", "cell", "crank", "codes", "td9s"],
+            )
 
-        return rel.select(idc, cellc, "r").mapInArrow(run, schema)
-
-    enc = stage(assigned_f, "vec_id", "cell", with_td=False)
-    # int64 scale-9 → DECIMAL(28,9), exactly: the division is by 10^9
-    # of a ≤9-decimal value, exact at the result scale; the final cast
-    # restores the fold's declared type without rounding anything
-    td_dec = (
-        F.col("td9").cast("decimal(28,0)")
-        / F.lit(1_000_000_000).cast("decimal(10,0)")
-    ).cast("decimal(28,9)")
-    adc = stage(probes_f, "query_id", "qcell", with_td=True).select(
-        "query_id", "qcell", "s", "code", td_dec.alias("td")
+    base = _ensure_min_parallelism(
+        df.select(F.col(id_col).alias("vec_id"), _vd(vec_col).alias("v"))
     )
-    return enc, adc
+    fused_df = base.mapInArrow(fused, schema)
+    if checkpoint:
+        # consumed twice (the neighbor pack + the query ADC side):
+        # persist so the scan → assignment → encode pipeline runs once
+        fused_df = fused_df.persist(StorageLevel.DISK_ONLY)
+    return _pq_rank_packed(fused_df, k)
 
 
 def _arrow_assign(base: DataFrame, cents: DataFrame) -> DataFrame:
@@ -1836,15 +1978,16 @@ def ivf_pq_topk(
     (order-equal under different FP rounding, equality pinned on the
     tested corpus; the demo oracle MIRRORS the fold arithmetic rather
     than assuming equivalence). ``"arrow"`` (auto's large-nK
-    resolution) vectorizes BOTH corpus-vs-broadcast stage groups:
-    the coarse assignment via the bit-exact twin
-    (:func:`_arrow_topk_cells` — fold-identical scores on finite
-    inputs) and, since round 15 session 2, the encode/ADC via
-    :func:`_arrow_pq_encode_adc` — exact scale-9 integer mirrors of
-    the DECIMAL folds (per-element quantization through
+    resolution) runs the FUSED single-pass pipeline
+    (:func:`_ivf_pq_arrow_fused`, round 18): one ``mapInArrow`` stage
+    computes the coarse assignment, the encode AND the ADC tables per
+    row against driver-built tensors — exact scale-9 integer mirrors
+    of the DECIMAL folds (per-element quantization through
     :func:`_quantize_sq9`), so the whole output stays bit-equal to
     ``"fold"`` while the n × g × ks distance arithmetic runs as numpy
-    tensor ops per Arrow batch.
+    tensor ops per Arrow batch and the stage form's two extra
+    Python-boundary stages, plan-time codebook job and pivot
+    exchanges disappear.
     """
     if assign not in ("window", "fold", "arrow", "auto"):
         raise ValueError(
@@ -1859,19 +2002,21 @@ def ivf_pq_topk(
     assign = _resolve_assign(
         assign, n_rows, m * ks, min_nk=_AUTO_ARROW_MIN_NMK_PQ
     )
+    if assign == "arrow":
+        # round 18: the fused single-pass pipeline — one mapInArrow
+        # stage for assign+encode+ADC, one bounded plan-time draw,
+        # bit-equal outputs (see _ivf_pq_arrow_fused)
+        return _ivf_pq_arrow_fused(
+            df, id_col, vec_col, n_centroids, m, ks, n_probe, k, checkpoint
+        )
     cents = ivf_centroids(df, id_col, vec_col, n_centroids)
     base = df.select(
         F.col(id_col).alias("vec_id"),
         _vd(vec_col).alias("v"),
         _vn(vec_col).alias("vn"),
     )
-    if assign in ("fold", "arrow"):
-        # "arrow" (dark, round 15): the coarse assignment swaps to the
-        # bit-exact vectorized twin; the encode/ADC stages stay the
-        # exact DECIMAL folds in both modes (their arithmetic is the
-        # parity contract — see the docstring)
-        topk = _arrow_topk_cells if assign == "arrow" else _fold_topk_cells
-        ranked = topk(
+    if assign == "fold":
+        ranked = _fold_topk_cells(
             _ensure_min_parallelism(base), cents, n_probe
         ).join(
             F.broadcast(cents.select("cell", "cv")), "cell"
@@ -1922,15 +2067,10 @@ def ivf_pq_topk(
             idc, cellc, "pos", "rx", F.floor(F.col("pos") / F.col("sub_d")).cast("int").alias("s")
         )
 
-    if assign in ("fold", "arrow"):
-        # Fold-mode encode + ADC (round 13; default since r15) — shared
-        # by the arrow coarse stage (r15 session 2: the original
-        # `== "fold"` check predated the arrow mode and silently routed
-        # it into the join-form else-branch below, contradicting the
-        # "encode/ADC DECIMAL folds unchanged" contract; outputs were
-        # still bit-equal — both encodes are — so only the PLAN
-        # regressed, which the plan pin below now guards).
-        # The join form below
+    if assign == "fold":
+        # Fold-mode encode + ADC (round 13; the sub-knee default since
+        # r15 — the arrow mode returned above via the round-18 fused
+        # pipeline). The join form below
         # explodes n × dims residual rows, fans them × ks through the
         # (s, pos) codebook join, aggregates back, and ranks the
         # argmin through a per-(vec_id, s) window — THREE
@@ -1987,14 +2127,6 @@ def ivf_pq_topk(
             r_expr.alias("r"),
             sd_expr.alias("sd"),
         )
-        if assign == "arrow":
-            # round 15 session 2: the vectorized encode/ADC twin — the
-            # same exact scale-9 integer arithmetic as the decimal
-            # folds below (see _arrow_pq_encode_adc's parity contract),
-            # one numpy tensor pass per Arrow batch instead of
-            # n × g × ks interpreted _l2sq_decimal folds
-            enc, adc = _arrow_pq_encode_adc(assigned_f, probes_f, cb_row, m)
-            return _pq_rank(enc, adc, k)
         # (s, residual-slice, codes) staged once per group so the inner
         # per-code transforms read the slice as a cheap field access
         staged_groups = F.transform(
@@ -2153,8 +2285,6 @@ def _pq_rank(enc: DataFrame, adc: DataFrame, k: int) -> DataFrame:
     key on ``cell`` exactly like the old join; per-cell array rows are
     bounded by ``target_cell_size`` (the IVF sizing story), the same
     bound that already caps the old form's per-cell join fan-out."""
-    from transit_efficiency_analysis_spark.functions.parity import parity_double
-
     # one row per neighbor: its m (s, code) entries, s-ascending
     enc_p = enc.groupBy("vec_id", "cell").agg(
         F.array_sort(F.collect_list(F.struct("s", "code"))).alias("codes")
@@ -2192,19 +2322,86 @@ def _pq_rank(enc: DataFrame, adc: DataFrame, k: int) -> DataFrame:
     adc_t = adc_p.select("query_id", "qcell", tds.alias("tds"))
 
     joined = adc_t.join(pack, F.col("qcell") == F.col("cell"))
+    return _pq_score_tail(
+        joined,
+        # struct-coded entries: the subspace id travels with the code
+        lambda codes: F.transform(
+            codes,
+            lambda c: F.element_at(
+                F.element_at(F.col("tds"), c["s"] + 1), c["code"] + 1
+            ),
+        ),
+        k,
+    )
+
+
+def _pq_rank_packed(fused: DataFrame, k: int) -> DataFrame:
+    """ivf_pq_topk tail over the FUSED arrow relation (vec_id, cell,
+    crank, codes, td9s) — see :func:`_ivf_pq_arrow_fused`. The encode
+    codes and ADC tables arrive already packed per row, so the stage
+    form's explode → groupBy → collect_list → re-pivot round-trips
+    (one exchange per side, plus the interpreted pivot transforms)
+    vanish: the only exchanges left are the per-cell neighbor pack and
+    the final rank window.
+
+    ``codes`` is positional (index = subspace id), so a neighbor's ADC
+    value is ``tds[s+1][codes[s]+1]`` — the same O(1) double
+    ``element_at`` lookup as :func:`_pq_rank`, with the subspace id
+    implied by position instead of carried in a struct. ``td9s``
+    rescales to DECIMAL(28,9) through the exact ×10⁻⁹ hop (the stage
+    form's ``td_dec`` — a ≤9-decimal value divided by 10⁹ is exact at
+    the result scale), so every distance feeding a ranking is the same
+    exact decimal the fold form sums."""
+    enc_rows = fused.where(F.col("crank") == 1).select(
+        "vec_id", "cell", "codes"
+    )
+    pack = enc_rows.groupBy("cell").agg(
+        F.collect_list(F.struct("vec_id", "codes")).alias("nbrs")
+    )
+
+    def td_dec(v: Column) -> Column:
+        return (
+            v.cast("decimal(28,0)")
+            / F.lit(1_000_000_000).cast("decimal(10,0)")
+        ).cast("decimal(28,9)")
+
+    adc_t = fused.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cell").alias("qcell"),
+        F.transform("td9s", lambda row: F.transform(row, td_dec)).alias(
+            "tds"
+        ),
+    )
+    joined = adc_t.join(pack, F.col("qcell") == F.col("cell"))
+    return _pq_score_tail(
+        joined,
+        # positional codes: index = s (two-arg transform lambda)
+        lambda codes: F.transform(
+            codes,
+            lambda c, s: F.element_at(
+                F.element_at(F.col("tds"), s + 1), c + 1
+            ),
+        ),
+        k,
+    )
+
+
+def _pq_score_tail(joined: DataFrame, lookup, k: int) -> DataFrame:
+    """Shared ivf_pq candidate-scoring tail over ``joined`` rows
+    (query_id, tds, nbrs): score every cellmate map-side, keep the
+    per-cell top-k in-array, then the global rank window over
+    ``queries × n_probe × k`` rows (see :func:`_pq_rank`'s restructure
+    note). ``lookup(codes)`` maps one neighbor's code entries to the
+    array of per-subspace ADC decimals — the only piece that differs
+    between the struct-coded (:func:`_pq_rank`) and positional
+    (:func:`_pq_rank_packed`) layouts."""
+    from transit_efficiency_analysis_spark.functions.parity import parity_double
+
     zero = F.lit(0).cast("decimal(28,9)")
 
     def _d_exact(codes: Column) -> Column:
         # evaluate each lookup once, reproduce SUM's skip-NULL/all-NULL
-        looked = F.filter(
-            F.transform(
-                codes,
-                lambda c: F.element_at(
-                    F.element_at(F.col("tds"), c["s"] + 1), c["code"] + 1
-                ),
-            ),
-            lambda t: t.isNotNull(),
-        )
+        looked = F.filter(lookup(codes), lambda t: t.isNotNull())
         return F.when(
             F.size(looked) > 0,
             F.aggregate(
@@ -2394,7 +2591,7 @@ def _arrow_fine_assign(v2c: DataFrame, f2c: DataFrame) -> DataFrame:
     with the per-group centroid subsets collected once driver-side
     (K rows total, the same bounded payload the fold broadcasts as C
     grouped arrays) — the per-group analogue of
-    :func:`_arrow_pq_encode_adc`'s codebook pattern.
+    :func:`_ivf_pq_arrow_fused`'s codebook pattern.
 
     Bit-equal to the fold's ``join(broadcast(fc_arr)) →
     _argmax_cell(fc)`` on finite inputs, mirrored property by property:
