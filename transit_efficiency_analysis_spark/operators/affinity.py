@@ -51,9 +51,21 @@ def domain_affinity_scores(
     bigrams and are excluded.
     """
     w = F.split(F.col(text_col), " ")
-    base = docs.select(
-        F.col(id_col), is_target.alias("tgt"), w.alias("w")
-    ).where(F.size("w") >= 2)
+    # min-parallelism guard (guide §2.6 / §6): the bigram explode +
+    # per-bigram md5 hashing is the expensive per-row work here and it
+    # is computed by BOTH branches (bucket totals and scoring), so a
+    # single-split input serializes it twice on one core (measured at
+    # sf0.1: two ~0.8 s one-task stages). No-op whenever the scan has
+    # splits ≥ cores — the 100 TB case.
+    from transit_efficiency_analysis_spark.operators.parallel import (
+        ensure_min_parallelism,
+    )
+
+    base = ensure_min_parallelism(
+        docs.select(
+            F.col(id_col), is_target.alias("tgt"), w.alias("w")
+        ).where(F.size("w") >= 2)
+    )
     feats = base.select(
         id_col, "tgt", F.explode(F.expr(_BIGRAMS)).alias("f")
     ).select(
