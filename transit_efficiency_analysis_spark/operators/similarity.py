@@ -39,6 +39,13 @@ def _vn(name: str) -> Column:
 
 
 @column_memo
+def _cv_norm_col() -> Column:
+    """Memoized ``norm(F.col("cv")).alias("cn")`` — the centroid-norm
+    fold shared by the IVF seed/pool relations."""
+    return norm(F.col("cv")).alias("cn")
+
+
+@column_memo
 def _q_quantized(name: str) -> Column:
     """Memoized ``quantize_vec(F.col(name))``."""
     return quantize_vec(F.col(name))
@@ -725,7 +732,7 @@ def ivf_centroids(
     cents = seeds.select(
         (F.row_number().over(w) - 1).alias("cell"),
         F.col("cv"),
-        norm(F.col("cv")).alias("cn"),
+        _cv_norm_col(),
     )
     base = df.select(
         F.col(id_col).alias("vec_id"),
@@ -796,6 +803,19 @@ def _argmax_cell(
     return F.aggregate(arr, init, merge)["c"]
 
 
+@column_memo
+def _cents_array_cols() -> tuple[Column, Column]:
+    """Memoized constant columns of :func:`_cents_array` (construction
+    is py4j round-trips repeated identically per invocation — see
+    ``functions.exprcache``)."""
+    return (
+        F.transform("cv", lambda x: F.try_divide(x, F.col("cn"))).alias(
+            "cvu"
+        ),
+        F.sort_array(F.collect_list(F.struct("cell", "cvu"))).alias("ca"),
+    )
+
+
 def _cents_array(cents: DataFrame) -> DataFrame:
     """ONE broadcast-able row ``ca``: the (cell, pre-normalized
     centroid) structs sorted by the leading cell id — the shared recipe
@@ -803,10 +823,8 @@ def _cents_array(cents: DataFrame) -> DataFrame:
     smallest-cell tie-break; ``try_divide`` drives the zero-norm
     NULL-skip), factored out so :func:`_fold_assign` and
     :func:`_fold_topk_cells` cannot drift apart (round-13 review)."""
-    return cents.select(
-        "cell",
-        F.transform("cv", lambda x: F.try_divide(x, F.col("cn"))).alias("cvu"),
-    ).agg(F.sort_array(F.collect_list(F.struct("cell", "cvu"))).alias("ca"))
+    cvu, ca = _cents_array_cols()
+    return cents.select("cell", cvu).agg(ca)
 
 
 def _ensure_min_parallelism(df: DataFrame) -> DataFrame:
@@ -898,31 +916,12 @@ def _l2sq_decimal(a: Column, b: Column) -> Column:
     )
 
 
-def _fold_topk_cells(base: DataFrame, cents: DataFrame, n_probe: int) -> DataFrame:
-    """(vec_id, v, vn, cell, crank): each vector's top-``n_probe``
-    nearest cells, MAP-ONLY — the drop-in replacement for the
-    broadcast-join + per-vec_id rank-window relation that
-    :func:`ivf_topk`'s ``ranked.where(crank <= n_probe)`` consumers
-    read (``assign="fold"``; shipped dark in round 13, the EXECUTED
-    DEFAULT since the round-15 flip with its oracle mirrors and
-    re-verification slots — docs/ROUND13.md, docs/ROUND15.md).
-
-    Per row: one ``transform`` over the K pre-normalized centroid
-    structs (the same raw-dot scoring as :func:`_argmax_cell` — the
-    FULL ordering equals cosine's, not just the argmax, because 1/|v|
-    is a constant positive per-row scale), one K log K ``array_sort``
-    with the exact rank-window comparator (score DESC, cell ASC), one
-    ``slice`` — vs the window form's n × K row exchange. NULL scores
-    (zero-norm centroids) are filtered BEFORE the sort, so a zero-norm
-    centroid is never probed — the one semantic divergence from the
-    window form, which ranks NULL sims last and therefore probes them
-    once ``n_probe`` exceeds the non-NULL cell count (tested +
-    documented in tests/test_round13_fixes.py). If EVERY score is NULL
-    (all centroids zero-norm, or a zero-norm query against them) the
-    fallback probes the ``n_probe`` smallest cell ids — exactly what
-    the all-NULL rank produced.
-    """
-    arr = _cents_array(cents)
+@column_memo
+def _fold_topk_exprs(n_probe: int) -> tuple[Column, Column]:
+    """Memoized constant trees of :func:`_fold_topk_cells` — the scored
+    top-``n_probe`` slice and the all-NULL fallback. Pure functions of
+    ``n_probe`` over the fixed ``ca``/``v`` column names; construction
+    measured ~0.6 s of py4j per invocation at sf0.1 (round 18)."""
 
     def cmp(left: Column, right: Column) -> Column:
         return (
@@ -957,6 +956,35 @@ def _fold_topk_cells(base: DataFrame, cents: DataFrame, n_probe: int) -> DataFra
             e["cell"].cast("long").alias("c"),
         ),
     )
+    return scored, fallback
+
+
+def _fold_topk_cells(base: DataFrame, cents: DataFrame, n_probe: int) -> DataFrame:
+    """(vec_id, v, vn, cell, crank): each vector's top-``n_probe``
+    nearest cells, MAP-ONLY — the drop-in replacement for the
+    broadcast-join + per-vec_id rank-window relation that
+    :func:`ivf_topk`'s ``ranked.where(crank <= n_probe)`` consumers
+    read (``assign="fold"``; shipped dark in round 13, the EXECUTED
+    DEFAULT since the round-15 flip with its oracle mirrors and
+    re-verification slots — docs/ROUND13.md, docs/ROUND15.md).
+
+    Per row: one ``transform`` over the K pre-normalized centroid
+    structs (the same raw-dot scoring as :func:`_argmax_cell` — the
+    FULL ordering equals cosine's, not just the argmax, because 1/|v|
+    is a constant positive per-row scale), one K log K ``array_sort``
+    with the exact rank-window comparator (score DESC, cell ASC), one
+    ``slice`` — vs the window form's n × K row exchange. NULL scores
+    (zero-norm centroids) are filtered BEFORE the sort, so a zero-norm
+    centroid is never probed — the one semantic divergence from the
+    window form, which ranks NULL sims last and therefore probes them
+    once ``n_probe`` exceeds the non-NULL cell count (tested +
+    documented in tests/test_round13_fixes.py). If EVERY score is NULL
+    (all centroids zero-norm, or a zero-norm query against them) the
+    fallback probes the ``n_probe`` smallest cell ids — exactly what
+    the all-NULL rank produced.
+    """
+    arr = _cents_array(cents)
+    scored, fallback = _fold_topk_exprs(n_probe)
     staged = base.crossJoin(F.broadcast(arr)).select(
         "vec_id", "v", "vn", "ca", scored.alias("__top")
     )
@@ -1332,7 +1360,7 @@ def _ivf_pq_arrow_fused(
             (F.row_number().over(wpool) - 1).alias("i"),
             "sid",
             "cv",
-            norm(F.col("cv")).alias("cn"),
+            _cv_norm_col(),
         ).collect(),
         key=lambda r: r.i,
     )
@@ -1729,7 +1757,7 @@ def _lloyd_round(
     return (
         cents.join(refined, "cell", "left")
         .select("cell", F.coalesce(F.col("cv_new"), F.col("cv")).alias("cv"))
-        .select("cell", "cv", norm(F.col("cv")).alias("cn"))
+        .select("cell", "cv", _cv_norm_col())
     )
 
 
@@ -1871,7 +1899,7 @@ def ivf_topk(
     # costs more than the interpreted dots; the assignment twin wins
     # precisely because its input is the n vectors against a broadcast
     # centroid set, no fan-out)
-    sim = dot(F.col("qv"), F.col("cv2")) / (F.col("qn") * F.col("cn2"))
+    sim = _ivf_rescore_sim()
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
@@ -1885,6 +1913,14 @@ def ivf_topk(
             "query_id", "neighbor_id", "cosine_sim", F.col("rank").cast("int").alias("rank")
         )
     )
+
+
+@column_memo
+def _ivf_rescore_sim() -> Column:
+    """Memoized exact-cosine rescore expression of :func:`ivf_topk`'s
+    candidate stage (the ``dot`` lambda fold costs a py4j round-trip
+    per operator on every construction — see ``functions.exprcache``)."""
+    return dot(F.col("qv"), F.col("cv2")) / (F.col("qn") * F.col("cn2"))
 
 
 def embedding_near_dup_pairs(
