@@ -311,12 +311,27 @@ def minhash_lsh_pairs(
             f"signature must be 'set' or 'arrow', got {signature!r}"
         )
     exp = shingles_exploded(df, id_col, text_col, k)
+    hash_cols, band_aggs, key_cols = _minhash_expr_trees(bands, rows_per_band)
     if reuse:
         # DISK_ONLY persist, not localCheckpoint(eager=True): lazy (no
         # plan-build-time jobs in anyone's timed region), disk-backed, and
         # re-invocations hit the cache-manager's canonicalized-plan match
-        # instead of materializing a fresh checkpoint every call
-        exp = exp.persist(StorageLevel.DISK_ONLY)
+        # instead of materializing a fresh checkpoint every call.
+        # The Kirsch-Mitzenmacher h1/h2 columns are projected INTO the
+        # persisted relation (round 18, guide §2.3/§5): they are pure
+        # per-row functions of `s`, so materializing them once moves the
+        # md5+hex-parse CPU (the signature stage's dominant cost — 3.8 s
+        # task CPU per invocation at sf0.1) into the single cache build
+        # instead of paying it on every downstream pass; consumers that
+        # only need (doc_id, s) still read just those columns (the
+        # in-memory store is columnar). Values are identical by
+        # construction — same expression trees, evaluated earlier.
+        exp = exp.select("doc_id", "s", *hash_cols).persist(
+            StorageLevel.DISK_ONLY
+        )
+        hashed = exp.select("doc_id", "h1", "h2")
+    else:
+        hashed = exp.select("doc_id", *hash_cols)
     # all band×row minima in ONE aggregation pass over the exploded
     # shingles (a band×shingle cross join would multiply the shuffle rows
     # by `bands`). Hash families by Kirsch-Mitzenmacher double hashing:
@@ -326,8 +341,6 @@ def minhash_lsh_pairs(
     # parse-once/derive-many rewrite that took the simhash vote agg down
     # 4×, docs/SCALE.md round-4). r=1 keys the band by the minimum
     # itself; r>1 hashes the concatenation of the r family minima.
-    hash_cols, band_aggs, key_cols = _minhash_expr_trees(bands, rows_per_band)
-    hashed = exp.select("doc_id", *hash_cols)
     band_mins = hashed.groupBy("doc_id").agg(*band_aggs)
     band_keys = band_mins.select("doc_id", *key_cols)
     stack_expr = "stack({n}, {args}) as (band, mh)".format(
@@ -372,8 +385,24 @@ def minhash_lsh_pairs(
     sizes = exp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ea = exp.select(F.col("doc_id").alias("doc_a"), "s")
     eb = exp.select(F.col("doc_id").alias("doc_b"), "s")
+    # SHUFFLE_HASH on the candidate side (round 18, guide §3): size
+    # estimates otherwise pick a BROADCAST of the full exploded-shingle
+    # relation with the pair list as the probe — a driver collect of
+    # O(corpus) shingle rows and a probe stage AQE coalesces to ONE task
+    # (the pair list is small by bytes but carries |pairs|×|shingles|
+    # probe work — measured 0.65 s serial at sf0.1). The hint builds the
+    # per-partition hash from the BOUNDED side (candidate pairs, capped
+    # by bucket occupancy / max_bucket_size) and streams the exploded
+    # shingles in place — on their existing doc_id partitioning, no
+    # broadcast collect, parallel probe. Strategy-only: the inner
+    # equi-join result is identical. Measured interleaved at sf0.1:
+    # 1.90 → 1.51 s warm, identical pair sets. At 100 TB neither side
+    # fits a broadcast, so SHJ-on-the-smaller-side is also the shape
+    # you'd pick deliberately (sorting the exploded corpus for an SMJ
+    # is the expensive alternative).
     inter = (
-        cand.join(ea, "doc_a")
+        cand.hint("shuffle_hash")
+        .join(ea, "doc_a")
         .join(eb, ["doc_b", "s"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
