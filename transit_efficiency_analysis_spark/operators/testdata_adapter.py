@@ -191,7 +191,17 @@ def delays_fused(
 
     base = _delays_base(orders, lineitem)
     if form == "join":
-        a, b = base.alias("a"), base.alias("b")
+        # SHUFFLE_HASH on the b side (round 18, guide §3): both sides of
+        # the self-join read the SAME reused exchange (AQE dedups the
+        # identical shuffle subplans), so an SMJ pays TWO sorts of one
+        # 16 MB-at-sf0.1 shuffle only to re-pair rows a hash build does in
+        # one pass. Per-partition build memory is bounded by the AQE
+        # partition target (the composite key is near-unique, no skewed
+        # build lists), which holds at any scale. Strategy-only: inner
+        # equi-join output identical (full-column hash parity pinned in
+        # tests); measured interleaved at sf0.1: q_agg_dashboard
+        # 1.39 -> 1.24 s, q_rebuild_full within noise.
+        a, b = base.alias("a"), base.alias("b").hint("shuffle_hash")
         cond = (
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
             & (F.to_date("a.o_orderdate") == F.to_date("b.o_orderdate"))
