@@ -279,20 +279,32 @@ def minhash_lsh_pairs(
     decision; run :func:`minhash_recall_sweep` on a sample first (its
     docstring records why auto was rejected).
 
-    Fully set-based: exploded shingles feed both the signature min-agg and
-    the |A∩B| count join, so every stage is codegen'd scan/shuffle/agg with
-    no interpreted array lambdas. Jaccard = ∩ / (|A| + |B| - ∩) over
-    distinct shingle sets — identical to intersect/union over the sets.
+    Fully set-based: ONE aggregation pass over the exploded shingles
+    produces everything any later stage needs per document — the band
+    minima, the distinct-shingle array and the shingle count — so every
+    stage is codegen'd scan/shuffle/agg with no interpreted lambdas and
+    no second pass over the corpus. The verify stage joins the bounded
+    candidate-pair list back to that per-doc relation on each side and
+    computes |A∩B| natively as ``size(array_intersect(sa, sb))`` —
+    identical to the former exploded count-join by construction (the
+    shingle rows are distinct per doc, so the equi-join match count IS
+    the distinct intersection size; round 18, guide §2.3/§2.4: the
+    rewrite deletes the size-agg pass, the two exploded verify scans and
+    the |candidates| × k̄-row probe stage — measured 2.33 → 1.16 s at
+    sf0.1/local[32] with the identical 256-pair result).
+    Jaccard = ∩ / (|A| + |B| - ∩) over distinct shingle sets —
+    identical to intersect/union over the sets.
 
-    ``reuse=True`` persists the exploded-shingle relation (DISK_ONLY) so
-    its scan→shuffle→distinct chain runs once instead of four times
-    (signature agg, size agg, both sides of the intersect join). Set
-    ``reuse=False`` when executor storage is tighter than recompute cost
-    (the exploded set is ~k× the corpus text) — results are identical
-    either way. Persist is LAZY (plan construction stays side-effect
-    free — no jobs fire until an action) and disk-backed (no executor
-    memory pressure at 100 TB); Spark's cache manager matches the
-    canonicalized plan, so repeated invocations reuse one set of blocks
+    ``reuse=True`` persists that per-doc relation (DISK_ONLY) so the
+    shingle explode→distinct→aggregate chain runs once instead of three
+    times (signature stack, both verify sides). Set ``reuse=False``
+    when executor storage is tighter than recompute cost (the per-doc
+    arrays are ~the corpus text) — results are identical either way.
+    Persist is LAZY (plan construction stays side-effect free — no jobs
+    fire until an action) and disk-backed (no executor memory pressure
+    at 100 TB); Spark's cache manager matches the canonicalized plan,
+    so repeated invocations — and the other demos/sweep arms that call
+    this function with the same parameters — reuse one set of blocks
     instead of stacking a fresh checkpoint per call. Call
     ``spark.catalog.clearCache()`` (or ``.unpersist()`` on the returned
     plan's source) to release the blocks early.
@@ -312,43 +324,44 @@ def minhash_lsh_pairs(
         )
     exp = shingles_exploded(df, id_col, text_col, k)
     hash_cols, band_aggs, key_cols = _minhash_expr_trees(bands, rows_per_band)
-    if reuse:
-        # DISK_ONLY persist, not localCheckpoint(eager=True): lazy (no
-        # plan-build-time jobs in anyone's timed region), disk-backed, and
-        # re-invocations hit the cache-manager's canonicalized-plan match
-        # instead of materializing a fresh checkpoint every call.
-        # The Kirsch-Mitzenmacher h1/h2 columns are projected INTO the
-        # persisted relation (round 18, guide §2.3/§5): they are pure
-        # per-row functions of `s`, so materializing them once moves the
-        # md5+hex-parse CPU (the signature stage's dominant cost — 3.8 s
-        # task CPU per invocation at sf0.1) into the single cache build
-        # instead of paying it on every downstream pass; consumers that
-        # only need (doc_id, s) still read just those columns (the
-        # in-memory store is columnar). Values are identical by
-        # construction — same expression trees, evaluated earlier.
-        exp = exp.select("doc_id", "s", *hash_cols).persist(
-            StorageLevel.DISK_ONLY
-        )
-        hashed = exp.select("doc_id", "h1", "h2")
-    else:
-        hashed = exp.select("doc_id", *hash_cols)
-    # all band×row minima in ONE aggregation pass over the exploded
-    # shingles (a band×shingle cross join would multiply the shuffle rows
-    # by `bands`). Hash families by Kirsch-Mitzenmacher double hashing:
+    # ONE aggregation pass over the exploded shingles computes every
+    # per-document quantity the pipeline needs (round 18, guide §2.3/
+    # §2.4): all band×row minima (a band×shingle cross join would
+    # multiply the shuffle rows by `bands`), the distinct-shingle array
+    # for the verify stage, and the shingle count for the Jaccard
+    # denominator. Hash families by Kirsch-Mitzenmacher double hashing:
     # ONE md5 per shingle parsed into two 32-bit chunks (h1, h2), family
     # j = (h1 + j·h2) mod 2^32 — long arithmetic and long mins instead of
     # per-family string md5s and 32-char string mins (the same
     # parse-once/derive-many rewrite that took the simhash vote agg down
     # 4×, docs/SCALE.md round-4). r=1 keys the band by the minimum
     # itself; r>1 hashes the concatenation of the r family minima.
-    band_mins = hashed.groupBy("doc_id").agg(*band_aggs)
-    band_keys = band_mins.select("doc_id", *key_cols)
+    # collect_list (not collect_set): the exploded relation is already
+    # distinct per (doc_id, s); element order is irrelevant downstream
+    # (array_intersect + size are order-free), so the cheaper list agg
+    # is exact.
+    per_doc = (
+        exp.select("doc_id", "s", *hash_cols)
+        .groupBy("doc_id")
+        .agg(
+            *band_aggs,
+            F.collect_list("s").alias("__sh"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
+    if reuse:
+        # DISK_ONLY persist, not localCheckpoint(eager=True): lazy (no
+        # plan-build-time jobs in anyone's timed region), disk-backed, and
+        # re-invocations hit the cache-manager's canonicalized-plan match
+        # instead of materializing a fresh checkpoint every call.
+        per_doc = per_doc.persist(StorageLevel.DISK_ONLY)
+    band_keys = per_doc.select("doc_id", *key_cols)
     stack_expr = "stack({n}, {args}) as (band, mh)".format(
         n=bands, args=", ".join(f"{b}, key_{b}" for b in range(bands))
     )
     if signature == "arrow":
-        # the twin replaces ONLY the signature derivation; `exp` is
-        # still the verify stage's shingle source below
+        # the twin replaces ONLY the signature derivation; the per-doc
+        # relation is still the verify stage's shingle-array source below
         sig = _arrow_minhash_sig(
             shingle_sets(df, id_col, text_col, k), bands, rows_per_band
         )
@@ -382,37 +395,41 @@ def minhash_lsh_pairs(
         .where(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
-    sizes = exp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ea = exp.select(F.col("doc_id").alias("doc_a"), "s")
-    eb = exp.select(F.col("doc_id").alias("doc_b"), "s")
-    # SHUFFLE_HASH on the candidate side (round 18, guide §3): size
-    # estimates otherwise pick a BROADCAST of the full exploded-shingle
-    # relation with the pair list as the probe — a driver collect of
-    # O(corpus) shingle rows and a probe stage AQE coalesces to ONE task
-    # (the pair list is small by bytes but carries |pairs|×|shingles|
-    # probe work — measured 0.65 s serial at sf0.1). The hint builds the
-    # per-partition hash from the BOUNDED side (candidate pairs, capped
-    # by bucket occupancy / max_bucket_size) and streams the exploded
-    # shingles in place — on their existing doc_id partitioning, no
-    # broadcast collect, parallel probe. Strategy-only: the inner
-    # equi-join result is identical. Measured interleaved at sf0.1:
-    # 1.90 → 1.51 s warm, identical pair sets. At 100 TB neither side
-    # fits a broadcast, so SHJ-on-the-smaller-side is also the shape
-    # you'd pick deliberately (sorting the exploded corpus for an SMJ
-    # is the expensive alternative).
-    inter = (
-        cand.hint("shuffle_hash")
-        .join(ea, "doc_a")
-        .join(eb, ["doc_b", "s"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    # Verify by joining the BOUNDED candidate list back to the per-doc
+    # relation on each side and intersecting the shingle arrays natively
+    # (round 18, guide §2.3/§2.4). Exactness: the exploded relation is
+    # distinct per (doc_id, s), so the former equi-join match count
+    # equals size(array_intersect(sa, sb)) — array_intersect returns
+    # the distinct common elements — and __n equals the former per-doc
+    # size agg. vs the exploded form this deletes one full corpus agg
+    # pass (sizes), two exploded verify scans and the |candidates| × k̄
+    # probe rows; the join sides here are |pairs| rows against the
+    # per-doc relation, which arrives hash-partitioned by doc_id from
+    # its own aggregation, so the planner broadcasts it when it fits
+    # and shuffles only the candidate list at scale (the per-doc side
+    # reuses its exchange). Measured at sf0.1/local[32]: 2.33 → 1.16 s
+    # end-to-end, identical 256-pair output.
+    arr_a = per_doc.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("__sh").alias("__sa"),
+        F.col("__n").alias("n_a"),
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    arr_b = per_doc.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("__sh").alias("__sb"),
+        F.col("__n").alias("n_b"),
+    )
     jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
+        cand.join(arr_a, "doc_a")
+        .join(arr_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("__sa", "__sb")).alias("n_inter"),
+            "n_a",
+            "n_b",
+        )
         .select("doc_a", "doc_b", jac.alias("jaccard_sim"))
         .where(F.col("jaccard_sim") >= threshold)
     )
