@@ -132,7 +132,28 @@ _BASE_ORDERS_COLS = ["o_orderkey", "o_orderdate", "o_orderpriority"]
 
 
 def _delays_base(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
-    return lineitem.select(*_BASE_LINEITEM_COLS).join(
+    # Hash-repartition the heavy side by the three lineitem key columns
+    # BEFORE the broadcast enrich (round 18, guide §2.4/§2.5): the
+    # fused self-join below is keyed on exactly these columns, so this
+    # single exchange satisfies both join sides' distribution (no
+    # ENSURE_REQUIREMENTS exchange per side) AND moves the broadcast
+    # probe + per-row arithmetic off the scan stage — the driver's
+    # testdata tables are single-row-group files, so without it that
+    # work serializes on one core of the session (the scan cannot be
+    # split below a row group). spread_for_compute's count is
+    # scale-adaptive (max of session parallelism and the pre-shuffle
+    # split count), never a local-mode constant.
+    from transit_efficiency_analysis_spark.operators.parallel import (
+        spread_for_compute,
+    )
+
+    lsel = spread_for_compute(
+        lineitem.select(*_BASE_LINEITEM_COLS),
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+    )
+    return lsel.join(
         orders.select(*_BASE_ORDERS_COLS),
         F.col("l_orderkey") == F.col("o_orderkey"),
         "inner",
@@ -160,7 +181,10 @@ def delays_fused(
       NULL-preserving, so ≡ ``a.o_orderkey = b.o_orderkey`` (which the
       base join makes ≡ ``a.l_orderkey = b.l_orderkey``).
     - ``tu.start_date = gd.start_date`` is compared as
-      ``to_date(a.o_orderdate) = to_date(b.o_orderdate)`` verbatim.
+      ``datediff(to_date(a.o_orderdate), to_date(b.o_orderdate)) = 0``
+      — equivalent to the equality for every pair (both reject NULLs;
+      two DATEs are zero days apart exactly when equal), kept residual
+      so it does not become a join key (see the inline comment).
     - ``tu.stop_sequence = gd.stop_sequence`` is an injective widening
       cast on both sides ≡ ``a.l_linenumber = b.l_linenumber``.
     - ``CAST(tu.stop_id AS LONG) = gd.stop_id`` — ``tu.stop_id`` is
@@ -202,11 +226,32 @@ def delays_fused(
         # tests); measured interleaved at sf0.1: q_agg_dashboard
         # 1.39 -> 1.24 s, q_rebuild_full within noise.
         a, b = base.alias("a"), base.alias("b").hint("shuffle_hash")
+        # The date conjunct is expressed as a RESIDUAL predicate
+        # (datediff == 0) rather than an equality (round 18, guide
+        # §2.4): Catalyst extracts every top-level equality into the
+        # join KEYS, and a key that only exists post-join
+        # (o_orderdate arrives via the broadcast enrich) forces an
+        # ENSURE_REQUIREMENTS re-exchange of both sides on the 4-column
+        # composite. With the three lineitem columns as the only equi
+        # keys, the pre-join repartition in _delays_base already
+        # satisfies both sides and the self-join runs on that single
+        # reused exchange. Semantics are IDENTICAL row-pair-wise for
+        # every input (duplicate keys and NULLs included):
+        # datediff(to_date(x), to_date(y)) = 0  ⟺  to_date(x) =
+        # to_date(y) — both sides reject NULLs (NULL datediff compares
+        # NULL, NULL equality is not TRUE), and datediff of two DATEs
+        # is zero exactly when they are the same day. The residual is
+        # checked per matched pair exactly as the equality was.
         cond = (
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.to_date("a.o_orderdate") == F.to_date("b.o_orderdate"))
             & (F.col("a.l_linenumber") == F.col("b.l_linenumber"))
             & (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (
+                F.datediff(
+                    F.to_date("a.o_orderdate"), F.to_date("b.o_orderdate")
+                )
+                == 0
+            )
         )
         joined = a.join(b, cond, "inner")
         tu, gd = tu_exprs("a."), gd_exprs("b.")
