@@ -270,7 +270,16 @@ def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_bloom,
     )
 
-    li = load_table(spark, sf_dir, "lineitem")
+    from transit_efficiency_analysis_spark.operators.parallel import (
+        ensure_min_parallelism,
+    )
+
+    # the per-row bloom probe (hash folds + map lookups) otherwise runs
+    # inside the one-task scan stage of the single-row-group testdata
+    # file (round 18, guide §2.5). No-op whenever splits ≥ cores, so the
+    # cull-before-shuffle story is untouched at scale; measured at
+    # sf0.1/local[32]: 3.57 → 1.54 s, identical aggregate.
+    li = ensure_min_parallelism(load_table(spark, sf_dir, "lineitem"))
     keys = (
         load_table(spark, sf_dir, "orders")
         .where(F.col("o_orderpriority") == "1-URGENT")

@@ -112,7 +112,50 @@ def q_sql_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor failure, while the parquet result re-reads fine and leaves
     zero RDD blocks cached (tests/test_round9_fixes.py asserts the
     storage is empty after the demo returns)."""
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    # Materialize the STATIC side of the recursion once PER INVOCATION
+    # (round 18, guide §2.4/§5): UnionLoop re-plans and re-executes the
+    # step query every level, so the successor table's window (sort +
+    # lead + row_number over the whole orders table) otherwise re-runs
+    # at EVERY recursion depth — the walk is depth-bound (max chain
+    # length, ~45 at sf0.1), which multiplied the window cost ~45×.
+    # Same parquet-rewrite eagerness mechanism as the result itself
+    # (lazy_result — NOT a persist: the demo's contract, pinned by
+    # tests/test_round9_fixes.py, is that it adds zero executor-storage
+    # blocks), and the materialized relation is the same expression
+    # tree the _CHAIN_SQL CTE declares — the oracle still evaluates the
+    # verbatim CTE. Measured at sf0.1/local[32]: the demo 11.0 → 7.2 s
+    # median warm (the remaining wall is the depth-bound per-level join
+    # sequencing, which is the recursion's irreducible shape).
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ordered = lazy_result(
+        spark,
+        load_table(spark, sf_dir, "orders").select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+            F.lead("o_orderkey").over(w).alias("next_okey"),
+            F.row_number().over(w).alias("rn"),
+        ),
+        "recursive_chain_ordered",
+    )
+    ordered.createOrReplaceTempView("recursive_chain_ordered")
+    # the executed form of _CHAIN_SQL with the `ordered` CTE replaced by
+    # the materialized view — same walk, same columns, same casts
+    chain_sql = """
+    WITH RECURSIVE walk(cust, order_id, next_okey, pos, cum_wide) AS (
+        SELECT o_custkey, o_orderkey, next_okey, 1, price
+        FROM recursive_chain_ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.o_custkey, o.o_orderkey, o.next_okey, w.pos + 1,
+               CAST(w.cum_wide + o.price AS DECIMAL(18,2))
+        FROM walk w JOIN recursive_chain_ordered o ON o.o_orderkey = w.next_okey
+    )
+    SELECT cust, order_id, pos, CAST(cum_wide AS DOUBLE) AS cum_spend
+    FROM walk
+    """
     key = "spark.sql.cteRecursionLevelLimit"
     prior = spark.conf.get(key)
     spark.conf.set(key, "1000")
@@ -121,7 +164,7 @@ def q_sql_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         # which for a lazily-returned DataFrame would be after the
         # finally restored it; the write executes the plan now, the
         # returned DataFrame is a lazy read of the written result
-        return lazy_result(spark, spark.sql(_CHAIN_SQL), "recursive_chain")
+        return lazy_result(spark, spark.sql(chain_sql), "recursive_chain")
     finally:
         spark.conf.set(key, prior)
 
@@ -137,5 +180,39 @@ def q_sql_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     |V|·(|V|-1)^4 over a vocabulary-sized node set (5 event types), and
     the oracle evaluates the IDENTICAL capped recursion so the result
     is exact whatever the diameter."""
-    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_BFS_SQL)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    # Materialize the static edge digraph once per invocation (round 18
+    # — same UnionLoop re-execution as q_sql_recursive_chain: the
+    # window + distinct over the whole events table otherwise re-runs
+    # at every hop of the capped BFS; same lazy_result mechanism, no
+    # executor-storage blocks). The materialized relation is the
+    # `edges` CTE's expression tree verbatim; the oracle still
+    # evaluates the declared SQL. Measured at sf0.1/local[32]:
+    # 3.1 → 1.6 s median warm.
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events = load_table(spark, sf_dir, "events")
+    edges = (
+        events.select(
+            F.col("event_type").alias("a"),
+            F.lead("event_type").over(w).alias("b"),
+        )
+        .where(F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+        .distinct()
+    )
+    edges = lazy_result(spark, edges, "recursive_bfs_edges")
+    edges.createOrReplaceTempView("recursive_bfs_edges")
+    events.createOrReplaceTempView("events")
+    bfs_sql = """
+    WITH RECURSIVE reach(dst, hop) AS (
+        SELECT min(event_type), 0 FROM events
+        UNION ALL
+        SELECT e.b, r.hop + 1
+        FROM reach r JOIN recursive_bfs_edges e ON e.a = r.dst
+        WHERE r.hop < 4
+    )
+    SELECT dst AS event_type, min(hop) AS hops
+    FROM reach GROUP BY dst
+    """
+    return spark.sql(bfs_sql)

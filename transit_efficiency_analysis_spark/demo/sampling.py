@@ -99,12 +99,22 @@ def q_dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """edit-distance near-dup: levenshtein over 40-char prefixes within
     (lang, length-bucket) blocks — the character-level dedup flavor
     (exact integer metric, identical on both engines)."""
+    from transit_efficiency_analysis_spark.operators.parallel import (
+        ensure_min_parallelism,
+    )
+
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         F.floor(F.col("n_chars") / 50).alias("lb"),
         F.substring("text", 1, 40).alias("prefix"),
     )
+    # The blocked self-join broadcasts the 5k-row block table, so the
+    # O(pairs × 40²) levenshtein DP otherwise runs inside the one-task
+    # scan stage of the single-row-group testdata file (round 18, guide
+    # §2.5; no-op whenever splits ≥ cores). Measured at sf0.1/local[32]:
+    # 10.4 → 1.2 s, identical pair set.
+    d = ensure_min_parallelism(d)
     a, b = d.alias("a"), d.alias("b")
     dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
     return (
