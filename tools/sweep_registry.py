@@ -25,6 +25,9 @@ from transit_efficiency_analysis_spark.session import get_spark
 
 
 def main() -> None:
+    if len(sys.argv) < 2:
+        print("Usage: python tools/sweep_registry.py <sf_dir> [runs]", file=sys.stderr)
+        raise SystemExit(2)
     sf_dir = sys.argv[1]
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     spark = get_spark("sweep_registry")
@@ -44,9 +47,10 @@ def main() -> None:
     for r in range(runs):
         for name in samples:
             spark.sparkContext.setJobDescription(f"sweep:{name}:run{r}")
-            t0 = time.time()
+            # perf_counter: monotonic, immune to NTP steps (ADVICE r18)
+            t0 = time.perf_counter()
             registry[name].fn(spark, sf_dir).count()
-            dt = time.time() - t0
+            dt = time.perf_counter() - t0
             samples[name].append(dt)
             print(f"# {name} run{r}: {dt:.3f}s", file=sys.stderr)
     med = {

@@ -518,29 +518,47 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transit_efficiency_analysis_spark.operators.graph import triangle_counts
 
     li = load_table(spark, sf_dir, "lineitem")
-    ls = li.select("l_orderkey", "l_suppkey").distinct()
-    a, b = ls.alias("a"), ls.alias("b")
+    # Co-supply pairs in ONE exchange (round 19, guide §2.4 — the
+    # round-18 minhash candidate recipe, measured pairs-stage noop
+    # 1.61 → 1.52 s and edges 2.53 → see OPTIMIZATION_r19.md): group
+    # per order with collect_SET — fusing the former
+    # ``.distinct()`` (its own 600 k-row exchange on a key the next
+    # groupBy couldn't reuse) into the same aggregation — then explode
+    # the ordered within-order supplier pairs and count per pair. The
+    # former order-keyed self-join shuffled (and computed) the distinct
+    # relation twice — per-side pruning defeats exchange reuse — plus an
+    # SMJ sort per side. Pair-for-pair identical: collect_set IS the
+    # distinct supplier set per order (and skips NULLs, as the join's
+    # equi-condition did), NULL orders are filtered first, and sa < sb
+    # filters the exploded pairs exactly as it filtered the join.
+    # Per-order fan-out stays bounded by items-per-order, the same
+    # bound the join relied on.
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .groupBy(
-            F.col("a.l_suppkey").alias("sa"), F.col("b.l_suppkey").alias("sb")
-        )
+        li.select("l_orderkey", "l_suppkey")
+        .where(F.col("l_orderkey").isNotNull())
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_suppkey").alias("__ss"))
+        .where(F.size("__ss") > 1)
+        .select(F.explode("__ss").alias("sa"), F.col("__ss").alias("__ss2"))
+        .select("sa", F.explode("__ss2").alias("sb"))
+        .where(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
         .agg(F.count(F.lit(1)).alias("support"))
     )
-    n_ord = load_table(spark, sf_dir, "orders").agg(
-        F.count(F.lit(1)).alias("n_ord")
-    )
-    edges = (
-        pairs.crossJoin(F.broadcast(n_ord))
-        .where(F.col("support") >= F.greatest(F.lit(3), F.expr("n_ord div 25000")))
-        .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
-    )
+    # scale-invariant support floor from the parquet footer's row count
+    # (the registry's catalog-statistics idiom, e.g.
+    # q_sim_lsh_multiprobe_topk) instead of a count(*) subquery +
+    # broadcast cross join per invocation — same integer by definition
+    n_ord = parquet_rows(sf_dir, "orders")
+    edges = pairs.where(
+        F.col("support") >= F.lit(max(3, n_ord // 25000))
+    ).select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+    # persist=False (round 19): measured at sf0.1 the DISK_ONLY canon
+    # pin was net-negative (4.62 vs 4.31 s full-pipeline noop) — the
+    # canonical relation's 3 references resolve to one computed
+    # exchange via AQE exchange reuse, so the pin only added a write
     return (
-        triangle_counts(edges)
+        triangle_counts(edges, persist=False)
         .orderBy(F.col("tri_count").desc(), F.col("node_id"))
         .limit(10)
     )

@@ -111,62 +111,113 @@ def q_sql_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     in executor storage for the session's lifetime and lose them on
     executor failure, while the parquet result re-reads fine and leaves
     zero RDD blocks cached (tests/test_round9_fixes.py asserts the
-    storage is empty after the demo returns)."""
+    storage is empty after the demo returns).
+
+    EXECUTED FORM (round 19, guide §2 — VERDICT r18 ask #1): the walk
+    is frontier-DOUBLED. Spark's UnionLoop executes one join per chain
+    level — the per-level re-plan + join sequencing was ~7 s at sf0.1
+    (depth ≈ 24 chains), the largest non-streaming demo wall — so the
+    executed traversal is the classic prefix-doubling (pointer-jumping)
+    rewrite: every order starts carrying (pos=1, cum=price); in round k
+    every node absorbs the accumulators of the node 2^k positions
+    behind it in its chain; after ceil(log2(max chain length)) rounds
+    (pos, cum) are exactly the recursion's (level, running sum). The
+    jump target is addressed by RANK, not by pointer: ``rn`` from the
+    successor window is dense 1..len within each customer, so "the
+    node 2^k back along the pointer chain" IS ``lag(col, 2^k) OVER
+    (PARTITION BY cust ORDER BY rn)`` — each doubling round is one
+    window projection, the whole walk is ONE exchange + ONE sort +
+    log2(depth) stacked WindowExecs in a single job. (Two join-shaped
+    doubling forms were measured first and rejected: per-round
+    ``lazy_result`` parquet rewrites cost ~0.7 s/round of write+re-read
+    orchestration [~4.7 s total], and per-round transient persists kept
+    falling back to sort-merge joins because a join output's size
+    estimate is the product of its inputs [~4.6 s]. The lag form has no
+    self-reference, so it needs neither.)
+
+    The declared ``_CHAIN_SQL`` oracle (DuckDB's native recursive
+    evaluator) stays verbatim and the driver checks the doubled form
+    against it row for row. Equivalence argument: pos is integer depth
+    (exact; after round k it equals min(2^(k+1), rn), converging to
+    rn — the CTE's level). cum sums the same DECIMAL(18,2) prices in a
+    different association order, and decimal addition of in-range
+    values is exact hence associative — every partial sum of ≤ depth
+    order totals fits DECIMAL(18,2) with room to spare, so the
+    per-round cast (kept for schema stability, mirroring the CTE's
+    per-level cast) never rounds. Nothing persists (the round-9
+    zero-storage-blocks contract, tests/test_round9_fixes.py): the
+    depth probe reads max(orders per customer) — max chain length by
+    definition, no window needed — so the successor relation is
+    referenced exactly once, by the walk itself. Measured at
+    sf0.1/local[32]: 7.4 → ~1.6 s median warm, identical 150 k-row
+    result (tests/test_round19_opt.py pins row parity against the
+    UnionLoop form)."""
+    import math
+
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    # Materialize the STATIC side of the recursion once PER INVOCATION
-    # (round 18, guide §2.4/§5): UnionLoop re-plans and re-executes the
-    # step query every level, so the successor table's window (sort +
-    # lead + row_number over the whole orders table) otherwise re-runs
-    # at EVERY recursion depth — the walk is depth-bound (max chain
-    # length, ~45 at sf0.1), which multiplied the window cost ~45×.
-    # Same parquet-rewrite eagerness mechanism as the result itself
-    # (lazy_result — NOT a persist: the demo's contract, pinned by
-    # tests/test_round9_fixes.py, is that it adds zero executor-storage
-    # blocks), and the materialized relation is the same expression
-    # tree the _CHAIN_SQL CTE declares — the oracle still evaluates the
-    # verbatim CTE. Measured at sf0.1/local[32]: the demo 11.0 → 7.2 s
-    # median warm (the remaining wall is the depth-bound per-level join
-    # sequencing, which is the recursion's irreducible shape).
+    orders = load_table(spark, sf_dir, "orders")
+    # rounds = ceil(log2(max depth)): after round k every node has
+    # absorbed its full 2^(k+1)-element prefix, so all chains are
+    # complete when 2^rounds >= the longest chain. Max chain length is
+    # max orders per customer — a plain partial-aggregating count, far
+    # cheaper than probing max(rn) off the window (which would force
+    # materializing the successor relation twice or pinning it).
+    max_rn = (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+        or 1
+    )
+    rounds = max(0, math.ceil(math.log2(max_rn))) if max_rn > 1 else 0
+    # The successor relation the CTE declares — computed once, inline in
+    # the walk's single job (round 18's separate materialization is no
+    # longer needed: the lag-addressed walk reads it exactly once).
+    # next_okey is the CTE's successor edge; rn is the same window's
+    # rank, the dense per-chain address the doubling rounds jump along.
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    ordered = lazy_result(
-        spark,
-        load_table(spark, sf_dir, "orders").select(
-            "o_custkey",
-            "o_orderkey",
-            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
-            F.lead("o_orderkey").over(w).alias("next_okey"),
-            F.row_number().over(w).alias("rn"),
-        ),
-        "recursive_chain_ordered",
+    state = orders.select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("cum"),
+        F.lead("o_orderkey").over(w).alias("next_okey"),
+        F.row_number().over(w).alias("rn"),
+    ).select("cust", "order_id", "rn", F.lit(1).alias("pos"), "cum")
+    wr = Window.partitionBy("cust").orderBy("rn")
+    for k in range(rounds):
+        # absorb the accumulators of the node 2^k positions back;
+        # chains shorter than the offset see NULL -> absorb nothing
+        off = 1 << k
+        state = state.select(
+            "cust",
+            "order_id",
+            "rn",
+            (
+                F.col("pos") + F.coalesce(F.lag("pos", off).over(wr), F.lit(0))
+            ).alias("pos"),
+            (
+                F.col("cum")
+                + F.coalesce(
+                    F.lag("cum", off).over(wr),
+                    F.lit(0).cast("decimal(18,2)"),
+                )
+            )
+            .cast("decimal(18,2)")
+            .alias("cum"),
+        )
+    result = state.select(
+        "cust",
+        "order_id",
+        "pos",
+        F.col("cum").cast("double").alias("cum_spend"),
     )
-    ordered.createOrReplaceTempView("recursive_chain_ordered")
-    # the executed form of _CHAIN_SQL with the `ordered` CTE replaced by
-    # the materialized view — same walk, same columns, same casts
-    chain_sql = """
-    WITH RECURSIVE walk(cust, order_id, next_okey, pos, cum_wide) AS (
-        SELECT o_custkey, o_orderkey, next_okey, 1, price
-        FROM recursive_chain_ordered WHERE rn = 1
-        UNION ALL
-        SELECT o.o_custkey, o.o_orderkey, o.next_okey, w.pos + 1,
-               CAST(w.cum_wide + o.price AS DECIMAL(18,2))
-        FROM walk w JOIN recursive_chain_ordered o ON o.o_orderkey = w.next_okey
-    )
-    SELECT cust, order_id, pos, CAST(cum_wide AS DOUBLE) AS cum_spend
-    FROM walk
-    """
-    key = "spark.sql.cteRecursionLevelLimit"
-    prior = spark.conf.get(key)
-    spark.conf.set(key, "1000")
-    try:
-        # eager: the limit must be in effect when the UnionLoop runs,
-        # which for a lazily-returned DataFrame would be after the
-        # finally restored it; the write executes the plan now, the
-        # returned DataFrame is a lazy read of the written result
-        return lazy_result(spark, spark.sql(chain_sql), "recursive_chain")
-    finally:
-        spark.conf.set(key, prior)
+    # the walk's one heavy job: exchange by cust, sort, then every
+    # doubling round as a stacked window over the same partitioning
+    # (no further shuffles), straight into the distributed parquet
+    # rewrite
+    return lazy_result(spark, result, "recursive_chain")
 
 
 @demo("q_sql_recursive_bfs", sql=_BFS_SQL)

@@ -281,9 +281,16 @@ def minhash_lsh_pairs(
 
     Fully set-based: ONE aggregation pass over the exploded shingles
     produces everything any later stage needs per document — the band
-    minima, the distinct-shingle array and the shingle count — so every
-    stage is codegen'd scan/shuffle/agg with no interpreted lambdas and
-    no second pass over the corpus. The verify stage joins the bounded
+    minima, the distinct-shingle array and the shingle count — with no
+    interpreted lambdas and no second pass over the corpus. (The
+    ``collect_list`` makes this pass an ObjectHashAggregate, which is
+    NOT whole-stage-codegen'd, and it buffers each document's distinct
+    shingle set as one in-memory array row — a per-row bound of
+    O(distinct shingles per doc) the former exploded count-join did not
+    have. Documents are LLM-corpus-sized here; for a corpus of
+    pathologically long documents, bound shingle counts upstream or
+    fall back to the pre-r18 exploded count-join — ADVICE r18.)
+    The verify stage joins the bounded
     candidate-pair list back to that per-doc relation on each side and
     computes |A∩B| natively as ``size(array_intersect(sa, sb))`` —
     identical to the former exploded count-join by construction (the
@@ -430,6 +437,11 @@ def minhash_lsh_pairs(
             "n_a",
             "n_b",
         )
+        # preserve the pre-r18 inner count-join contract (ADVICE r18):
+        # the exploded formulation dropped zero-intersection candidates
+        # entirely, so a threshold <= 0 must not surface them here either.
+        # A no-op for every positive threshold (jaccard 0 < threshold).
+        .where(F.col("n_inter") > 0)
         .select("doc_a", "doc_b", jac.alias("jaccard_sim"))
         .where(F.col("jaccard_sim") >= threshold)
     )
@@ -841,9 +853,23 @@ def ngram_jaccard_pairs(
     length bucket) — the exact-verification path without LSH, for when
     blocks are small enough that |block|^2 is acceptable.
 
-    Set-based like ``minhash_lsh_pairs``: intersections come from a
-    shingle-equality join (pairs sharing zero shingles have Jaccard 0 and
-    are below any positive threshold, so the inner join loses nothing).
+    Set-based like ``minhash_lsh_pairs``: intersections come from
+    shingle-equality grouping (pairs sharing zero shingles have Jaccard 0
+    and are below any positive threshold, so dropping them loses nothing).
+
+    Intersection counting runs in ONE exchange (round 19, guide §2.4 —
+    the round-18 minhash candidate recipe): group the exploded shingles
+    by (block, shingle), collect the sharing doc ids, explode the
+    ordered within-group pairs and count per pair. The former
+    formulation self-joined the exploded relation on (blk, s) — per-side
+    column pruning defeats exchange reuse, so the corpus's shingles were
+    shuffled AND computed twice, plus an SMJ sort per side. Pair-for-pair
+    identical: group equality matches join equality because NULL
+    blocks/shingles are filtered first (a NULL never satisfies an
+    equi-join), ``doc_a < doc_b`` filters the exploded pairs exactly as
+    it filtered the join, and the per-pair row count is the same product
+    of per-side multiplicities. ``sizes`` still counts the UNFILTERED
+    per-doc shingle rows — the Jaccard denominator the old form used.
     """
     if threshold <= 0:
         raise ValueError("count-join formulation requires a positive threshold")
@@ -851,10 +877,13 @@ def ngram_jaccard_pairs(
     blocks = df.select(F.col(id_col).alias("doc_id"), block.alias("blk"))
     exp = exp.join(blocks, "doc_id")
     sizes = exp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ea = exp.select(F.col("doc_id").alias("doc_a"), F.col("blk"), "s")
-    eb = exp.select(F.col("doc_id").alias("doc_b"), F.col("blk"), "s")
     inter = (
-        ea.join(eb, ["blk", "s"])
+        exp.where(F.col("blk").isNotNull() & F.col("s").isNotNull())
+        .groupBy("blk", "s")
+        .agg(F.collect_list("doc_id").alias("__ids"))
+        .where(F.size("__ids") > 1)
+        .select(F.explode("__ids").alias("doc_a"), F.col("__ids").alias("__ids2"))
+        .select("doc_a", F.explode("__ids2").alias("doc_b"))
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))

@@ -27,7 +27,7 @@ the shuffles.
 from __future__ import annotations
 
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PPM = 1_000_000
@@ -86,21 +86,36 @@ def pagerank_ppm(
         .unionByName(e.select(F.col("dst").alias("node_id")))
         .distinct()
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # outdeg folded INTO the pinned edge relation (round 19, guide
+    # §2.4): the loop joined e ⋈ deg on src EVERY iteration, but deg is
+    # a function of e alone — attaching it once via a window over the
+    # src partition (one exchange, reused by nothing downstream but
+    # computed once per pin) removes one join + its exchange from every
+    # iteration. Integer semantics identical: outdeg is the same
+    # count-per-src either way.
+    ew = e.withColumn(
+        "outdeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+    )
     if persist:
         release_persisted("pagerank")  # drop the previous call's pins
-        e = _pin("pagerank", e)
+        ew = _pin("pagerank", ew)
         nodes = _pin("pagerank", nodes)
-        deg = _pin("pagerank", deg)
 
-    ranks = nodes.select("node_id", F.lit(PPM).cast("long").alias("rank_ppm"))
     teleport = F.lit(PPM - damping_ppm).cast("long")
-    for _ in range(n_iters):
-        contrib = (
-            e.join(ranks, e.src == ranks.node_id)
-            .join(deg, "src")
-            .select("dst", F.expr("rank_ppm div outdeg").alias("c"))
-        )
+    ranks = None
+    for it in range(n_iters):
+        if ranks is None:
+            # first iteration: every rank is the constant PPM, so the
+            # rank join is algebraically the identity — contribution is
+            # PPM div outdeg directly (round 19; bit-identical because
+            # rank_ppm(v) = PPM for all v before the first update)
+            contrib = ew.select(
+                "dst", F.expr(f"CAST({PPM} AS BIGINT) div outdeg").alias("c")
+            )
+        else:
+            contrib = ew.join(ranks, ew.src == ranks.node_id).select(
+                "dst", F.expr("rank_ppm div outdeg").alias("c")
+            )
         incoming = contrib.groupBy("dst").agg(F.sum("c").alias("incoming"))
         ranks = nodes.join(
             incoming, nodes.node_id == incoming.dst, "left"
@@ -112,6 +127,10 @@ def pagerank_ppm(
                     f"CAST({damping_ppm} AS BIGINT) * coalesce(incoming, CAST(0 AS BIGINT)) div {PPM}"
                 )
             ).alias("rank_ppm"),
+        )
+    if ranks is None:  # n_iters == 0: every node at initial rank
+        ranks = nodes.select(
+            "node_id", F.lit(PPM).cast("long").alias("rank_ppm")
         )
     return ranks
 
@@ -176,16 +195,29 @@ def triangle_counts(
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
     )
-    if persist:
-        oriented = _pin("triangles", oriented)
+    # One wedge join instead of two (round 19, guide §2.4): the oriented
+    # edge rows are EXACTLY the explode of the adjacency lists (collect
+    # over distinct edges — the explode reproduces each (u, v) once, with
+    # nu already attached), so joining oriented back to adj on u only
+    # re-derived what the explode carries for free. The remaining join
+    # attaches adj(v); it is inner on both forms — an oriented edge whose
+    # head has no out-neighbors closed nothing before and closes nothing
+    # now. oriented itself is now referenced exactly once, so it no
+    # longer needs a persist pin (the round-18 pin existed because the
+    # two-join form scanned it twice).
     adj = oriented.groupBy(F.col("u").alias("node")).agg(
         F.sort_array(F.collect_list("v")).alias("nbrs")
     )
     closed = (
-        oriented.join(adj.withColumnRenamed("node", "u"), "u")
-        .withColumnRenamed("nbrs", "nu")
-        .join(adj.withColumnRenamed("node", "v"), "v")
-        .withColumnRenamed("nbrs", "nv")
+        adj.select(
+            F.col("node").alias("u"),
+            F.col("nbrs").alias("nu"),
+            F.explode("nbrs").alias("v"),
+        )
+        .join(
+            adj.select(F.col("node").alias("v"), F.col("nbrs").alias("nv")),
+            "v",
+        )
         .select("u", "v", F.array_intersect("nu", "nv").alias("ws"))
         .where(F.size("ws") > 0)
     )

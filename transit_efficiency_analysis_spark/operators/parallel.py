@@ -21,21 +21,46 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def _scan_partitions(df: DataFrame) -> int | None:
+    """Partition count of ``df``'s plan, probed WITHOUT executing jobs.
+
+    ``df.rdd.getNumPartitions()`` finalizes the physical plan, and under
+    AQE that *materializes every upstream shuffle/broadcast stage* — a
+    plan-construction-time job, which broke the repo's "plan
+    construction stays side-effect free" invariant for non-scan callers
+    (ADVICE r18). The probe is only cheap — and only *needed* — for
+    exchange-free plans (scan → project/filter chains, where the count
+    is the leaf file-split count): a plan that already contains an
+    Exchange gets its parallelism from that shuffle (shuffle.partitions
+    / AQE), so the scan-parallelism floor has nothing to fix. Returns
+    None for such plans (callers treat None as "already parallel");
+    ``sparkPlan`` here is the pre-adaptive physical plan, computed
+    driver-side with no job submission.
+    """
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    if "Exchange" in plan:
+        return None
+    return df.rdd.getNumPartitions()
+
+
 def ensure_min_parallelism(df: DataFrame) -> DataFrame:
     """Round-robin ``df`` up to the session's default parallelism when
     its plan inherits fewer partitions than half of it.
 
     Streaming DataFrames are returned unchanged (``df.rdd`` is illegal
-    on them, and a micro-batch's partitioning is the trigger's concern).
-    The second clause of the guard keeps single-core sessions
-    (target = 1) from a pure-overhead ``repartition(1)`` round trip.
+    on them, and a micro-batch's partitioning is the trigger's concern),
+    as are plans that already contain an Exchange (their parallelism is
+    the shuffle's, and probing them would execute jobs at plan-build
+    time — see ``_scan_partitions``). The second clause of the guard
+    keeps single-core sessions (target = 1) from a pure-overhead
+    ``repartition(1)`` round trip.
     """
     if df.isStreaming:
         return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    parts = df.rdd.getNumPartitions()
-    if parts < max(target // 2, 2) and parts < target:
+    parts = _scan_partitions(df)
+    if parts is not None and parts < max(target // 2, 2) and parts < target:
         return df.repartition(target)
     return df
 
@@ -66,5 +91,12 @@ def spread_for_compute(df: DataFrame, *cols: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     sc = df.sparkSession.sparkContext
-    p = max(sc.defaultParallelism, df.rdd.getNumPartitions())
+    pre = _scan_partitions(df)
+    if pre is None:
+        # the plan already shuffles: its pre-shuffle width is the
+        # session's shuffle partitioning, readable without executing
+        # anything (probing via df.rdd would run the upstream stages
+        # at plan-build time — ADVICE r18)
+        pre = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    p = max(sc.defaultParallelism, pre)
     return df.repartition(p, *[F.col(c) for c in cols])
