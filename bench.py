@@ -40,6 +40,34 @@ box-busy delta minus this process tree's own CPU delta, divided by
 wall time — and flags "load_contaminated_post": true when that
 external concurrency exceeds the same gate. "external_cpu" in the
 stderr detail carries the measured average.
+
+Round-19 additions (VERDICT r18 asks #2/#7/#9 — ADDITIONS ONLY: the
+frozen timed actions, warm-up protocol and every existing field are
+untouched, so BENCH series stay comparable):
+
+- "stage_sec" per headline query (stdout; every measured query in the
+  stderr detail): executor stage time — the sum of task run time over
+  the query's stages, read back from the in-process AppStatusStore
+  after the battery via per-run job groups (set BEFORE each timed
+  region starts; a job-group id is driver thread-local metadata, not
+  work). At sf0.1 most headline walls are driver-bound (plan
+  construction + AQE sequencing), so the 8-core/32-core WALL ratio
+  sits near 1 and the driver's scaling block false-flagged
+  suspect_cpus_ignored in r18; stage_sec is the scaling-legible
+  signal — it stays ~constant across core counts while per-stage
+  parallelism changes, and wall >> stage_sec/cores says "driver-bound",
+  not "serial engine".
+- "cold_first_run" (stderr detail; the two persist-backed dedup
+  queries also on stdout as "cold"): the warm-up pass was always the
+  true first run — it now gets a timestamp, so the artifact carries a
+  cold figure for the queries whose timed medians are deliberately
+  warm-cache (the DISK_ONLY shingle/fingerprint persists filled by the
+  warm-up since round 4).
+- "spread_flagged" (stdout + stderr): true when >= 2 headline queries'
+  max-min spread exceeds max(0.3 s, 50% of their median) — the
+  box's degraded-phase signature (OPTIMIZATION_r18.md "Environment
+  instability") detected by the artifact itself instead of adjudicated
+  in the round log.
 """
 
 from __future__ import annotations
@@ -252,10 +280,61 @@ def _external_cpu_cores(
     return max(0.0, (after[0] - before[0]) - (after[1] - before[1])) / wall_s
 
 
+def _stage_times_ms(spark, prefix: str) -> dict[str, int]:
+    """Executor stage time (sum of task run time, ms) per job group with
+    the given prefix, read from the in-process AppStatusStore (works
+    with spark.ui.enabled=false — the store always tracks). Stages are
+    deduplicated per group (a SKIPPED re-listing of a shared stage
+    reports 0 and the COMPLETE attempt is counted once). Read-only and
+    post-battery: never inside any timed region."""
+    try:
+        store = spark.sparkContext._jsc.sc().statusStore()
+        jobs = store.jobsList(None)
+        group_stages: dict[str, set[int]] = {}
+        for i in range(jobs.size()):
+            j = jobs.apply(i)
+            g = j.jobGroup()
+            if not g.isDefined():
+                continue
+            g = g.get()
+            if not g.startswith(prefix):
+                continue
+            sids = j.stageIds()
+            group_stages.setdefault(g, set()).update(
+                sids.apply(k) for k in range(sids.size())
+            )
+        cache: dict[int, int] = {}
+        out: dict[str, int] = {}
+        for g, sids in group_stages.items():
+            total = 0
+            for sid in sids:
+                if sid not in cache:
+                    try:
+                        cache[sid] = store.lastStageAttempt(sid).executorRunTime()
+                    except Exception:  # noqa: BLE001 - stage evicted/never ran
+                        cache[sid] = 0
+                total += cache[sid]
+            out[g] = total
+        return out
+    except Exception as e:  # noqa: BLE001 - additions-only: never fail the bench
+        print(f"# stage-time readback unavailable: {e!r}", file=sys.stderr)
+        return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    spark = get_spark("bench")
+    # retention raised so the post-battery stage-time readback still sees
+    # the first queries' jobs (the battery runs ~1-2k jobs; the default
+    # store keeps 1000). Measurement-visibility only: no effect on
+    # planning or execution of any timed query.
+    spark = get_spark(
+        "bench",
+        extra_conf={
+            "spark.ui.retainedJobs": "20000",
+            "spark.ui.retainedStages": "20000",
+        },
+    )
     registry = load_registry()
     # warn-and-record load gate (docstring "Load gate"): a battery
     # launched on a busy box measures the box, not the round
@@ -345,9 +424,18 @@ def main() -> None:
     # operators persist their shared shingle/fingerprint relations) and
     # any other one-time materialization land OUTSIDE the timed region,
     # so medians measure the query and spreads measure the machine.
+    # Round 19 (VERDICT r18 ask #7): the warm-up IS each query's true
+    # cold first run, so it now carries a timestamp — cold_first_run is
+    # reported alongside (never in place of) the frozen warm medians.
+    cold_first = {}
     for name in fns:
+        t0 = time.time()
         n = fns[name](spark, sf_dir).count()
-        print(f"# {name} warmup: {n} rows", file=sys.stderr)
+        cold_first[name] = round(time.time() - t0, 3)
+        print(
+            f"# {name} warmup: {n} rows in {cold_first[name]}s (cold first run)",
+            file=sys.stderr,
+        )
 
     # the frozen list must stay comparable round-over-round, so extra
     # coverage is reported SEPARATELY (round-3 ask: "keep this list
@@ -373,6 +461,12 @@ def main() -> None:
         samples: dict[str, list[float]] = {n: [] for n in fns}
         for r in range(runs):
             for name in samples:
+                # job-group id for the post-battery stage-time readback
+                # (round 19) — set BEFORE the timer starts: thread-local
+                # driver metadata, zero work in the timed region
+                spark.sparkContext.setJobGroup(
+                    f"bench:{tag}{r}:{name}", f"{name} {tag}run{r}"
+                )
                 t0 = time.time()
                 df = fns[name](spark, sf_dir)
                 n = df.count()
@@ -385,6 +479,9 @@ def main() -> None:
         tpch_samples: dict[str, list[float]] = {n: [] for n in tpch_order}
         for r in range(runs):
             for name in tpch_order:
+                spark.sparkContext.setJobGroup(
+                    f"bench:{tag}{r}:{name}", f"{name} battery {tag}run{r}"
+                )
                 t0 = time.time()
                 n_rows = registry[name].fn(spark, sf_dir).count()
                 dt = round(time.time() - t0, 3)
@@ -393,6 +490,7 @@ def main() -> None:
                     f"# {name} battery {tag}run{r}: {n_rows} rows in {dt}s",
                     file=sys.stderr,
                 )
+        spark.sparkContext._jsc.clearJobGroup()
         ext_cores = _external_cpu_cores(
             cpu_before, _cpu_snapshot(), time.time() - battery_t0
         )
@@ -475,6 +573,38 @@ def main() -> None:
     tpch_timings = {n: round(median(xs), 3) for n, xs in tpch_samples.items()}
     tpch_spread = {n: round(max(xs) - min(xs), 3) for n, xs in tpch_samples.items()}
 
+    # round-19 additions (docstring "Round-19 additions") --------------
+    # executor stage time per query: median across the figure-of-record
+    # battery's runs of the per-run stage-time sum, read back once here
+    # (post-battery, untimed)
+    final_tag = "retry-" if retried else ""
+    group_ms = _stage_times_ms(spark, f"bench:{final_tag}")
+    stage_all: dict[str, float] = {}
+    for name in list(samples) + list(tpch_samples):
+        per_run = [
+            group_ms[g]
+            for r in range(runs)
+            if (g := f"bench:{final_tag}{r}:{name}") in group_ms
+        ]
+        if per_run:
+            stage_all[name] = round(median(per_run) / 1000.0, 3)
+    stage_sec = {n: stage_all[n] for n in HEADLINE if n in stage_all}
+    # degraded-phase self-detection: several headline queries with wide
+    # spreads at once is the box oscillating, not the queries
+    spread_wide = [
+        n
+        for n in timings
+        if spread.get(n, 0.0) > max(0.3, 0.5 * max(timings[n], 0.001))
+    ]
+    spread_flagged = len(spread_wide) >= 2
+    if spread_flagged:
+        print(
+            f"# WARNING: wide spreads on {spread_wide} — the box was in a "
+            "degraded phase during part of this battery; trust medians "
+            "with care",
+            file=sys.stderr,
+        )
+
     # FULL record (spreads, extras, battery detail, env annotation) goes to
     # stderr; stdout carries ONE compact line. Round-9 lesson (VERDICT r9
     # "what's wrong" #1): the driver captures a bounded tail of stdout, and
@@ -487,6 +617,13 @@ def main() -> None:
         "spread": spread,
         "extras": extras,
         "extras_spread": extras_spread,
+        # round-19 additions: executor stage time for every measured
+        # query (headline + extras + TPC-H), the cold first run of every
+        # measured query, and the degraded-phase flag detail
+        "stage_sec": stage_all,
+        "cold_first_run": cold_first,
+        "spread_flagged": spread_flagged,
+        "spread_wide_queries": spread_wide,
         "tpch_battery": {
             "total": round(sum(tpch_timings.values()), 3),
             "queries": tpch_timings,
@@ -523,6 +660,16 @@ def main() -> None:
                 "load_contaminated": load_contaminated,
                 "load_contaminated_post": load_contaminated_post,
                 "loadavg_1m": load_1m,
+                # round-19 additions (docstring): executor stage time per
+                # headline query, cold first runs of the persist-backed
+                # dedup queries, degraded-phase flag
+                "stage_sec": stage_sec,
+                "cold": {
+                    n: cold_first[n]
+                    for n in ("q_dedup_minhash_lsh", "q_dedup_simhash_pairs")
+                    if n in cold_first
+                },
+                "spread_flagged": spread_flagged,
                 **(
                     {"retried_after_load": True, "first_attempt": first_attempt}
                     if retried
