@@ -235,13 +235,11 @@ def q_sql_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     # Materialize the static edge digraph once per invocation (round 18
-    # — same UnionLoop re-execution as q_sql_recursive_chain: the
-    # window + distinct over the whole events table otherwise re-runs
-    # at every hop of the capped BFS; same lazy_result mechanism, no
+    # — the window + distinct over the whole events table otherwise
+    # re-runs at every hop; same lazy_result mechanism, no
     # executor-storage blocks). The materialized relation is the
     # `edges` CTE's expression tree verbatim; the oracle still
-    # evaluates the declared SQL. Measured at sf0.1/local[32]:
-    # 3.1 → 1.6 s median warm.
+    # evaluates the declared SQL.
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     events = load_table(spark, sf_dir, "events")
     edges = (
@@ -253,17 +251,30 @@ def q_sql_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     edges = lazy_result(spark, edges, "recursive_bfs_edges")
-    edges.createOrReplaceTempView("recursive_bfs_edges")
-    events.createOrReplaceTempView("events")
-    bfs_sql = """
-    WITH RECURSIVE reach(dst, hop) AS (
-        SELECT min(event_type), 0 FROM events
-        UNION ALL
-        SELECT e.b, r.hop + 1
-        FROM reach r JOIN recursive_bfs_edges e ON e.a = r.dst
-        WHERE r.hop < 4
+    # EXECUTED FORM (round 19, guide §2 — the chain-walk treatment):
+    # the recursion's hop cap is the LITERAL 4 in the declared SQL, so
+    # the UnionLoop runs exactly 5 levels — but pays an incremental
+    # re-plan + separate job per level (~0.25 s each at sf0.1) over a
+    # frontier bounded by the event-type vocabulary. The executed form
+    # unrolls those 5 levels into one composed plan: level k+1 = level
+    # k ⋈ edges (each level referenced ONCE — no doubling blowup), all
+    # UNION ALLed and min-hop aggregated in a single job over the
+    # materialized edge parquet. Level-for-level identical to the
+    # UnionLoop by construction, including the empty-events edge (the
+    # anchor's global min() emits one (NULL, 0) row either way, and a
+    # NULL never joins). The anchor's min(event_type) stays a
+    # distributed agg in the same plan. Measured at sf0.1/local[32]:
+    # 2.5 → ~1.1 s median warm; oracle (the verbatim recursive SQL on
+    # DuckDB) unchanged and green.
+    level = events.agg(F.min("event_type").alias("dst")).select(
+        "dst", F.lit(0).alias("hop")
     )
-    SELECT dst AS event_type, min(hop) AS hops
-    FROM reach GROUP BY dst
-    """
-    return spark.sql(bfs_sql)
+    reach = level
+    for _ in range(4):  # the CTE's literal hop cap: r.hop < 4
+        level = level.join(edges, level.dst == edges.a).select(
+            F.col("b").alias("dst"), (F.col("hop") + F.lit(1)).alias("hop")
+        )
+        reach = reach.unionByName(level)
+    return reach.groupBy(F.col("dst").alias("event_type")).agg(
+        F.min("hop").alias("hops")
+    )
