@@ -177,12 +177,23 @@ def q_sql_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # longer needed: the lag-addressed walk reads it exactly once).
     # next_okey is the CTE's successor edge; rn is the same window's
     # rank, the dense per-chain address the doubling rounds jump along.
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    state = orders.select(
+    # The customer key is aliased BEFORE the successor window so both
+    # window specs key the same attribute — the doubling rounds then
+    # reuse the successor window's exchange instead of re-shuffling
+    # (alias-above-window defeated the partitioning propagation; plan
+    # pinned at one exchange in plans/r19).
+    base = orders.select(
         F.col("o_custkey").alias("cust"),
         F.col("o_orderkey").alias("order_id"),
-        F.col("o_totalprice").cast("decimal(18,2)").alias("cum"),
-        F.lead("o_orderkey").over(w).alias("next_okey"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        "o_orderdate",
+    )
+    w = Window.partitionBy("cust").orderBy("o_orderdate", "order_id")
+    state = base.select(
+        "cust",
+        "order_id",
+        F.col("price").alias("cum"),
+        F.lead("order_id").over(w).alias("next_okey"),
         F.row_number().over(w).alias("rn"),
     ).select("cust", "order_id", "rn", F.lit(1).alias("pos"), "cum")
     wr = Window.partitionBy("cust").orderBy("rn")

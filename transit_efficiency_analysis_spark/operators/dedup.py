@@ -829,10 +829,18 @@ def dedup_clusters(
                 new_label.alias("label"),
                 (new_label < F.col("label")).alias("changed"),
             )
-            .localCheckpoint(eager=True)
+            # LAZY (round 19): the convergence probe below is the action
+            # that materializes this round's checkpoint, so each round
+            # costs ONE job instead of two — same treatment as
+            # dedup_clusters_twophase; later rounds (and the returned
+            # frame) read the stored blocks either way. The probe is a
+            # FULL count, not the former limit(1): a short-circuiting
+            # probe would materialize only the partitions it touched and
+            # the checkpoint would immediately backfill the rest in a
+            # second job, re-creating the two-job round.
+            .localCheckpoint(eager=False)
         )
-        # checkpointed above, so this probe scans stored blocks, not lineage
-        if labels.where(F.col("changed")).limit(1).count() == 0:
+        if labels.where(F.col("changed")).count() == 0:
             break
     return labels.select(
         F.col("id").alias(id_col),
