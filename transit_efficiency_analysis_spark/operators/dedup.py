@@ -1034,12 +1034,15 @@ def minhash_lsh_pairs_incremental(
     candidate-bounded too.
 
     ``reuse`` and ``max_bucket_size`` carry the same semantics as in
-    :func:`minhash_lsh_pairs`: each side's exploded-shingle relation is
-    consumed three times (signature agg, size agg, verification join), so
-    ``reuse=True`` persists both DISK_ONLY; ``max_bucket_size`` caps each
-    (band, mh) bucket on BOTH signature sides before the candidate join —
-    the boilerplate-storm guard (a corpus-wide shared shingle otherwise
-    fans the batch×corpus join out by |corpus bucket| per batch row).
+    :func:`minhash_lsh_pairs`: each side's PER-DOC relation (band
+    minima + distinct-shingle array + count, produced by one
+    aggregation pass — round 19, mirroring the round-18
+    ``minhash_lsh_pairs`` rewrite) is consumed twice (signature stack,
+    verification join), so ``reuse=True`` persists both DISK_ONLY;
+    ``max_bucket_size`` caps each (band, mh) bucket on BOTH signature
+    sides before the candidate join — the boilerplate-storm guard (a
+    corpus-wide shared shingle otherwise fans the batch×corpus join out
+    by |corpus bucket| per batch row).
 
     Persist lifecycle (round 13, VERDICT r12 ask #5): pass ``consume``
     — a callable taking the pairs DataFrame — and the function OWNS the
@@ -1057,38 +1060,47 @@ def minhash_lsh_pairs_incremental(
     or unpersist) when done.
     """
     def km_parts(df: DataFrame):
+        # ONE aggregation pass per side (round 19 — the round-18
+        # minhash_lsh_pairs recipe applied to the incremental form):
+        # band minima, the distinct-shingle array and the shingle count
+        # come out of the same groupBy, so the exploded relation is
+        # consumed once instead of three times and the persisted state
+        # is the per-doc relation (signature + array + count), not the
+        # exploded rows.
         exp = shingles_exploded(df, id_col, text_col, k)
-        if reuse:
-            exp = exp.persist(StorageLevel.DISK_ONLY)
         hx = F.md5(F.col("s"))
         hashed = exp.select(
             "doc_id",
+            "s",
             F.conv(F.substring(hx, 1, 8), 16, 10).cast("long").alias("h1"),
             F.conv(F.substring(hx, 9, 8), 16, 10).cast("long").alias("h2"),
         )
-        mins = hashed.groupBy("doc_id").agg(
+        per_doc = hashed.groupBy("doc_id").agg(
             *[
                 F.min(
                     (F.col("h1") + F.lit(b) * F.col("h2")) % F.lit(2**32)
                 ).alias(f"key_{b}")
                 for b in range(bands)
-            ]
+            ],
+            F.collect_list("s").alias("__sh"),
+            F.count(F.lit(1)).alias("__n"),
         )
+        if reuse:
+            per_doc = per_doc.persist(StorageLevel.DISK_ONLY)
         stack_expr = "stack({n}, {args}) as (band, mh)".format(
             n=bands, args=", ".join(f"{b}, key_{b}" for b in range(bands))
         )
-        sig = mins.select("doc_id", F.expr(stack_expr))
+        sig = per_doc.select("doc_id", F.expr(stack_expr))
         if max_bucket_size is not None:
             from transit_efficiency_analysis_spark.operators.buckets import (
                 cap_buckets,
             )
 
             sig = cap_buckets(sig, ["band", "mh"], "doc_id", max_bucket_size)
-        sizes = exp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-        return exp, sig, sizes
+        return per_doc, sig
 
-    exp_c, sig_c, sizes_c = km_parts(corpus)
-    exp_b, sig_b, sizes_b = km_parts(batch)
+    doc_c, sig_c = km_parts(corpus)
+    doc_b, sig_b = km_parts(batch)
     cand = (
         sig_b.alias("b")
         .join(
@@ -1102,28 +1114,38 @@ def minhash_lsh_pairs_incremental(
         )
         .distinct()
     )
-    # candidate-bounded verification: corpus shingles pruned first
-    exp_c_pruned = exp_c.join(
-        cand.select(F.col("corpus_doc").alias("doc_id")).distinct(),
-        "doc_id",
-        "left_semi",
+    # candidate-bounded verification: the bounded candidate list joins
+    # back to each side's per-doc relation and intersects the shingle
+    # arrays natively — exact because the exploded relation is distinct
+    # per (doc_id, s), so the former equi-join match count IS
+    # size(array_intersect(...)); the former corpus-side semi-join prune
+    # is subsumed (the join on cand is already candidate-bounded).
+    ab = doc_b.select(
+        F.col("doc_id").alias("batch_doc"),
+        F.col("__sh").alias("__sb"),
+        F.col("__n").alias("n_b"),
     )
-    eb = exp_b.select(F.col("doc_id").alias("batch_doc"), "s")
-    ec = exp_c_pruned.select(F.col("doc_id").alias("corpus_doc"), "s")
-    inter = (
-        cand.join(eb, "batch_doc")
-        .join(ec, ["corpus_doc", "s"])
-        .groupBy("batch_doc", "corpus_doc")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    ac = doc_c.select(
+        F.col("doc_id").alias("corpus_doc"),
+        F.col("__sh").alias("__sc"),
+        F.col("__n").alias("n_c"),
     )
-    nb = sizes_b.select(F.col("doc_id").alias("batch_doc"), F.col("n").alias("n_b"))
-    nc = sizes_c.select(F.col("doc_id").alias("corpus_doc"), F.col("n").alias("n_c"))
     jac = F.col("n_inter").cast("double") / (
         F.col("n_b") + F.col("n_c") - F.col("n_inter")
     )
     pairs = (
-        inter.join(nb, "batch_doc")
-        .join(nc, "corpus_doc")
+        cand.join(ab, "batch_doc")
+        .join(ac, "corpus_doc")
+        .select(
+            "batch_doc",
+            "corpus_doc",
+            F.size(F.array_intersect("__sb", "__sc")).alias("n_inter"),
+            "n_b",
+            "n_c",
+        )
+        # the former inner count-join dropped zero-intersection
+        # candidates; keep that contract for threshold <= 0
+        .where(F.col("n_inter") > 0)
         .select("batch_doc", "corpus_doc", jac.alias("jaccard_sim"))
         .where(F.col("jaccard_sim") >= threshold)
     )
@@ -1133,8 +1155,8 @@ def minhash_lsh_pairs_incremental(
         return consume(pairs)
     finally:
         if reuse:
-            exp_c.unpersist()
-            exp_b.unpersist()
+            doc_c.unpersist()
+            doc_b.unpersist()
 
 
 def simhash_pairs_incremental(
