@@ -754,16 +754,23 @@ def cross_corpus_overlap(
     """
     ce = shingles_exploded(corpus, id_col, text_col, k)
     if max_shingle_df is not None:
-        # document frequency per shingle over the corpus side; anti-join
-        # the stop set out. shingles_exploded is already distinct per
-        # (doc, shingle) so the count IS the document frequency.
-        stop = (
-            ce.groupBy("s")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") > max_shingle_df)
-            .select("s")
+        # document frequency per shingle over the corpus side in the
+        # SAME pass (round 19, guide §2.4): a count window partitioned
+        # by shingle attaches df to every (doc, shingle) row — one
+        # shuffle of the exploded relation — where the former
+        # groupBy-then-anti-join DERIVED the exploded relation twice
+        # (once to build the stop set, once as the anti-join probe).
+        # shingles_exploded is already distinct per (doc, shingle) so
+        # the count IS the document frequency, and it never emits NULL
+        # shingles, so keep-df<=cap drops exactly the rows the
+        # anti-join dropped.
+        ce = (
+            ce.withColumn(
+                "__df", F.count(F.lit(1)).over(Window.partitionBy("s"))
+            )
+            .where(F.col("__df") <= max_shingle_df)
+            .drop("__df")
         )
-        ce = ce.join(stop, "s", "left_anti")
     be = shingles_exploded(benchmark, id_col, text_col, k)
     bsizes = be.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_bench"))
     common = (
