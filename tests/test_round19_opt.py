@@ -79,6 +79,11 @@ def test_delays_fused_plan_shape_pinned(spark, sf_dir):
 
 # ------------------------- 3a. ngram Jaccard one-exchange pair parity
 def test_ngram_jaccard_group_form_matches_join_form(spark):
+    """The one-exchange group form was measured and REJECTED for the
+    executed operator (13% slower at sf0.1 — see the operator's
+    docstring); this pins the equivalence claim that measurement rested
+    on, so the rejected alternative stays a verified drop-in if a scale
+    profile ever flips the trade-off."""
     from transit_efficiency_analysis_spark.operators.dedup import (
         ngram_jaccard_pairs,
         shingles_exploded,
@@ -99,15 +104,18 @@ def test_ngram_jaccard_group_form_matches_join_form(spark):
         ngram_jaccard_pairs(docs, "doc_id", "text", block, k=3, threshold=0.2)
     )
 
-    # the pre-round-19 self-join formulation, inline
+    # the measured-and-rejected one-exchange group formulation, inline
     exp = shingles_exploded(docs, "doc_id", "text", 3).join(
         docs.select(F.col("doc_id"), block.alias("blk")), "doc_id"
     )
     sizes = exp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ea = exp.select(F.col("doc_id").alias("doc_a"), "blk", "s")
-    eb = exp.select(F.col("doc_id").alias("doc_b"), "blk", "s")
     inter = (
-        ea.join(eb, ["blk", "s"])
+        exp.where(F.col("blk").isNotNull() & F.col("s").isNotNull())
+        .groupBy("blk", "s")
+        .agg(F.collect_list("doc_id").alias("__ids"))
+        .where(F.size("__ids") > 1)
+        .select(F.explode("__ids").alias("doc_a"), F.col("__ids").alias("__ids2"))
+        .select("doc_a", F.explode("__ids2").alias("doc_b"))
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))

@@ -868,23 +868,22 @@ def ngram_jaccard_pairs(
     length bucket) — the exact-verification path without LSH, for when
     blocks are small enough that |block|^2 is acceptable.
 
-    Set-based like ``minhash_lsh_pairs``: intersections come from
-    shingle-equality grouping (pairs sharing zero shingles have Jaccard 0
-    and are below any positive threshold, so dropping them loses nothing).
+    Set-based like ``minhash_lsh_pairs``: intersections come from a
+    shingle-equality join (pairs sharing zero shingles have Jaccard 0 and
+    are below any positive threshold, so the inner join loses nothing).
 
-    Intersection counting runs in ONE exchange (round 19, guide §2.4 —
-    the round-18 minhash candidate recipe): group the exploded shingles
-    by (block, shingle), collect the sharing doc ids, explode the
-    ordered within-group pairs and count per pair. The former
-    formulation self-joined the exploded relation on (blk, s) — per-side
-    column pruning defeats exchange reuse, so the corpus's shingles were
-    shuffled AND computed twice, plus an SMJ sort per side. Pair-for-pair
-    identical: group equality matches join equality because NULL
-    blocks/shingles are filtered first (a NULL never satisfies an
-    equi-join), ``doc_a < doc_b`` filters the exploded pairs exactly as
-    it filtered the join, and the per-pair row count is the same product
-    of per-side multiplicities. ``sizes`` still counts the UNFILTERED
-    per-doc shingle rows — the Jaccard denominator the old form used.
+    Round 19 measured — and REJECTED — the one-exchange group form here
+    (groupBy(blk, s) → collect_list(doc_id) → ordered-pair explode, the
+    round-18 minhash candidate recipe): pair-for-pair identical (pinned
+    in tests/test_round19_opt.py), but 13% SLOWER at sf0.1 on an idle
+    box (interleaved A/B medians 3.04 s join vs 3.44 s group) — unlike
+    the minhash bucket stage, the grouping key here is the raw
+    (block, shingle) pair, so the ObjectHashAggregate buffers a doc-id
+    array per distinct shingle and that costs more than the SMJ
+    self-join it removes. The join form keeps codegen'd streaming
+    operators; revisit only if a profile shows the duplicated
+    shingle-derivation passes dominating (the 100 TB failure mode the
+    group form would fix).
     """
     if threshold <= 0:
         raise ValueError("count-join formulation requires a positive threshold")
@@ -892,13 +891,10 @@ def ngram_jaccard_pairs(
     blocks = df.select(F.col(id_col).alias("doc_id"), block.alias("blk"))
     exp = exp.join(blocks, "doc_id")
     sizes = exp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ea = exp.select(F.col("doc_id").alias("doc_a"), F.col("blk"), "s")
+    eb = exp.select(F.col("doc_id").alias("doc_b"), F.col("blk"), "s")
     inter = (
-        exp.where(F.col("blk").isNotNull() & F.col("s").isNotNull())
-        .groupBy("blk", "s")
-        .agg(F.collect_list("doc_id").alias("__ids"))
-        .where(F.size("__ids") > 1)
-        .select(F.explode("__ids").alias("doc_a"), F.col("__ids").alias("__ids2"))
-        .select("doc_a", F.explode("__ids2").alias("doc_b"))
+        ea.join(eb, ["blk", "s"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
